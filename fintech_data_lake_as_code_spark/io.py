@@ -1,0 +1,68 @@
+"""Table loaders over the driver-materialized parquet test data.
+
+Spark analog of the reference's sources: the full-load scan of the OLTP
+table (reference lib/fin-transactions-stack.ts:161) becomes a columnar
+parquet scan with pushdown; everything downstream is a DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# Scratch space for queries that need a sink side (partitioned writes,
+# json/text round-trips, streaming sources). Never under /root/testdata.
+SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_scratch")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    # All event-time semantics are UTC (the reference lake is UTC-hour
+    # bucketed; the DuckDB oracle is TZ-naive). Pin the session so results
+    # don't depend on the caller's JVM default timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
+    ([PARQUET_TYPE_ILLEGAL]); read nanos as int64 and convert to a proper
+    TimestampType (microsecond) column. Integer DIV (not `/`) — nanos since
+    epoch (~1.7e18) exceed double's 53-bit mantissa."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    return df
+
+
+def scratch_dir(sf_dir: str, key: str) -> str:
+    """Per-(scale-factor, query) scratch directory."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(SCRATCH_ROOT, tag, key)
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -1,0 +1,240 @@
+"""Aggregation operators (SURVEY.md §2.C aggregations).
+
+Reference parity: B6 HAVING threshold (setupTables.py:40), B7 distinct
+counting (setupTables.py:41), B9 percentile cutoff (setupTables.py:43),
+A11 latest-state-per-key CDC materialization (PRIMARY KEY user_id +
+ON UPDATE timestamp, setupTables.py:57-58).
+
+Scale notes: all groupBys here are partial-aggregated map-side by Spark
+(HashAggregate -> Exchange -> HashAggregate); the latest-state query uses
+max_by instead of a window so it needs one shuffle and no sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_avg, exact_sum
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (COUNT(l_extendedprice) * 100) AS avg_price,
+           MIN(l_discount) AS min_disc,
+           MAX(l_tax) AS max_tax
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table aggregate (partial+final handled by Spark)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_tax").alias("max_tax"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                         AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0)
+                         AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (COUNT(l_quantity) * 100) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (COUNT(l_extendedprice) * 100) AS avg_price,
+           CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (COUNT(l_discount) * 100) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2026-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary hash aggregate (TPC-H Q1 shape) — the engine's
+    headline batch aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= "2026-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(charge, 6).alias("sum_charge"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 40
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (ref B6 'multiple enquiries' threshold,
+    setupTables.py:40)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("n_events") > 40)
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates (ref B7 regularity counting,
+    setupTables.py:41) — Spark expands to a single pass + partial distinct."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: approx value differs per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    distinct would shuffle every key. No SQL oracle (estimator-specific);
+    driver records a rows-only check, pytest asserts relative error."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25_qty,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50_qty,
+           ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ref B9 high-value cutoff,
+    setupTables.py:43). approx_percentile is the 100 TB variant (see
+    agg_approx_distinct note)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+    )
+
+
+@query(
+    "agg_rollup_cube_gsets",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           GROUPING(r.r_name) AS g_region,
+           GROUPING(n.n_name) AS g_nation,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS acctbal_sum
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping indicators (multi-level lake summary)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("long").alias("g_region"),
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.count("*").alias("n_cust"),
+        exact_sum(F.col("c_acctbal")).alias("acctbal_sum"),
+    )
+
+
+@query(
+    "agg_maxby_latest",
+    oracle="""
+    SELECT user_id, last_type,
+           ROUND(last_value_amt, 2) AS last_value_amt,
+           last_ts_epoch
+    FROM (
+      SELECT user_id,
+             event_type AS last_type,
+             value AS last_value_amt,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS last_ts_epoch,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def agg_maxby_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state-per-key CDC materialization (ref A11: PRIMARY KEY
+    user_id keeps <=1 row per user while the changelog holds history,
+    setupTables.py:57-58). max_by(struct) — one shuffle, no sort, the
+    scalable form of the window-rn=1 pattern."""
+    ev = load(spark, sf_dir, "events")
+    latest = F.max_by(
+        F.struct("event_type", "value", "ts"),
+        F.struct("ts", "event_id"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(latest.alias("s"))
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("last_type"),
+            F.round(F.col("s.value"), 2).alias("last_value_amt"),
+            F.unix_timestamp(F.col("s.ts")).alias("last_ts_epoch"),
+        )
+    )

@@ -1,0 +1,306 @@
+"""Join operators (SURVEY.md §2.C joins).
+
+Reference parity: the reference's only joins are implicit (DMS selection
+rule, CDC key routing), so this family is the engine-surface closure:
+equi/broadcast/multiway/outer/semi/anti (ref B4 first-occurrence,
+setupTables.py:35-36), theta/range (ref B3 24h incident window,
+setupTables.py:33-34), as-of (ref B2 session pairing, setupTables.py:32),
+bounded cross join (similarity-search base).
+
+Scale notes: dims (region/nation/bands) are broadcast — no shuffle of the
+fact side; fact-fact joins shuffle on their keys and rely on AQE for skew.
+The cross join is bounded by construction (tiny side × tiny side); at
+100 TB any pairwise step must be prefiltered (see similarity.py LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_sum
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS total_price
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join customer⋈orders (AQE picks broadcast vs SMJ)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS acctbal_sum
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension broadcast join (explicit broadcast hints so the fact
+    table never shuffles for the join)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            exact_sum(F.col("c_acctbal")).alias("acctbal_sum"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                          AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+           COUNT(*) AS n_lines
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table join chain (region⋈nation⋈customer⋈orders⋈lineitem) —
+    Catalyst reorders + broadcasts the dims; the orders⋈lineitem shuffle
+    is the only big exchange."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_left_right_full",
+    oracle="""
+    SELECT side, COUNT(*) AS n_rows,
+           CAST(SUM(n_null_side) AS BIGINT) AS n_unmatched FROM (
+      SELECT 'left' AS side,
+             CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END AS n_null_side
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'right' AS side,
+             CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS n_null_side
+      FROM customer c RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'full' AS side,
+             CASE WHEN c.c_custkey IS NULL OR o.o_orderkey IS NULL THEN 1 ELSE 0 END
+      FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+    ) GROUP BY side
+    """,
+)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join family with null-fill accounting."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = c.c_custkey == o.o_custkey
+
+    def side(how: str, tag: str, null_col):
+        return c.join(o, cond, how).select(
+            F.lit(tag).alias("side"), null_col.alias("n_null_side")
+        )
+
+    left = side("left", "left", F.when(o.o_orderkey.isNull(), 1).otherwise(0))
+    right = side("right", "right", F.when(c.c_custkey.isNull(), 1).otherwise(0))
+    full = side(
+        "full",
+        "full",
+        F.when(c.c_custkey.isNull() | o.o_orderkey.isNull(), 1).otherwise(0),
+    )
+    return (
+        left.unionByName(right)
+        .unionByName(full)
+        .groupBy("side")
+        .agg(F.count("*").alias("n_rows"), F.sum("n_null_side").alias("n_unmatched"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 1000)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi join (no row multiplication)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 1000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join (ref B4 first-occurrence pattern,
+    setupTables.py:35-36)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0, 15), ('medium', 15, 35), ('large', 35, 100)
+    )
+    SELECT b.band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS price_sum
+    FROM part p JOIN bands b ON p.p_size > b.lo AND p.p_size <= b.hi
+    GROUP BY b.band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi range join (value banding; same shape as ref B3's
+    24h incident window, setupTables.py:33-34). Broadcast nested loop on a
+    tiny band table — the only sane physical plan for theta joins."""
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 0, 15), ("medium", 15, 35), ("large", 35, 100)],
+        "band string, lo int, hi int",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_size > bands.lo) & (p.p_size <= bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            exact_sum(F.col("p_retailprice")).alias("price_sum"),
+        )
+    )
+
+
+@query(
+    "join_asof_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch,
+           CAST(FLOOR(EPOCH(prev_view_ts)) AS BIGINT) AS prev_view_epoch
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_view_ts
+      FROM events
+    )
+    WHERE event_type = 'purchase' AND prev_view_ts IS NOT NULL
+    """,
+)
+def join_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of pairing: for each purchase, the most recent prior view by the
+    same user (ref B2 session pairing, setupTables.py:32). Expressed as an
+    ignore-nulls last_value window — one shuffle on user_id, no join."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prev_view_ts", prev_view)
+        .where((F.col("event_type") == "purchase") & F.col("prev_view_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            F.unix_timestamp("prev_view_ts").alias("prev_view_epoch"),
+        )
+    )
+
+
+@query(
+    "join_cross_topk",
+    oracle="""
+    SELECT r1.r_name AS name_a, r2.r_name AS name_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+)
+def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join producing unordered pairs (the similarity-search
+    base shape; at scale the pair space must be LSH-pruned first)."""
+    r1 = load(spark, sf_dir, "region").alias("r1")
+    r2 = load(spark, sf_dir, "region").alias("r2")
+    return (
+        r1.crossJoin(r2)
+        .where(F.col("r1.r_regionkey") < F.col("r2.r_regionkey"))
+        .select(
+            F.col("r1.r_name").alias("name_a"),
+            F.col("r2.r_name").alias("name_b"),
+        )
+    )

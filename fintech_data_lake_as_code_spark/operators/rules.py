@@ -1,0 +1,415 @@
+"""The reference's declared analytics (SURVEY.md §2.B, rules B1-B10).
+
+These ten rules are stated verbatim as comments in the reference
+(resources/data/setupTables.py:29-44) and are its reason to exist — the
+"investigation needed" constraints (B1-B5) and behavioral patterns (B6-B10).
+Here each is a Gold-layer query transposed onto the driver's `events` table
+(the customeractivity analog, FIXTURES.md §1): `event_type ~ feature_used`,
+`value ~ monetary_value`, a pseudo-city derived from `props.k`. The
+reference-shaped semantics (real city codes, CREDIT/DEBIT, planted
+violations) are exercised in tests/test_rules.py over the seeded
+customeractivity fixture from sources/datagen.py.
+
+Scale notes: every rule is one shuffle on user_id (window or groupBy);
+B3's freeze join is a broadcast of per-user overdraft anchors, never a
+fact-fact range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import cents, exact_sum, unscale
+from ..io import load
+from ..registry import query
+
+_USER_TS = lambda: Window.partitionBy("user_id").orderBy("ts", "event_id")  # noqa: E731
+
+
+def _with_city(ev: DataFrame) -> DataFrame:
+    """Pseudo-city: props.k mod 13 (13 = size of the reference's city
+    vocabulary, updateTables.py:12)."""
+    return ev.withColumn(
+        "city", F.get_json_object("props", "$.k").cast("int") % 13
+    )
+
+
+@query(
+    "rule_b1_city_hop",
+    oracle="""
+    SELECT event_id, user_id, city, prev_city, gap_s FROM (
+      SELECT event_id, user_id,
+             CAST(props->>'$.k' AS INT) % 13 AS city,
+             LAG(CAST(props->>'$.k' AS INT) % 13)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_city,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+               - CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                      AS BIGINT) AS gap_s
+      FROM events
+    ) WHERE prev_city IS NOT NULL AND city <> prev_city AND gap_s < 3600
+    """,
+)
+def rule_b1_city_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: same user, different city, within one hour
+    (setupTables.py:31)."""
+    ev = _with_city(load(spark, sf_dir, "events"))
+    w = _USER_TS()
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "city",
+        F.lag("city").over(w).alias("prev_city"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    )
+    return flagged.where(
+        F.col("prev_city").isNotNull()
+        & (F.col("city") != F.col("prev_city"))
+        & (F.col("gap_s") < 3600)
+    )
+
+
+def city_hop_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship for `entry()`: B1 detections enriched with customer info —
+    proves session→scan→window→join→result end-to-end."""
+    hops = rule_b1_city_hop(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    return (
+        hops.join(
+            F.broadcast(cust), hops.user_id == cust.c_custkey, "left"
+        )
+        .groupBy("user_id", "c_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_city_hops"),
+            F.min("gap_s").alias("fastest_hop_s"),
+        )
+        .orderBy(F.col("n_city_hops").desc(), F.col("user_id"))
+    )
+
+
+@query(
+    "rule_b2_session_overlap",
+    oracle="""
+    SELECT event_id, user_id, ts_epoch, prev_end_epoch,
+           prev_end_epoch - ts_epoch AS overlap_s
+    FROM (
+      SELECT event_id, user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch,
+             LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT) + CAST(FLOOR(value) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_end_epoch
+      FROM events
+    ) WHERE prev_end_epoch IS NOT NULL AND ts_epoch < prev_end_epoch
+    """,
+)
+def rule_b2_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: no overlap between two sessions of the same account
+    (setupTables.py:32) — `value` plays session duration in seconds, as
+    `timeinapp` does in the reference."""
+    ev = load(spark, sf_dir, "events")
+    w = _USER_TS()
+    end_epoch = F.unix_timestamp("ts") + F.floor("value").cast("bigint")
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.lag(end_epoch).over(w).alias("prev_end_epoch"),
+    )
+    return flagged.where(
+        F.col("prev_end_epoch").isNotNull()
+        & (F.col("ts_epoch") < F.col("prev_end_epoch"))
+    ).withColumn("overlap_s", F.col("prev_end_epoch") - F.col("ts_epoch"))
+
+
+@query(
+    "rule_b3_overdraft_freeze",
+    oracle="""
+    WITH ledger AS (
+      SELECT event_id, user_id, ts,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN -CAST(ROUND(value * 100, 0) AS BIGINT)
+                      ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+      FROM events
+    ), first_overdraft AS (
+      SELECT user_id, MIN(ts) AS frozen_at FROM ledger
+      WHERE balance < 0 GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS ts_epoch,
+           CAST(FLOOR(EPOCH(f.frozen_at)) AS BIGINT) AS frozen_at_epoch
+    FROM events e JOIN first_overdraft f ON e.user_id = f.user_id
+    WHERE e.ts > f.frozen_at
+      AND e.ts <= f.frozen_at + INTERVAL 24 HOURS
+    """,
+)
+def rule_b3_overdraft_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: overdraft freezes the account for 24h; flag activity inside the
+    freeze window (setupTables.py:33-34). Running balance via window, then
+    a broadcast join of per-user freeze anchors against the event stream —
+    the scalable batch form (the streaming form is
+    streaming.stream_stateful_freeze)."""
+    ev = load(spark, sf_dir, "events")
+    value_cents = cents(F.col("value"))
+    signed = F.when(F.col("event_type") == "purchase", -value_cents).otherwise(
+        value_cents
+    )
+    running = _USER_TS().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ledger = ev.withColumn("balance", F.sum(signed).over(running))
+    first_od = (
+        ledger.where(F.col("balance") < 0)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("frozen_at"))
+    )
+    return (
+        ev.join(F.broadcast(first_od), "user_id")
+        .where(
+            (F.col("ts") > F.col("frozen_at"))
+            & (F.col("ts") <= F.col("frozen_at") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            F.unix_timestamp("frozen_at").alias("frozen_at_epoch"),
+        )
+    )
+
+
+@query(
+    "rule_b4_first_forex",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_purchase_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT f.user_id,
+           CAST(FLOOR(EPOCH(f.first_purchase_ts)) AS BIGINT) AS first_purchase_epoch,
+           COUNT(e.event_id) AS n_prior_events
+    FROM firsts f JOIN events e
+      ON e.user_id = f.user_id AND e.ts < f.first_purchase_ts
+    GROUP BY f.user_id, f.first_purchase_ts
+    HAVING COUNT(e.event_id) >= 5
+    """,
+)
+def rule_b4_first_forex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: customer does forex for the first time → enable facility
+    (setupTables.py:35-36). First-occurrence detection with a history
+    requirement ('never does forex' ≈ >=5 prior non-forex events)."""
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    e = ev.alias("e")
+    f = firsts.alias("f")
+    return (
+        f.join(
+            e,
+            (F.col("e.user_id") == F.col("f.user_id"))
+            & (F.col("e.ts") < F.col("f.first_purchase_ts")),
+        )
+        .groupBy(F.col("f.user_id").alias("user_id"), "f.first_purchase_ts")
+        .agg(F.count("e.event_id").alias("n_prior_events"))
+        .where(F.col("n_prior_events") >= 5)
+        .select(
+            "user_id",
+            F.unix_timestamp("first_purchase_ts").alias("first_purchase_epoch"),
+            "n_prior_events",
+        )
+    )
+
+
+@query(
+    "rule_b5_limit_3days",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS day_spend_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS DATE)
+      HAVING SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) > 1000
+    ), islands AS (
+      SELECT user_id, day, day_spend_cents,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+               AS island_key
+      FROM daily
+    )
+    SELECT user_id, CAST(MIN(day) AS VARCHAR) AS run_start, COUNT(*) AS run_len,
+           CAST(SUM(day_spend_cents) AS DOUBLE) / 100 AS total_spend
+    FROM islands GROUP BY user_id, island_key
+    HAVING COUNT(*) >= 3
+    """,
+)
+def rule_b5_limit_3days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: maximum spend on 3 consecutive days (setupTables.py:37) —
+    daily agg then gaps-and-islands."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).alias("day_spend_cents"))
+        .where(F.col("day_spend_cents") > 1000)
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = daily.withColumn(
+        "island_key", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        islands.groupBy("user_id", "island_key")
+        .agg(
+            F.min("day").alias("_run_start"),
+            F.count("*").alias("run_len"),
+            unscale(F.sum("day_spend_cents")).alias("total_spend"),
+        )
+        .where(F.col("run_len") >= 3)
+        .select(
+            "user_id",
+            F.col("_run_start").cast("string").alias("run_start"),
+            "run_len",
+            "total_spend",
+        )
+    )
+
+
+@query(
+    "rule_b6_enquiry_intent",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_enquiries
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id HAVING COUNT(*) > 10
+    """,
+)
+def rule_b6_enquiry_intent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: multiple enquiries → buying intent (setupTables.py:40).
+    'view' plays ENQUIRY."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_enquiries"))
+        .where(F.col("n_enquiries") > 10)
+    )
+
+
+@query(
+    "rule_b7_regular_forex",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 5
+    """,
+)
+def rule_b7_regular_forex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: regular forex activity → continuous scrutiny
+    (setupTables.py:41). Regularity = distinct active days."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+        .where(F.col("n_active_days") >= 5)
+    )
+
+
+@query(
+    "rule_b8_regular_investor",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS total_invested
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 4
+       AND SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) > 10000
+    """,
+)
+def rule_b8_regular_investor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: regular MF investor = high-value customer (setupTables.py:42):
+    regularity AND magnitude thresholds."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.sum(cents(F.col("value"))).alias("_total_cents"),
+        )
+        .where((F.col("n_days") >= 4) & (F.col("_total_cents") > 10000))
+        .select("user_id", "n_days", unscale(F.col("_total_cents")).alias("total_invested"))
+    )
+
+
+@query(
+    "rule_b9_large_investor",
+    oracle="""
+    SELECT user_id, inv_rank, total_invested FROM (
+      SELECT user_id,
+             RANK() OVER (ORDER BY SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) DESC,
+                          user_id) AS inv_rank,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+               AS total_invested
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ) WHERE inv_rank <= 10
+    """,
+)
+def rule_b9_large_investor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: large capital-market investors (setupTables.py:43) — magnitude
+    ranking, top-10."""
+    ev = load(spark, sf_dir, "events")
+    totals = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents(F.col("value"))).alias("_total_cents"))
+    )
+    w = Window.orderBy(F.col("_total_cents").desc(), F.col("user_id"))
+    return (
+        totals.withColumn("inv_rank", F.rank().over(w))
+        .where(F.col("inv_rank") <= 10)
+        .select(
+            "user_id", "inv_rank", unscale(F.col("_total_cents")).alias("total_invested")
+        )
+    )
+
+
+@query(
+    "rule_b10_cross_sell",
+    oracle="""
+    WITH regulars AS (
+      SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+      HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 5
+    )
+    SELECT r.user_id, r.n_days FROM regulars r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = r.user_id AND e.event_type = 'purchase'
+    )
+    """,
+)
+def rule_b10_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: regular pension-fund investor with no other investment products
+    → cross-sell target (setupTables.py:44). Regularity + anti-join."""
+    ev = load(spark, sf_dir, "events")
+    regulars = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.countDistinct(F.to_date("ts")).alias("n_days"))
+        .where(F.col("n_days") >= 5)
+    )
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return regulars.join(buyers, "user_id", "left_anti").select("user_id", "n_days")

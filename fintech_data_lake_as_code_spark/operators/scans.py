@@ -1,0 +1,143 @@
+"""Source/sink operators (SURVEY.md §2.C scans).
+
+Reference parity: A1 full-table scan (DMS full load,
+lib/fin-transactions-stack.ts:161), A2/A4 JSON record encode/decode
+(messageFormat JSON, lib/fin-transactions-stack.ts:135), A7 time-partitioned
+lake layout (Firehose YYYY/MM/dd/HH prefix, lib/fin-transactions-stack.ts:196-199),
+A18 line-delimited text file source (generatedata.py:17-19).
+
+Scale notes: the parquet scan is the engine's hot path — project/filter are
+expressed declaratively so Catalyst pushes them into the scan (verify with
+.explain: PushedFilters / ReadSchema). The partitioned sink mirrors the
+lake's hour-bucketing so downstream reads get partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.exact import exact_sum
+from ..io import load, scratch_dir
+from ..registry import query
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_qty
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection + filter pushed into the reader
+    (ref A1: DMS full load of customeractivity)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@query(
+    "scan_json_lines",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON lines round-trip (ref A2/A4: DMS JSON messages
+    landed by Firehose; bronze-layer read). Writes events as JSON lines to
+    scratch, reads them back with an explicit schema, aggregates."""
+    out = scratch_dir(sf_dir, "scan_json_lines")
+    ev = load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(EVENTS_SCHEMA).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "scan_text",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           COUNT(DISTINCT user_id) AS n_ids,
+           MIN(user_id) AS min_id,
+           MAX(user_id) AS max_id
+    FROM (SELECT DISTINCT user_id FROM events) ids
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text source/sink (ref A18: account_ids.txt,
+    generatedata.py:17-19 / updateTables.py:48-49)."""
+    out = scratch_dir(sf_dir, "scan_text")
+    ids = load(spark, sf_dir, "events").select("user_id").distinct()
+    ids.select(F.col("user_id").cast("string").alias("value")).write.mode(
+        "overwrite"
+    ).text(out)
+    back = spark.read.text(out).select(F.col("value").cast("long").alias("user_id"))
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("user_id").alias("n_ids"),
+        F.min("user_id").alias("min_id"),
+        F.max("user_id").alias("max_id"),
+    )
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS ingest_date,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned lake write + pruned read-back (ref A7: Firehose
+    YYYY/MM/dd/HH UTC prefix, lib/fin-transactions-stack.ts:196-199)."""
+    out = scratch_dir(sf_dir, "sink_partitioned")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ingest_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("ingest_date").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.col("ingest_date").cast("string").alias("ingest_date")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        exact_sum(F.col("value")).alias("sum_value"),
+    )

@@ -1,0 +1,151 @@
+"""Window-function operators (SURVEY.md §2.C windows).
+
+Reference parity: B1 city-hop lag detection (setupTables.py:31), B3 running
+balance (setupTables.py:33-34), B5 consecutive-day islands
+(setupTables.py:37).
+
+Scale notes: every window here partitions by a high-cardinality key
+(user_id / segment) so state per partition stays small; ordering keys
+always include a unique tiebreaker (event_id / custkey) for deterministic
+results under re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "win_ranking",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(c_acctbal, 2) AS acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per partition."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value, 2) AS value_amt,
+           ROUND(LAG(value, 1, 0.0) OVER w, 2) AS prev_value,
+           ROUND(LEAD(value, 1, 0.0) OVER w, 2) AS next_value,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+             - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with defaults + inter-event gap (ref B1 city-hop base,
+    setupTables.py:31)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value_amt"),
+        F.round(F.lag("value", 1, 0.0).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1, 0.0).over(w), 2).alias("next_value"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+
+
+@query(
+    "win_running_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg_5
+    FROM events
+    """,
+)
+def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + bounded moving average with explicit frames (ref B3
+    running balance, setupTables.py:33-34)."""
+    ev = load(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = base.rowsBetween(-4, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(running), 2).alias("running_total"),
+        F.round(F.avg("value").over(moving), 4).alias("moving_avg_5"),
+    )
+
+
+@query(
+    "win_islands_consecutive",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    ), islands AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+               AS island_key
+      FROM daily
+    )
+    SELECT user_id, CAST(MIN(day) AS VARCHAR) AS run_start, COUNT(*) AS run_len
+    FROM islands
+    GROUP BY user_id, island_key
+    HAVING COUNT(*) >= 3
+    """,
+)
+def win_islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of >=3 consecutive active days per user
+    (ref B5 'maximum UPI spend on 3 consecutive days', setupTables.py:37)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = daily.withColumn(
+        "island_key", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        islands.groupBy("user_id", "island_key")
+        .agg(F.min("day").alias("_run_start"), F.count("*").alias("run_len"))
+        .where(F.col("run_len") >= 3)
+        .select(
+            "user_id",
+            F.col("_run_start").cast("string").alias("run_start"),
+            "run_len",
+        )
+    )
