@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query executes fully (noop sink — no driver-side collect) so the
+measured time is scan+shuffle+compute, which is what scales to the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Headline set: one representative per heavy operator family; extended as
+# families land. Order: cheap scan first (warms the JVM/code paths).
+HEADLINE = [
+    "scan_parquet",
+    "agg_groupby",
+    "agg_rollup_cube_gsets",
+    "agg_maxby_latest",
+    "join_multiway",
+    "topk_per_group",
+    "win_running_frame",
+    "rule_b1_city_hop",
+    "rule_b3_overdraft_freeze",
+    "udf_vectorized_agg",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_topk_cosine",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from fintech_data_lake_as_code_spark.registry import all_queries
+    from fintech_data_lake_as_code_spark.session import get_spark
+
+    spark = get_spark("fintech-data-lake-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for key in HEADLINE:
+        fn = queries.get(key)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[key] = dt
+        total += dt
+        print(f"# {key}: {dt:.3f}s", file=sys.stderr)
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf = float(sf_name)
+    except ValueError:
+        sf = sf_name
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

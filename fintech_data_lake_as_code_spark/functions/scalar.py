@@ -1,1 +1,294 @@
-"""Placeholder — filled in a later wave."""
+"""Scalar-function family queries (SURVEY.md §2.C) — one composite query per
+family, each output column exercising one function.
+
+Reference parity: string normalization need (case/name drift between the two
+feature vocabularies, setupTables.py:16,20 — SURVEY §1.4.4); datetime
+arithmetic (B1 hour window setupTables.py:31, B2 session intervals :32, B5
+daily truncation :37); 2-dp money rounding (updateTables.py:21); conditional
+defaults (ts DEFAULT CURRENT_TIMESTAMP, setupTables.py:57); struct/JSON
+envelope handling (DMS JSON messages, lib/fin-transactions-stack.ts:135).
+
+Scale notes: every function here is a JVM-side built-in inside whole-stage
+codegen — no Python UDFs in these paths (see udfs.py for the deliberate
+UDF surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT doc_id,
+           concat(source, '-', lang) AS src_lang,
+           substring(text, 1, 20) AS prefix20,
+           upper(lang) AS lang_up,
+           lower(source) AS src_low,
+           trim(concat(' ', lang, ' ')) AS lang_trim,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           substring(regexp_replace(text, ' ', '_', 'g'), 1, 30) AS snake30,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (text LIKE '%data%') AS mentions_data
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat/substring/case/trim/lpad/regexp/split/like
+    (ref §1.4.4 vocabulary normalization)."""
+    d = load(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.concat("source", F.lit("-"), "lang").alias("src_lang"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.upper("lang").alias("lang_up"),
+        F.lower("source").alias("src_low"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_pad"),
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.substring(F.regexp_replace("text", " ", "_"), 1, 30).alias("snake30"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.col("text").like("%data%").alias("mentions_data"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS o_year,
+           month(o_orderdate) AS o_month,
+           day(o_orderdate) AS o_day,
+           CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INTEGER)
+             AS days_to_2025,
+           CAST(FLOOR(EPOCH(o_orderdate + INTERVAL 90 DAYS)) AS BIGINT) AS due_epoch,
+           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS order_epoch,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family: extract/trunc/last_day/datediff/interval arithmetic/
+    epoch (ref B1 hour window, B2 intervals, B5 daily truncation)."""
+    o = load(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow_sun1"),
+        F.date_trunc("month", "o_orderdate")
+        .cast("date")
+        .cast("string")
+        .alias("month_start"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.datediff(F.lit("2025-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_2025"
+        ),
+        F.unix_timestamp(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("due_epoch"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.to_date("o_orderdate").cast("string").alias("order_date"),
+    )
+
+
+@query(
+    "fn_math_decimal",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS price_r2,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           abs(l_discount - 0.05) AS disc_dev,
+           pow(l_quantity, 2) AS qty_sq,
+           sqrt(l_quantity) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           l_orderkey % 7 AS key_mod7,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
+    FROM lineitem
+    WHERE l_orderkey % 13 = 0
+    """,
+)
+def fn_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/decimal family: round/floor/ceil/abs/pow/sqrt/ln/mod/sign +
+    DECIMAL(12,2) cast round-trip (ref A14 2-dp rounding, §1.4.2 decimal
+    cap)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") % 13 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price_r2"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        F.col("l_extendedprice")
+        .cast("decimal(12,2)")
+        .cast("double")
+        .alias("price_dec"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 500 THEN 'small'
+                WHEN o_totalprice < 2000 THEN 'medium'
+                ELSE 'large' END AS size_bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+           least(o_totalprice, 1000.0) AS capped_price,
+           greatest(o_totalprice, 100.0) AS floored_price,
+           (CASE WHEN o_orderpriority IS NULL THEN 'none' ELSE o_orderpriority END)
+             AS priority_norm
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: case/when, coalesce, nullif, least/greatest
+    (ref A10 default-column semantics, setupTables.py:57)."""
+    o = load(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 500, "small")
+        .when(F.col("o_totalprice") < 2000, "medium")
+        .otherwise("large")
+        .alias("size_bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.least("o_totalprice", F.lit(1000.0)).alias("capped_price"),
+        F.greatest("o_totalprice", F.lit(100.0)).alias("floored_price"),
+        F.when(F.col("o_orderpriority").isNull(), "none")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority_norm"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS emb_dim,
+           round(embedding[1]::DOUBLE, 4) AS first_val,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 6)
+             AS l2_sq,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_sort(embedding)[1]::DOUBLE, 4) AS min_val,
+           round(list_sort(embedding)[len(embedding)]::DOUBLE, 4) AS max_val
+    FROM embeddings
+    WHERE vec_id % 5 = 0
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size/element_at/transform/aggregate/filter/sort over
+    `embeddings.embedding` (north-star vector column)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.where(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.size("embedding").alias("emb_dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("l2_sq"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.element_at(F.array_sort("embedding"), 1).cast("double"), 4).alias(
+            "min_val"
+        ),
+        F.round(F.element_at(F.array_sort("embedding"), -1).cast("double"), 4).alias(
+            "max_val"
+        ),
+    )
+
+
+@query(
+    "fn_map_struct",
+    oracle="""
+    SELECT event_id,
+           (struct_pack(uid := user_id, etype := event_type)).uid AS s_uid,
+           (struct_pack(uid := user_id, etype := event_type)).etype AS s_type,
+           map(['amount'], [value])['amount'][1] AS m_amount,
+           CAST(cardinality(map(['amount','twice'], [value, value])) AS INTEGER) AS m_size
+    FROM events
+    WHERE event_id % 17 = 0
+    """,
+)
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map family: named_struct field access, map build/lookup/size
+    (ref A2: the CDC JSON envelope is a nested struct,
+    lib/fin-transactions-stack.ts:135)."""
+    ev = load(spark, sf_dir, "events")
+    s = F.named_struct(
+        F.lit("uid"), F.col("user_id"), F.lit("etype"), F.col("event_type")
+    )
+    m1 = F.map_from_arrays(F.array(F.lit("amount")), F.array(F.col("value")))
+    m2 = F.map_from_arrays(
+        F.array(F.lit("amount"), F.lit("twice")),
+        F.array(F.col("value"), F.col("value")),
+    )
+    return ev.where(F.col("event_id") % 17 == 0).select(
+        "event_id",
+        s.getField("uid").alias("s_uid"),
+        s.getField("etype").alias("s_type"),
+        F.element_at(m1, "amount").alias("m_amount"),
+        F.size(m2).alias("m_size"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k_int,
+           CAST(props->>'$.k' AS VARCHAR) AS k_str,
+           CAST(props->>'$.missing' AS VARCHAR) AS missing_field,
+           to_json(struct_pack(user_id := user_id, k := CAST(props->>'$.k' AS INT)))
+             AS envelope
+    FROM events
+    WHERE event_id % 19 = 0
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object/from_json/to_json over `events.props`
+    (ref A2/A4: DMS JSON encode/decode)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.where(F.col("event_id") % 19 == 0).select(
+        "event_id",
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+        F.to_json(
+            F.named_struct(
+                F.lit("user_id"),
+                F.col("user_id"),
+                F.lit("k"),
+                parsed.getField("k"),
+            )
+        ).alias("envelope"),
+    )
