@@ -1,1 +1,202 @@
-"""Placeholder — filled in a later wave."""
+"""CDC changelog operators (SURVEY.md §2.A A2/A4/A11).
+
+The reference's core dataflow is change-data-capture: Aurora binlog ROW
+events -> DMS JSON envelopes ({data, metadata{operation, transaction-id,
+timestamp, ...}}, per messageFormat JSON at lib/fin-transactions-stack.ts:135)
+-> Kinesis -> Firehose -> S3. The OLTP table keeps <=1 row per user
+(PRIMARY KEY user_id, setupTables.py:58) while `ts ... ON UPDATE
+CURRENT_TIMESTAMP` (setupTables.py:57) rewrites event time on update — so
+latest-state = max-ts row per key, and the lake is the append-only history.
+
+Batch forms live here (envelope encode/decode, latest-state
+materialization honoring deletes, at-least-once dedupe); the streaming
+forms are in streaming/queries.py; the full synthetic
+changelog round-trip is exercised in tests/test_cdc.py.
+
+Scale notes: latest-state uses max_by (one shuffle, no sort); dedupe is a
+hash aggregate on the transaction id — both partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load
+from ..registry import query
+
+# DMS->Kinesis JSON envelope schema (public AWS DMS format; FIXTURES.md §3).
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "data",
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("ts_epoch", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "metadata",
+            T.StructType(
+                [
+                    T.StructField("operation", T.StringType()),
+                    T.StructField("schema-name", T.StringType()),
+                    T.StructField("table-name", T.StringType()),
+                    T.StructField("transaction-id", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _operation(k: Column) -> Column:
+    """Deterministic op mix from props.k: ~10% delete, ~30% update,
+    ~60% insert (FIXTURES.md §3 interleaving)."""
+    m = k % 10
+    return (
+        F.when(m == 0, "delete").when(m <= 3, "update").otherwise("insert")
+    )
+
+
+_OPERATION_SQL = """
+    CASE WHEN CAST(props->>'$.k' AS INT) % 10 = 0 THEN 'delete'
+         WHEN CAST(props->>'$.k' AS INT) % 10 <= 3 THEN 'update'
+         ELSE 'insert' END
+"""
+
+
+@query(
+    "cdc_envelope_roundtrip",
+    oracle=f"""
+    SELECT event_id,
+           user_id,
+           event_type,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch,
+           {_OPERATION_SQL} AS operation,
+           'workshopDb' AS schema_name,
+           'customeractivity' AS table_name,
+           event_id AS transaction_id
+    FROM events
+    WHERE event_id % 3 = 0
+    """,
+)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4: encode rows into DMS JSON envelopes (to_json) then parse them
+    back (from_json) and flatten. The oracle is the identity projection —
+    so the comparison IS the round-trip proof."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    k = F.get_json_object("props", "$.k").cast("int")
+    envelope = F.to_json(
+        F.named_struct(
+            F.lit("data"),
+            F.named_struct(
+                F.lit("user_id"), F.col("user_id"),
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("value"), F.col("value"),
+                F.lit("ts_epoch"), F.unix_timestamp("ts"),
+            ),
+            F.lit("metadata"),
+            F.named_struct(
+                F.lit("operation"), _operation(k),
+                F.lit("schema-name"), F.lit("workshopDb"),
+                F.lit("table-name"), F.lit("customeractivity"),
+                F.lit("transaction-id"), F.col("event_id"),
+            ),
+        )
+    )
+    parsed = ev.select(
+        "event_id", F.from_json(envelope, ENVELOPE_SCHEMA).alias("env")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("env.data.user_id").alias("user_id"),
+        F.col("env.data.event_type").alias("event_type"),
+        F.col("env.data.ts_epoch").alias("ts_epoch"),
+        F.col("env.metadata.operation").alias("operation"),
+        F.col("env.metadata.schema-name").alias("schema_name"),
+        F.col("env.metadata.table-name").alias("table_name"),
+        F.col("env.metadata.transaction-id").alias("transaction_id"),
+    )
+
+
+@query(
+    "cdc_latest_state",
+    oracle=f"""
+    WITH changelog AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             {_OPERATION_SQL} AS operation
+      FROM events
+    ), ranked AS (
+      SELECT user_id, event_type, value, ts, operation,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM changelog
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           round(value, 2) AS last_value,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS last_ts_epoch
+    FROM ranked WHERE rn = 1 AND operation <> 'delete'
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: changelog -> current-state materialization. The OLTP table the
+    lake was fed from holds exactly the max-ts row per user
+    (setupTables.py:57-58); a trailing delete removes the key. max_by over
+    (ts, event_id) — one shuffle, no per-partition sort."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    changelog = ev.withColumn("operation", _operation(k))
+    latest = F.max_by(
+        F.struct("event_type", "value", "ts", "operation"),
+        F.struct("ts", "event_id"),
+    )
+    return (
+        changelog.groupBy("user_id")
+        .agg(latest.alias("s"))
+        .where(F.col("s.operation") != "delete")
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("last_type"),
+            F.round("s.value", 2).alias("last_value"),
+            F.unix_timestamp(F.col("s.ts")).alias("last_ts_epoch"),
+        )
+    )
+
+
+@query(
+    "cdc_dedupe_batch",
+    oracle="""
+    WITH with_dupes AS (
+      SELECT event_id, user_id, value FROM events
+      UNION ALL
+      SELECT event_id, user_id, value FROM events WHERE event_id % 7 = 0
+    )
+    SELECT COUNT(*) AS n_delivered,
+           COUNT(DISTINCT event_id) AS n_unique,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS delivered_value_sum
+    FROM with_dupes
+    """,
+)
+def cdc_dedupe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 at-least-once semantics: the stream can redeliver (same
+    transaction-id); downstream must count uniques. Injects ~14% duplicates,
+    then measures delivered vs unique (the streaming dedupe is
+    stream_dedupe)."""
+    from ..functions.exact import exact_sum
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dupes = ev.where(F.col("event_id") % 7 == 0)
+    delivered = ev.unionByName(dupes)
+    return delivered.agg(
+        F.count("*").alias("n_delivered"),
+        F.countDistinct("event_id").alias("n_unique"),
+        exact_sum(F.col("value")).alias("delivered_value_sum"),
+    )

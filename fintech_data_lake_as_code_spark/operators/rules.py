@@ -24,6 +24,13 @@ from pyspark.sql.window import Window
 from ..functions.exact import cents, exact_sum, unscale
 from ..io import load
 from ..registry import query
+from .detectors import (
+    detect_city_hop,
+    detect_consecutive_runs,
+    detect_first_occurrence,
+    detect_overdraft_freeze,
+    detect_session_overlap,
+)
 
 _USER_TS = lambda: Window.partitionBy("user_id").orderBy("ts", "event_id")  # noqa: E731
 
@@ -54,21 +61,11 @@ def _with_city(ev: DataFrame) -> DataFrame:
 def rule_b1_city_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: same user, different city, within one hour
     (setupTables.py:31)."""
-    ev = _with_city(load(spark, sf_dir, "events"))
-    w = _USER_TS()
-    flagged = ev.select(
-        "event_id",
-        "user_id",
-        "city",
-        F.lag("city").over(w).alias("prev_city"),
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
-            "gap_s"
-        ),
+    ev = _with_city(load(spark, sf_dir, "events")).select(
+        F.col("event_id").alias("row_id"), "user_id", "ts", "city"
     )
-    return flagged.where(
-        F.col("prev_city").isNotNull()
-        & (F.col("city") != F.col("prev_city"))
-        & (F.col("gap_s") < 3600)
+    return detect_city_hop(ev, max_gap_s=3600).select(
+        F.col("row_id").alias("event_id"), "user_id", "city", "prev_city", "gap_s"
     )
 
 
@@ -108,19 +105,19 @@ def rule_b2_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: no overlap between two sessions of the same account
     (setupTables.py:32) — `value` plays session duration in seconds, as
     `timeinapp` does in the reference."""
-    ev = load(spark, sf_dir, "events")
-    w = _USER_TS()
-    end_epoch = F.unix_timestamp("ts") + F.floor("value").cast("bigint")
-    flagged = ev.select(
-        "event_id",
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("row_id"),
         "user_id",
-        F.unix_timestamp("ts").alias("ts_epoch"),
-        F.lag(end_epoch).over(w).alias("prev_end_epoch"),
+        "ts",
+        F.floor("value").cast("int").alias("duration_s"),
     )
-    return flagged.where(
-        F.col("prev_end_epoch").isNotNull()
-        & (F.col("ts_epoch") < F.col("prev_end_epoch"))
-    ).withColumn("overlap_s", F.col("prev_end_epoch") - F.col("ts_epoch"))
+    return detect_session_overlap(ev).select(
+        F.col("row_id").alias("event_id"),
+        "user_id",
+        "ts_epoch",
+        "prev_end_epoch",
+        "overlap_s",
+    )
 
 
 @query(
@@ -154,28 +151,16 @@ def rule_b3_overdraft_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming.stream_stateful_freeze)."""
     ev = load(spark, sf_dir, "events")
     value_cents = cents(F.col("value"))
-    signed = F.when(F.col("event_type") == "purchase", -value_cents).otherwise(
-        value_cents
+    ledger = ev.select(
+        F.col("event_id").alias("row_id"),
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", -value_cents)
+        .otherwise(value_cents)
+        .alias("amount_cents"),
     )
-    running = _USER_TS().rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ledger = ev.withColumn("balance", F.sum(signed).over(running))
-    first_od = (
-        ledger.where(F.col("balance") < 0)
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("frozen_at"))
-    )
-    return (
-        ev.join(F.broadcast(first_od), "user_id")
-        .where(
-            (F.col("ts") > F.col("frozen_at"))
-            & (F.col("ts") <= F.col("frozen_at") + F.expr("INTERVAL 24 HOURS"))
-        )
-        .select(
-            "event_id",
-            "user_id",
-            F.unix_timestamp("ts").alias("ts_epoch"),
-            F.unix_timestamp("frozen_at").alias("frozen_at_epoch"),
-        )
+    return detect_overdraft_freeze(ledger, freeze_hours=24).select(
+        F.col("row_id").alias("event_id"), "user_id", "ts_epoch", "frozen_at_epoch"
     )
 
 
@@ -199,28 +184,15 @@ def rule_b4_first_forex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4: customer does forex for the first time → enable facility
     (setupTables.py:35-36). First-occurrence detection with a history
     requirement ('never does forex' ≈ >=5 prior non-forex events)."""
-    ev = load(spark, sf_dir, "events")
-    firsts = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase_ts"))
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("row_id"), "user_id", "ts", "event_type"
     )
-    e = ev.alias("e")
-    f = firsts.alias("f")
-    return (
-        f.join(
-            e,
-            (F.col("e.user_id") == F.col("f.user_id"))
-            & (F.col("e.ts") < F.col("f.first_purchase_ts")),
-        )
-        .groupBy(F.col("f.user_id").alias("user_id"), "f.first_purchase_ts")
-        .agg(F.count("e.event_id").alias("n_prior_events"))
-        .where(F.col("n_prior_events") >= 5)
-        .select(
-            "user_id",
-            F.unix_timestamp("first_purchase_ts").alias("first_purchase_epoch"),
-            "n_prior_events",
-        )
+    return detect_first_occurrence(
+        ev, F.col("event_type") == "purchase", min_prior_events=5
+    ).select(
+        "user_id",
+        F.col("first_target_epoch").alias("first_purchase_epoch"),
+        "n_prior_events",
     )
 
 
@@ -255,24 +227,8 @@ def rule_b5_limit_3days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents(F.col("value"))).alias("day_spend_cents"))
         .where(F.col("day_spend_cents") > 1000)
     )
-    w = Window.partitionBy("user_id").orderBy("day")
-    islands = daily.withColumn(
-        "island_key", F.date_sub(F.col("day"), F.row_number().over(w))
-    )
-    return (
-        islands.groupBy("user_id", "island_key")
-        .agg(
-            F.min("day").alias("_run_start"),
-            F.count("*").alias("run_len"),
-            unscale(F.sum("day_spend_cents")).alias("total_spend"),
-        )
-        .where(F.col("run_len") >= 3)
-        .select(
-            "user_id",
-            F.col("_run_start").cast("string").alias("run_start"),
-            "run_len",
-            "total_spend",
-        )
+    return detect_consecutive_runs(daily, min_run_days=3).select(
+        "user_id", "run_start", "run_len", "total_spend"
     )
 
 

@@ -1,0 +1,98 @@
+"""CDC round-trip test (SURVEY.md §5.3, FIXTURES.md §3): a synthetic DMS
+changelog (load + insert/update/delete + at-least-once duplicates) ingested
+bronze->silver must materialize exactly the final OLTP state, and quirk
+tests from SURVEY §1.4 (datagen enum coercion, decimal cap, determinism)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from fintech_data_lake_as_code_spark.operators.cdc import ENVELOPE_SCHEMA
+from fintech_data_lake_as_code_spark.sources.datagen import customeractivity
+
+
+def envelope(txn_id, op, user_id, event_type, value, ts_epoch):
+    return json.dumps(
+        {
+            "data": {
+                "user_id": user_id,
+                "event_type": event_type,
+                "value": value,
+                "ts_epoch": ts_epoch,
+            },
+            "metadata": {
+                "operation": op,
+                "schema-name": "workshopDb",
+                "table-name": "customeractivity",
+                "transaction-id": txn_id,
+            },
+        }
+    )
+
+
+def test_changelog_roundtrip_materializes_final_state(spark):
+    raw = [
+        # full-load snapshot: users 1..3
+        envelope(1, "load", 1, "FUNDTRANSFER", 100.0, 1000),
+        envelope(2, "load", 2, "ENQUIRY", 200.0, 1001),
+        envelope(3, "load", 3, "FOREX", 300.0, 1002),
+        # CDC phase: insert user 4, update user 1 (ts rewritten per
+        # setupTables.py:57), delete user 2
+        envelope(4, "insert", 4, "MF-INVEST", 400.0, 2000),
+        envelope(5, "update", 1, "UPITRANSACTION", 150.0, 2001),
+        envelope(6, "delete", 2, "ENQUIRY", 200.0, 2002),
+        # at-least-once redelivery of the update (same transaction-id)
+        envelope(5, "update", 1, "UPITRANSACTION", 150.0, 2001),
+    ]
+    bronze = spark.createDataFrame([(s,) for s in raw], "raw string")
+    parsed = bronze.select(
+        F.from_json("raw", ENVELOPE_SCHEMA).alias("env")
+    ).select("env.data.*", "env.metadata.*")
+
+    # dedupe on transaction-id (at-least-once -> exactly-once)
+    deduped = parsed.dropDuplicates(["transaction-id"])
+    assert deduped.count() == 6
+
+    # latest state per key honoring trailing deletes (A11 semantics)
+    latest = F.max_by(
+        F.struct("event_type", "value", "operation"),
+        F.struct("ts_epoch", F.col("transaction-id")),
+    )
+    state = (
+        deduped.groupBy("user_id")
+        .agg(latest.alias("s"))
+        .where(F.col("s.operation") != "delete")
+        .select("user_id", "s.event_type", "s.value")
+    )
+    got = {(r.user_id, r.event_type, r.value) for r in state.collect()}
+    assert got == {
+        (1, "UPITRANSACTION", 150.0),  # update won (rewritten ts)
+        (3, "FOREX", 300.0),  # untouched load row
+        (4, "MF-INVEST", 400.0),  # inserted
+        # user 2 deleted
+    }
+
+
+def test_datagen_mirrors_reference_distributions(spark):
+    df = customeractivity(spark, n_rows=1000).cache()
+    # ~1/3 of draws are NONMON -> coerced to '' (SURVEY §1.4.1)
+    n_invalid = df.where(F.col("transaction_type") == "").count()
+    assert 250 < n_invalid < 420
+    # domains + ranges (setupTables.py:49-59, updateTables.py:21)
+    assert df.where(~F.col("city").rlike("^[A-Z]{3}$")).count() == 0
+    bounds = df.agg(
+        F.min("monetary_value").alias("lo"),
+        F.max("monetary_value").alias("hi"),
+        F.min("timeinapp").alias("tlo"),
+        F.max("timeinapp").alias("thi"),
+    ).first()
+    assert 100.0 <= bounds.lo and bounds.hi <= 10000.0
+    assert 100 <= bounds.tlo and bounds.thi <= 180
+    # decimal(8,2) cap (SURVEY §1.4.2): everything fits, nothing overflows
+    assert df.where(F.col("monetary_value") > 999999.99).count() == 0
+    # deterministic: regeneration is identical
+    again = customeractivity(spark, n_rows=1000)
+    assert df.exceptAll(again).count() == 0 and again.exceptAll(df).count() == 0
+    df.unpersist()
