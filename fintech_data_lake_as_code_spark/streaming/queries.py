@@ -1,1 +1,447 @@
-"""Placeholder — filled in a later wave."""
+"""Structured Streaming queries (SURVEY.md §2.C streaming).
+
+The reference's one continuous "query" is the CDC replication pipeline:
+binlog ROW events -> DMS JSON envelopes -> Kinesis -> Firehose buffered
+batches -> S3 (lib/fin-transactions-stack.ts:105-206). Spark's micro-batch
+IncrementalExecution plays Firehose's buffering role; checkpointing
+replaces DMS task state. Each key here runs a real streaming query over a
+bounded file/rate source, drains it synchronously (processAllAvailable),
+and returns the sink table — deterministic, so most keys still carry a full
+DuckDB oracle (the streaming result must equal the equivalent batch SQL).
+
+Scale notes: sources are file-based here but the dataflow (watermark +
+windowed state, RocksDB state store, dedupe within watermark) is exactly
+what runs against Kinesis/Kafka on a cluster. State is always keyed by
+high-cardinality keys (user_id / window) so per-key state stays bounded.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load, scratch_dir
+from ..registry import query
+
+_RUN_COUNTER = itertools.count()
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_json_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Land events as JSON lines once per sf (the Firehose-style bronze
+    landing zone the stream reads from)."""
+    out = scratch_dir(sf_dir, "stream_src_events")
+    import os
+
+    if not any(f.endswith(".json") for f in os.listdir(out)):
+        load(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").json(out)
+    return out
+
+
+def _drain(stream_df: DataFrame, key: str, output_mode: str) -> DataFrame:
+    """Run a bounded streaming query to completion into a memory sink and
+    return the sink table."""
+    spark = stream_df.sparkSession
+    name = f"{key}_{next(_RUN_COUNTER)}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@query(
+    "stream_bronze_ingest",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_bronze_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: file-stream bronze ingest with explicit schema (the landed
+    Firehose objects), complete-mode aggregation. Result must equal the
+    batch aggregate — the oracle proves the streaming path loses nothing."""
+    src = _events_json_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    # streaming aggregation can't do COUNT(DISTINCT): pre-aggregate per
+    # (event_type, user_id) in the stream, finish distinct-counting on the
+    # drained sink table (the standard two-phase streaming-distinct shape).
+    per_user = stream.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    drained = _drain(per_user, "stream_bronze_ingest", "complete")
+    return drained.groupBy("event_type").agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_users"),
+    )
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows + watermark (ref A6: Firehose's ~300s
+    buffering cadence), complete mode so every window is emitted."""
+    src = _events_json_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _drain(agg, "stream_tumbling", "complete")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH shifted AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) - 300 AS w0, ts FROM events
+      UNION ALL
+      SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS w0, ts FROM events
+    )
+    SELECT w0 AS window_start_epoch, COUNT(*) AS n_events
+    FROM shifted GROUP BY w0
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min window / 5 min slide): each event belongs to
+    two windows; the oracle enumerates both assignments explicitly."""
+    src = _events_json_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_epoch"),
+            "n_events",
+        )
+    )
+    return _drain(agg, "stream_sliding", "complete")
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, epoch(ts) AS e,
+             CASE WHEN epoch(ts) - lag(epoch(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 300
+                  OR lag(epoch(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, e,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(FLOOR(MIN(e)) AS BIGINT) AS session_start_epoch,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 5-minute gap (ref B2: sessions bounded by
+    timeinapp, setupTables.py:32) — update mode; a single micro-batch makes
+    the update stream the final sessions, provably equal to the SQL
+    gaps-and-islands sessionization (complete mode — session windows
+    support append/complete only)."""
+    src = _events_json_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+    return _drain(agg, "stream_session", "complete")
+
+
+@query("stream_watermark_late")  # rows-only: emission timing is engine-specific
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data drop (ref A2 at-least-once skew,
+    FIXTURES.md §3): batch 1 lands the full stream; batch 2 delivers
+    only stale rows (older than watermark) whose windows are closed — they
+    must be discarded, leaving append-mode emissions unchanged.
+    Asserted in tests/test_streaming.py; rows-only for the driver."""
+    import uuid
+
+    src = scratch_dir(sf_dir, f"stream_late_{uuid.uuid4().hex[:8]}")
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    ev.coalesce(2).write.mode("overwrite").json(src + "/batch1")
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src + "/batch1")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_epoch"),
+            "n_events",
+        )
+    )
+    name = f"stream_watermark_late_{next(_RUN_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: redeliver rows >30 min older than the stream's max event
+    # time — behind the watermark, their windows already closed -> dropped.
+    late = ev.where(
+        F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
+    ).withColumn("event_id", F.col("event_id") + 10_000_000)
+    late.coalesce(1).write.mode("append").json(src + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@query(
+    "stream_dedupe",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids
+    FROM events
+    """,
+)
+def stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC dedupe within watermark (ref A2: at-least-once delivery ->
+    dropDuplicates on the transaction id). Source contains ~14% injected
+    redeliveries; the drained output must contain each id exactly once."""
+    out = scratch_dir(sf_dir, "stream_dedupe_src")
+    import os
+
+    if not any(f.endswith(".json") for f in os.listdir(out)):
+        ev = load(spark, sf_dir, "events")
+        dupes = ev.where(F.col("event_id") % 7 == 0)
+        ev.unionByName(dupes).coalesce(4).write.mode("overwrite").json(out)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(out)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    drained = _drain(deduped, "stream_dedupe", "append")
+    return drained.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+_FREEZE_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_epoch", T.LongType()),
+        T.StructField("frozen_at_epoch", T.LongType()),
+    ]
+)
+_FREEZE_STATE = T.StructType(
+    [
+        T.StructField("balance_cents", T.LongType()),
+        T.StructField("frozen_at_epoch", T.LongType()),
+    ]
+)
+
+
+@query(
+    "stream_stateful_freeze",
+    oracle="""
+    WITH ledger AS (
+      SELECT event_id, user_id, ts,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN -CAST(ROUND(value * 100, 0) AS BIGINT)
+                      ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+      FROM events
+    ), first_overdraft AS (
+      SELECT user_id, MIN(ts) AS frozen_at FROM ledger
+      WHERE balance < 0 GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS ts_epoch,
+           CAST(FLOOR(EPOCH(f.frozen_at)) AS BIGINT) AS frozen_at_epoch
+    FROM events e JOIN first_overdraft f ON e.user_id = f.user_id
+    WHERE e.ts > f.frozen_at
+      AND e.ts <= f.frozen_at + INTERVAL 24 HOURS
+    """,
+)
+def stream_stateful_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 as a custom stateful streaming operator (applyInPandasWithState):
+    per-account running balance; first overdraft freezes the account for
+    24h; activity inside the freeze window is emitted. Carries the SAME
+    oracle as the batch form (rule_b3_overdraft_freeze) — the stateful
+    stream must reproduce the batch semantics exactly
+    (setupTables.py:33-34)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def freeze_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            balance, frozen_at = state.get
+        else:
+            balance, frozen_at = 0, None
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                e = int(r.ts.timestamp())
+                if frozen_at is not None and frozen_at < e <= frozen_at + 86400:
+                    rows.append((int(r.event_id), int(key[0]), e, frozen_at))
+                delta = int(round(r.value * 100))
+                balance += -delta if r.event_type == "purchase" else delta
+                if balance < 0 and frozen_at is None:
+                    frozen_at = e
+        state.update((balance, frozen_at if frozen_at is not None else -1))
+        yield pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts_epoch", "frozen_at_epoch"]
+        )
+
+    src = _events_json_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    flagged = stream.groupBy("user_id").applyInPandasWithState(
+        freeze_fn,
+        _FREEZE_OUT,
+        _FREEZE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return _drain(flagged, "stream_stateful_freeze", "append")
+
+
+@query(
+    "stream_join_static",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS value_sum
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (ref A1+A2: CDC stream joined to the
+    full-load dimension snapshot) — the static side is broadcast per
+    micro-batch."""
+    from ..functions.exact import exact_sum
+
+    src = _events_json_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    joined = stream.join(dim, stream.user_id == dim.c_custkey).select(
+        "n_name", "value"
+    )
+    drained = _drain(joined, "stream_join_static", "append")
+    return drained.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        exact_sum(F.col("value")).alias("value_sum"),
+    )
+
+
+@query(
+    "stream_rate_sim",
+    oracle="""
+    WITH rows_ AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 100)),
+    drawn AS (
+      SELECT i,
+             ((((i * 1000 + 1) * 1103515245 + 12345) % 2147483648) * 1103515245 + 12345)
+               % 2147483648 AS h1,
+             ((((i * 1000 + 3) * 1103515245 + 12345) % 2147483648) * 1103515245 + 12345)
+               % 2147483648 AS h3
+      FROM rows_
+    )
+    SELECT i AS row_id,
+           (['BOM','DEL','BLR','CAL','MAA','GOI','COK','HYD','PNQ','SXR','TRV','AMD','ZER'])
+             [CAST(h1 % 13 + 1 AS INTEGER)] AS city,
+           CAST(h3 % 990001 AS DOUBLE) / 100 + 100 AS monetary_value,
+           1704067200 + i * 5 AS ts_epoch
+    FROM drawn
+    """,
+)
+def stream_rate_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: the reference's 1-insert-per-5s workload generator
+    (updateTables.py:56-59) as a deterministic rate-micro-batch stream
+    mapped through the portable LCG onto the customeractivity shape."""
+    from ..sources.datagen import BASE_EPOCH, CITIES, lcg
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    i = F.col("value")
+    city_idx = ((lcg(lcg(i * 1000 + 1)) % 13) + 1).cast("int")
+    mapped = stream.select(
+        i.alias("row_id"),
+        F.element_at(F.array(*[F.lit(c) for c in CITIES]), city_idx).alias("city"),
+        ((lcg(lcg(i * 1000 + 3)) % 990001).cast("double") / 100 + 100).alias(
+            "monetary_value"
+        ),
+        (F.lit(BASE_EPOCH) + i * 5).alias("ts_epoch"),
+    )
+    name = f"stream_rate_sim_{next(_RUN_COUNTER)}"
+    q = (
+        mapped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
