@@ -1,1 +1,402 @@
-"""Placeholder — filled in a later wave."""
+"""Deduplication operators (north-star LLM-pipeline set, BASELINE.json).
+
+Five dedup strategies over `documents` (plus `embeddings` for the vector
+variant), each built scale-first:
+
+- exact:        normalize -> hash-groupBy (one shuffle on the text hash)
+- minhash LSH:  shingle -> 16-perm minhash -> 4x4 banding -> bucket join —
+                candidate pairs come from equal band hashes, never from a
+                cross join
+- simhash:      64-bit sign fingerprint -> 16-bit band blocking ->
+                hamming<=3 via bit_count(xor)
+- ngram jaccard: inverted-index join on shared shingles (exact, and still
+                join-not-crossjoin), SQL-expressible -> full oracle
+- embedding cosine: label-blocked pair generation + double-cast dot product
+
+Duplicates are injected deterministically (every 10th doc gets a perturbed
+twin at doc_id+100000) so each operator provably finds the planted pairs —
+asserted in tests/test_llm_ops.py; three keys also carry full DuckDB
+oracles.
+
+100 TB notes: all candidate generation is equality-join on a derived key
+(band hash / shingle / block) — the pair space is pruned before any
+pairwise math; no driver-side collect anywhere. Band-hash skew (a hot
+bucket) is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+# --- corpus construction (shared): plant a near-dup twin for every 10th doc
+
+_PERTURB_SQL = """
+    SELECT doc_id, lower(text) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, lower(text) || ' zqx' AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    twins = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zqx")).alias("text"),
+        )
+    )
+    return d.unionByName(twins)
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate corpus: every 10th doc gets an IDENTICAL twin
+    (same text, different id, extra whitespace to exercise normalization)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("  "), "text", F.lit(" ")).alias("text"),
+        )
+    )
+    return d.unionByName(twins)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, '  ' || text || ' ' FROM documents
+      WHERE doc_id % 10 = 0
+    ), normed AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+      FROM corpus
+    )
+    SELECT text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM normed
+    GROUP BY text_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lower, collapse whitespace) -> md5 ->
+    hash-groupBy; canonical = min doc_id. One shuffle on the 128-bit hash —
+    the only dedup that needs no candidate generation at all."""
+    c = _exact_corpus(spark, sf_dir)
+    normed = c.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("text_hash"),
+    )
+    return (
+        normed.groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# --- MinHash LSH ------------------------------------------------------------
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+# 31-bit prime modulus keeps h*a+b inside int64 under ANSI arithmetic
+MH_PRIME = 2147483647
+_PERM_A = [(1103515245 * (j + 1) + 12345) % MH_PRIME | 1 for j in range(N_PERM)]
+_PERM_B = [(1103515245 * (j + 101) + 54321) % MH_PRIME for j in range(N_PERM)]
+
+
+def _shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array (distinct)."""
+    words = F.split(text, " ")
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(split(text, ' ')) - {n}, 0)),"
+            f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+        )
+    )
+
+
+def _minhash_signature(df: DataFrame) -> DataFrame:
+    """doc_id -> 16 minhash values. Shingles explode once; each permutation
+    is a cheap affine transform of one xxhash64 — map-side, then a single
+    groupBy(doc_id) computing all 16 mins."""
+    sh = df.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MH_PRIME)))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MH_PRIME)).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+@query("dedup_near_minhash")  # rows-only: xxhash64 has no DuckDB equivalent
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via MinHash + LSH banding: 16 permutations,
+    4 bands x 4 rows; docs sharing any band hash become candidates; pairs
+    are confirmed by signature agreement >= 0.5. Planted twins (9 of 10
+    shingles shared) are found; unrelated docs are not. Candidate
+    generation is an equi-join on band hash — no cross join at any scale."""
+    sig = _minhash_signature(_corpus(spark, sf_dir)).cache()
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                        F.lit(b),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agreement = sum(
+        F.when(F.col(f"sa.m{j}") == F.col(f"sb.m{j}"), 1).otherwise(0)
+        for j in range(N_PERM)
+    )
+    return (
+        cand.join(sa, cand.id_a == F.col("sa.doc_id"))
+        .join(sb, cand.id_b == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (agreement / F.lit(N_PERM)).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB equivalent
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via 60-bit SimHash (bit 63 would overflow signed int64
+    under ANSI arithmetic) over 3-gram shingle features — word-level
+    features don't separate this corpus (tiny vocabulary => all docs share
+    most words); shingles give twins hamming <= ~9 vs >= ~18 for unrelated
+    docs. 6x10-bit band blocking; hamming <= 9 via bit_count(xor). Same
+    join-only candidate generation as MinHash."""
+    c = _corpus(spark, sf_dir)
+    words = c.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(60)
+        ],
+    )
+    fingerprint = sum(
+        (F.when(F.col(f"b{i}") * 2 > F.col("n_words"), F.lit(1)).otherwise(F.lit(0)))
+        * F.lit(1 << i)
+        for i in range(60)
+    )
+    fp = votes.select("doc_id", fingerprint.alias("fp")).cache()
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("fp", 10 * b).bitwiseAND(F.lit(0x3FF))
+                    for b in range(6)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 9)
+    )
+
+
+# --- exact n-gram Jaccard via inverted index --------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_PERTURB_SQL}),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM corpus
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM shingled
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(FLOOR(s.n_shared * 10000 / (sa.n + sb.n - s.n_shared)) AS BIGINT)
+             AS jaccard_bp
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE s.n_shared * 10000 >= 6000 * (sa.n + sb.n - s.n_shared)
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.6 via inverted-index join (shared
+    shingle -> candidate; count/sizes -> exact similarity). Jaccard emitted
+    in integer basis points — exact in any engine. Full DuckDB oracle."""
+    c = _corpus(spark, sf_dir)
+    shingled = c.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    union_n = F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .where(F.col("n_shared") * 10000 >= 6000 * union_n)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("n_shared") * 10000 / union_n).alias("jaccard_bp"),
+        )
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def _dvec(col: str) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label,
+             list_prepend(embedding[1]::DOUBLE + 0.01,
+                          list_transform(embedding[2:], x -> x::DOUBLE))
+      FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+             AS cos_sim
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine >= 0.99 over label-blocked pairs (label is
+    the blocking key — candidate pairs only within a block, as an IVF-style
+    coarse quantizer would give at scale). Planted twins (first component
+    +0.01) are the expected hits. Full DuckDB oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label", _dvec("embedding").alias("v"))
+    twins = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + 0.01),
+            F.expr("transform(slice(embedding, 2, size(embedding) - 1), x -> cast(x as double))"),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twins)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("_cos"),
+        )
+        .where(F.col("_cos") >= 0.99)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cos_sim"))
+    )

@@ -1,1 +1,289 @@
-"""Placeholder — filled in a later wave."""
+"""Text-analysis operators (north-star LLM-pipeline set) + multimodal
+column handling.
+
+Training-data-pipeline text ops over `documents`: token statistics,
+n-gram-heuristic language ID, quality scoring, rolling-hash fingerprinting,
+BPE-ish regex token counting. Ratios are emitted in integer basis points
+(value * 10000 DIV denominator) — exact in any engine, no float-rounding
+hazards. Multimodal: image/audio/video as opaque binary + typed metadata;
+the real codec step is stubbed (libs absent in this container) behind a
+deterministic fake, but the Spark plumbing — binary column, Arrow-batched
+mapInPandas, schema, partitioning — is real.
+
+Scale notes: everything except the decode stub is JVM-side built-ins in
+whole-stage codegen; the decode stub is mapInPandas (Arrow batches), the
+shape a real image decoder would use, partition-parallel with no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load
+from ..registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_SQL = "['the','a','of','and','to','in','is']"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+           CAST(len(replace(text, ' ', '')) * 10000
+                // len(string_split(text, ' ')) AS BIGINT) AS avg_token_len_bp,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> list_contains({_STOP_SQL}, t))) * 10000
+                // len(string_split(text, ' ')) AS BIGINT) AS stopword_bp
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics: counts, distinct tokens, average token length and
+    stopword ratio in exact basis points."""
+    d = load(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    char_len = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).cast("bigint").alias("n_uniq_tokens"),
+        (char_len * 10000 / n_tokens).cast("bigint").alias("avg_token_len_bp"),
+        (n_stop * 10000 / n_tokens).cast("bigint").alias("stopword_bp"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     t -> list_contains({_STOP_SQL}, t))) >= 2
+                THEN 'en' ELSE 'other' END AS lang_guess,
+           (lang = CASE WHEN len(list_filter(string_split(text, ' '),
+                                             t -> list_contains({_STOP_SQL}, t))) >= 2
+                        THEN 'en' ELSE 'other' END) AS correct
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit heuristic (the n-gram-frequency family
+    of detectors, reduced to an exact countable form)."""
+    d = load(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(
+        F.filter(F.split("text", " "), lambda t: F.array_contains(stop_arr, t))
+    )
+    guess = F.when(hits >= 2, "en").otherwise("other")
+    return d.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        (F.col("lang") == guess).alias("correct"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id, quality_score,
+           CASE WHEN quality_score >= 3 THEN 'keep'
+                WHEN quality_score >= 2 THEN 'review'
+                ELSE 'drop' END AS verdict
+    FROM (
+      SELECT doc_id,
+             (CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 1 ELSE 0 END)
+             + (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END)
+             + (CASE WHEN len(list_distinct(string_split(text, ' '))) * 10
+                          >= len(string_split(text, ' ')) THEN 1 ELSE 0 END)
+             + (CASE WHEN NOT regexp_matches(text, '[0-9]{{8,}}') THEN 1 ELSE 0 END)
+               AS quality_score
+      FROM documents
+    )
+    """.replace("{{", "{").replace("}}", "}"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length window, token count, type-token ratio,
+    no-digit-runs — integer score -> keep/review/drop verdict (the standard
+    pretraining-filter shape)."""
+    d = load(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    score = (
+        F.when(F.col("n_chars").between(100, 1000), 1).otherwise(0)
+        + F.when(F.size(tokens) >= 20, 1).otherwise(0)
+        + F.when(F.size(F.array_distinct(tokens)) * 10 >= F.size(tokens), 1).otherwise(0)
+        + F.when(~F.col("text").rlike("[0-9]{8,}"), 1).otherwise(0)
+    )
+    verdict = (
+        F.when(F.col("quality_score") >= 3, "keep")
+        .when(F.col("quality_score") >= 2, "review")
+        .otherwise("drop")
+    )
+    return d.select("doc_id", score.alias("quality_score")).select(
+        "doc_id", "quality_score", verdict.alias("verdict")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(SUM(((CAST(i AS BIGINT) * 31 + len(parts[i])) * 131
+                     + ascii(parts[i])) * CAST(i AS BIGINT))
+                % 1000000007 AS BIGINT) AS fingerprint
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+         UNNEST(generate_series(1, len(parts))) AS t(i)
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: position-weighted polynomial rolling hash over
+    words — pure integer arithmetic, so the DuckDB oracle reproduces it
+    exactly (unlike xxhash-based fingerprints)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("i"), "word")
+    term = (
+        (F.col("i") * 31 + F.length("word")) * 131 + F.ascii("word")
+    ) * F.col("i")
+    return words.groupBy("doc_id").agg(
+        (F.sum(term) % 1000000007).alias("fingerprint")
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens vs a BPE-ish regex tokenization
+    (letter runs / digit runs / single punctuation) — the cheap token-count
+    estimate a pretraining pipeline keeps per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("([a-z]+|[0-9]+|[^a-z0-9 ])"), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "multimodal_cols",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           CAST(len(e.embedding) AS INTEGER) AS emb_dim,
+           round(sqrt(list_dot_product(
+             list_transform(e.embedding, x -> x::DOUBLE),
+             list_transform(e.embedding, x -> x::DOUBLE))), 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.doc_id % 4 = 0
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality row: text metadata joined with its vector column —
+    the canonical multimodal training-row shape (text + embedding +
+    scalars)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    e = load(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dv, dv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            F.size("embedding").alias("emb_dim"),
+            F.round(F.sqrt(dot), 6).alias("emb_norm"),
+        )
+    )
+
+
+_DECODE_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real codec hook — image/audio libs are not in this container.
+    A deployment drops PIL/ffmpeg in here; the Spark plumbing around it
+    (binary column, Arrow batches, output schema) is unchanged."""
+    raise NotImplementedError("codec libraries not available in this image")
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    WHERE doc_id % 6 = 0
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode via Arrow-batched mapInPandas: text bytes stand
+    in for an image/video payload; the decode is a deterministic fake
+    (dimensions derived from byte length) with the real codec stubbed
+    behind `_decode_image_real`. The batch shape, binary schema and
+    partition-parallel execution are exactly what a real decoder uses."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 6 == 0)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            try:
+                # real path (unavailable here): _decode_image_real per payload
+                raise NotImplementedError
+            except NotImplementedError:
+                width = n_bytes % 640
+                height = (n_bytes * 7) % 480
+                n_frames = n_bytes % 30 + 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "n_frames": n_frames.astype("int32"),
+                }
+            )
+
+    return d.mapInPandas(decode_batches, _DECODE_OUT)

@@ -1,0 +1,91 @@
+"""LLM-pipeline operator tests (planted-duplicate recall and ANN sanity) —
+the assertions behind the rows-only keys (minhash/simhash/LSH have no SQL
+oracle because xxhash64 isn't portable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fintech_data_lake_as_code_spark.io import load
+from fintech_data_lake_as_code_spark.registry import registry
+
+SPECS = registry()
+
+
+def _planted_doc_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in d.where(F.col("doc_id") % 10 == 0).select("doc_id").collect()]
+    return {(i, i + 100000) for i in ids}
+
+
+def test_minhash_finds_planted_twins(spark, sf_dir):
+    planted = _planted_doc_pairs(spark, sf_dir)
+    got = {
+        (r.id_a, r.id_b)
+        for r in SPECS["dedup_near_minhash"].fn(spark, sf_dir).collect()
+    }
+    # every planted twin (9/10+ shingles shared, true jaccard ~0.9) found
+    missed = planted - got
+    assert not missed, f"minhash missed planted twins: {sorted(missed)[:5]}"
+    # extras are estimator noise (16 perms => jaccard stderr ~0.12 on this
+    # tiny-vocabulary corpus); bound them rather than forbid them
+    extras = got - planted
+    assert len(extras) <= len(planted) * 2, f"too many FPs: {len(extras)}"
+
+
+def test_simhash_finds_planted_twins(spark, sf_dir):
+    planted = _planted_doc_pairs(spark, sf_dir)
+    got = {
+        (r.id_a, r.id_b)
+        for r in SPECS["dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    # one extra shingle flips few bits: hamming <= 9 catches nearly all
+    found = planted & got
+    assert len(found) >= len(planted) * 0.9, (
+        f"simhash recall too low: {len(found)}/{len(planted)}"
+    )
+    assert len(got - planted) <= len(planted) * 2
+
+
+def test_embedding_cosine_finds_exactly_planted(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    planted = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in e.where(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    }
+    rows = SPECS["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == planted, "cosine near-dup should find exactly the +0.01 twins"
+    assert all(r.cos_sim >= 0.99 for r in rows)
+
+
+def test_lsh_results_are_consistent_with_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in SPECS["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    # brute-force top-1 per query for the upper-bound check
+    top1 = {}
+    for (q, v), c in brute.items():
+        top1[q] = max(top1.get(q, -2.0), c)
+    lsh_rows = SPECS["sim_topk_lsh"].fn(spark, sf_dir).collect()
+    assert len(lsh_rows) > 0
+    by_query = {}
+    for r in lsh_rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, rows in by_query.items():
+        rows.sort(key=lambda r: r.rnk)
+        # ranks are dense from 1 and cosines non-increasing
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        cs = [r.cos_sim for r in rows]
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+        # ANN can't beat exact search
+        assert cs[0] <= top1.get(q, 1.0) + 1e-9
+
+
+def test_exact_dedup_finds_exactly_planted(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    n_planted = d.where(F.col("doc_id") % 10 == 0).count()
+    rows = SPECS["dedup_exact"].fn(spark, sf_dir).collect()
+    assert len(rows) == n_planted
+    assert all(r.n_copies == 2 for r in rows)
