@@ -49,6 +49,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # Warm the JVM / codegen / file-index paths so the first timed query
+    # isn't charged session startup (we measure queries, not boot).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for key in HEADLINE:

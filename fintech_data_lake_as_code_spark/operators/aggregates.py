@@ -221,8 +221,9 @@ def agg_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_maxby_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-state-per-key CDC materialization (ref A11: PRIMARY KEY
     user_id keeps <=1 row per user while the changelog holds history,
-    setupTables.py:57-58). max_by(struct) — one shuffle, no sort, the
-    scalable form of the window-rn=1 pattern."""
+    setupTables.py:57-58). max_by(struct) — one shuffle with map-side
+    partial_max_by, never a global ts sort; the scalable form of the
+    window-rn=1 pattern."""
     ev = load(spark, sf_dir, "events")
     latest = F.max_by(
         F.struct("event_type", "value", "ts"),

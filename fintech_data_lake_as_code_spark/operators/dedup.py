@@ -150,9 +150,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are confirmed by signature agreement >= 0.5. Planted twins (9 of 10
     shingles shared) are found; unrelated docs are not. Candidate
     generation is an equi-join on band hash — no cross join at any scale."""
-    sig = _minhash_signature(_corpus(spark, sf_dir)).cache()
+    sig = _minhash_signature(_corpus(spark, sf_dir))
+    # carry the signature array through the band explode so candidate pairs
+    # come out of ONE self-join with both signatures in hand (no re-join)
     bands = sig.select(
         "doc_id",
+        F.array(*[F.col(f"m{j}") for j in range(N_PERM)]).alias("sig"),
         F.posexplode(
             F.array(
                 *[
@@ -167,7 +170,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    agreement = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -175,19 +184,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    agreement = sum(
-        F.when(F.col(f"sa.m{j}") == F.col(f"sb.m{j}"), 1).otherwise(0)
-        for j in range(N_PERM)
-    )
-    return (
-        cand.join(sa, cand.id_a == F.col("sa.doc_id"))
-        .join(sb, cand.id_b == F.col("sb.doc_id"))
         .select(
             "id_a",
             "id_b",

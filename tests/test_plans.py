@@ -1,0 +1,75 @@
+"""Physical-plan property tests (SURVEY.md §4): the plan shapes that
+matter at 100 TB must actually materialize — pushdown into the parquet
+scan, column pruning, broadcast joins for dims, TakeOrderedAndProject for
+top-k, and no cartesian product anywhere a key join was intended."""
+
+from __future__ import annotations
+
+from fintech_data_lake_as_code_spark.plans.explain import (
+    formatted_plan,
+    pushed_filters,
+    read_schema,
+)
+from fintech_data_lake_as_code_spark.registry import registry
+
+SPECS = registry()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = SPECS["filter_pred"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_discount" in pf and "l_shipdate" in pf, pf
+
+
+def test_column_pruning_on_projection(spark, sf_dir):
+    df = SPECS["scan_parquet"].fn(spark, sf_dir)
+    rs = read_schema(df)
+    # only the 2 referenced columns are read, not all 11
+    assert "l_quantity" in rs and "l_returnflag" in rs
+    assert "l_extendedprice" not in rs and "l_partkey" not in rs, rs
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    plan = formatted_plan(SPECS["join_broadcast"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multiway_join_has_no_cartesian(spark, sf_dir):
+    plan = formatted_plan(SPECS["join_multiway"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation/region stay broadcast
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    plan = formatted_plan(SPECS["limit_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_exact_sample_avoids_global_sort(spark, sf_dir):
+    plan = formatted_plan(SPECS["datagen_account_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dedup_candidates_come_from_joins_not_crossjoin(spark, sf_dir):
+    for key in ("dedup_near_minhash", "dedup_simhash", "dedup_ngram_jaccard"):
+        plan = formatted_plan(SPECS[key].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_latest_state_partial_aggregates_map_side(spark, sf_dir):
+    # max_by(struct) compiles to SortAggregate (struct-typed agg buffer),
+    # but the property that matters at scale holds: a partial_max_by runs
+    # BEFORE the single exchange (map-side combine), and nothing sorts by
+    # ts globally — only by the group key within partitions.
+    plan = formatted_plan(SPECS["agg_maxby_latest"].fn(spark, sf_dir))
+    assert "partial_max_by" in plan
+    # exactly one shuffle (formatted output repeats node names; count the
+    # per-exchange detail line instead)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_similarity_query_side_is_broadcast(spark, sf_dir):
+    plan = formatted_plan(SPECS["sim_topk_cosine"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
