@@ -1,0 +1,193 @@
+"""Scale-geometry operators: shuffle-free bucketed joins, explicit skew
+salting, and the remaining columnar source formats (CSV, ORC).
+
+Reference parity: the reference's only physical-layout choices are Kinesis
+shard hash-partitioning (lib/fin-transactions-stack.ts:130-141) and the
+Firehose time-prefixed lake (lib/fin-transactions-stack.ts:196-199). This
+module is the engine's closure of those ideas at warehouse scale:
+
+- bucketing = the lake-resident form of the reference's shard partitioning:
+  pre-hash rows by join key AT WRITE TIME so every future join on that key
+  is exchange-free (the dominant cost at 100 TB is the fact-fact shuffle;
+  bucketing pays it once instead of per-query);
+- salting = the manual fallback for key skew that AQE's skew-join splitting
+  handles adaptively: deterministically shard a hot key across S sub-keys,
+  replicate the dim side S ways, join on (key, salt) — same rows, bounded
+  task size;
+- CSV/ORC = the interchange formats an ingestion edge actually receives
+  (the reference's own edge format is JSON, covered by scan_json_lines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.exact import exact_sum
+from ..io import load, scratch_dir
+from ..registry import query
+
+ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip with an explicit schema (schema inference
+    is a full extra pass over the data — never acceptable at scale) and
+    header, then aggregate. Splittable uncompressed CSV parallelizes per
+    128 MB split like any file source."""
+    out = scratch_dir(sf_dir, "scan_csv")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(ORDERS_CSV_SCHEMA).option("header", "true").csv(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_price
+    FROM lineitem
+    WHERE l_discount > 0.02
+    GROUP BY l_linestatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: columnar at rest with the same pushdown
+    contract as parquet (predicate reaches the ORC reader; only referenced
+    columns are materialized)."""
+    out = scratch_dir(sf_dir, "scan_orc")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.where(F.col("l_discount") > 0.02).groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+N_BUCKETS = 8
+
+
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """Write `name` as a bucketed+sorted table (hash(key) -> N_BUCKETS files)
+    and return it via the catalog — the only path that carries bucketing
+    metadata into the scan."""
+    table = f"bkt_{name}"
+    path = scratch_dir(sf_dir, f"bucketed_{name}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        load(spark, sf_dir, name)
+        .write.bucketBy(N_BUCKETS, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join on co-bucketed tables: both sides pre-hashed into the
+    same N_BUCKETS by join key at write time, so the sort-merge join reads
+    bucket i against bucket i with NO exchange on either side (asserted in
+    tests/test_plans.py). At 100 TB this converts the pipeline's dominant
+    recurring shuffle into a one-time layout cost — the lake-resident
+    analog of the reference's Kinesis shard hash-routing
+    (lib/fin-transactions-stack.ts:137)."""
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+N_SALTS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: the fact side deterministically shards each
+    key across N_SALTS sub-keys (pmod(xxhash64(event_id))) while the dim
+    side is replicated N_SALTS ways, so one hot user_id becomes N_SALTS
+    bounded tasks instead of one straggler. Semantically identical to the
+    plain join (same oracle). AQE skew-join handles this adaptively; the
+    explicit form is for engines/paths where it can't (e.g. aggregation
+    skew, stream-static joins)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)]))
+        )
+    )
+    return (
+        ev.join(
+            cust,
+            (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("sum_value"),
+        )
+    )

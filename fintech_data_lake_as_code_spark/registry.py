@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
         joins,
         projections,
         rules,
+        scale,
         scans,
         similarity,
         sorts,

@@ -73,3 +73,34 @@ def test_latest_state_partial_aggregates_map_side(spark, sf_dir):
 def test_similarity_query_side_is_broadcast(spark, sf_dir):
     plan = formatted_plan(SPECS["sim_topk_cosine"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange_on_either_side(spark, sf_dir):
+    # With broadcast off (so the SMJ path is exercised), co-bucketed tables
+    # must join with NO exchange on either input: the only shuffle left is
+    # the post-join groupBy. This is the property that converts the
+    # recurring fact-fact shuffle into a one-time layout cost at 100 TB.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(SPECS["join_bucketed_colocated"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    # exactly one hash exchange: the aggregation, never the join inputs
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "SelectedBucketsCount" in plan, plan
+
+
+def test_salted_join_is_an_equi_join(spark, sf_dir):
+    plan = formatted_plan(SPECS["join_skew_salted"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_orc_scan_pushes_filter(spark, sf_dir):
+    df = SPECS["scan_orc"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_discount" in pf, pf
+    rs = read_schema(df)
+    assert "l_quantity" not in rs, rs
