@@ -445,3 +445,57 @@ def stream_rate_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_backfill_availablenow",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS ingest_date,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 unified: the DMS 'full-load-and-cdc' backfill
+    (lib/fin-transactions-stack.ts:161) as an availableNow streaming run —
+    the whole landed backlog is processed in bounded micro-batches
+    (maxFilesPerTrigger) through a CHECKPOINTED partitioned parquet lake
+    sink (the Firehose role, lib/fin-transactions-stack.ts:192-206), then
+    the query terminates. The same query restarted against a grown
+    directory would process only new files — checkpointed offsets are the
+    engine's DMS task state. Readback aggregates the lake by partition and
+    must equal the batch aggregate (full oracle: nothing lost, nothing
+    duplicated)."""
+    import shutil
+
+    src = _events_json_dir(spark, sf_dir)
+    out = scratch_dir(sf_dir, "stream_backfill_out")
+    ckpt = scratch_dir(sf_dir, "stream_backfill_ckpt")
+    # deterministic rerun within one process/session: clear sink+offsets
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ingest_date", F.to_date("ts"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("ingest_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.col("ingest_date").cast("string").alias("ingest_date")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
