@@ -28,6 +28,8 @@ HEADLINE = [
     "agg_rollup_cube_gsets",
     "agg_maxby_latest",
     "join_multiway",
+    "join_bucketed_colocated",
+    "join_skew_salted",
     "topk_per_group",
     "win_running_frame",
     "rule_b1_city_hop",

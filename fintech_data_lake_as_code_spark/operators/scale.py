@@ -100,20 +100,41 @@ N_BUCKETS = 8
 def _bucketed_table(
     spark: SparkSession, sf_dir: str, name: str, key: str
 ) -> DataFrame:
-    """Write `name` as a bucketed+sorted table (hash(key) -> N_BUCKETS files)
-    and return it via the catalog — the only path that carries bucketing
-    metadata into the scan."""
-    table = f"bkt_{name}"
+    """Return `name` as a bucketed+sorted catalog table (hash(key) ->
+    N_BUCKETS file groups). The layout is written ONCE per scale dir —
+    that's the point of bucketing: pay the shuffle at write time, reuse it
+    for every subsequent join. A later session re-registers the existing
+    files with bucketing DDL instead of rewriting them."""
+    import os
+    import re
+
+    tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    table = f"bkt_{tag}_{name}"
     path = scratch_dir(sf_dir, f"bucketed_{name}")
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (
-        load(spark, sf_dir, name)
-        .write.bucketBy(N_BUCKETS, key)
-        .sortBy(key)
-        .option("path", path)
-        .mode("overwrite")
-        .saveAsTable(table)
-    )
+    have_files = any(f.endswith(".parquet") for f in os.listdir(path))
+    if spark.catalog.tableExists(table):
+        if have_files:
+            return spark.table(table)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if have_files:
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in load(spark, sf_dir, name).schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET"
+            f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS"
+            f" LOCATION '{path}'"
+        )
+    else:
+        (
+            load(spark, sf_dir, name)
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
     return spark.table(table)
 
 
