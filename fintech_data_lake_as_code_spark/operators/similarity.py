@@ -169,3 +169,96 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+K_CELLS = 16
+N_PROBE = 4
+
+
+@query("sim_topk_ivf")  # rows-only: recall vs brute force asserted in pytest
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index: a k-means coarse
+    quantizer partitions the vector space into K_CELLS cells; every
+    candidate is assigned to its nearest centroid MAP-SIDE (the centroids
+    ride along as a plan literal — no join, no shuffle for assignment), and
+    each query probes only its N_PROBE nearest cells. Candidate generation
+    is then an equi-join on cell_id — the IVF-flat shape that scales to
+    billions of vectors (train the quantizer on a sample, assignment stays
+    embarrassingly parallel, probe cost is K/N_PROBE-th of brute force).
+    Seeded KMeans => deterministic within an engine; rows-only because
+    float reduction order differs across engines."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    train = vecs.select(array_to_vector("v").alias("features"))
+    model = KMeans(k=K_CELLS, seed=42, maxIter=10).fit(train)
+    # K_CELLS x dim doubles as a literal: tiny, and keeps cell assignment
+    # inside whole-stage codegen instead of behind a join
+    centroids = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in center])
+            for center in model.clusterCenters()
+        ]
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = F.transform(centroids, lambda c: l2(F.col("v"), c))
+    assigned = vecs.select(
+        "vec_id",
+        "v",
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("cell_id"),
+    )
+    # queries probe their N_PROBE nearest cells: sort (dist, cell) structs,
+    # slice, explode -> one (query, probe_cell) row per probe
+    probe_cells = F.slice(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(K_CELLS - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+            )
+        ),
+        1,
+        N_PROBE,
+    )
+    queries = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(probe_cells).alias("probe"),
+        )
+        .select("query_id", "qv", F.col("probe.cell").cast("long").alias("cell_id"))
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(queries),
+            (queries.cell_id == assigned.cell_id)
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )

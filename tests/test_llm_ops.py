@@ -83,6 +83,29 @@ def test_lsh_results_are_consistent_with_brute_force(spark, sf_dir):
         assert cs[0] <= top1.get(q, 1.0) + 1e-9
 
 
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in SPECS["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    ivf_rows = SPECS["sim_topk_ivf"].fn(spark, sf_dir).collect()
+    got = {(r.query_id, r.vec_id) for r in ivf_rows}
+    # every query answered with a full (or near-full) top-k
+    assert len(ivf_rows) >= 40, len(ivf_rows)
+    # probing 4 of 16 cells must recover at least half the exact top-k
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # per-query: ranks dense from 1, cosines non-increasing
+    by_query = {}
+    for r in ivf_rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, rows in by_query.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        cs = [r.cos_sim for r in rows]
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+
+
 def test_exact_dedup_finds_exactly_planted(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     n_planted = d.where(F.col("doc_id") % 10 == 0).count()
