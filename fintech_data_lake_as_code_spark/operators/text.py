@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..io import load
 from ..registry import query
@@ -287,3 +288,182 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(decode_batches, _DECODE_OUT)
+
+
+# --- training-data pipeline ops: redaction, chunking, stratified split ------
+
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 40
+
+
+@query(
+    "text_redact_pii",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +91-'
+                       || lpad(CAST(doc_id % 10000000000 AS VARCHAR), 10, '7')
+                  ELSE text END AS text
+      FROM documents
+    ), redacted AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '[a-z0-9.]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+               '\\+[0-9]{2}-[0-9]{10}', '<PHONE>', 'g') AS clean
+      FROM corpus
+    )
+    SELECT doc_id,
+           CAST(len(clean) AS BIGINT) AS n_chars_clean,
+           CAST((len(clean) - len(replace(clean, '<EMAIL>', ''))) / 7 AS BIGINT)
+             AS n_emails,
+           CAST((len(clean) - len(replace(clean, '<PHONE>', ''))) / 7 AS BIGINT)
+             AS n_phones,
+           md5(clean) AS clean_hash
+    FROM redacted
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: regex-scrub emails and phone
+    numbers to typed placeholder tokens, entirely JVM-side (regexp_replace
+    in whole-stage codegen — no UDF). PII is planted deterministically on
+    every 5th doc so the redaction provably fires; md5 of the cleaned text
+    pins exact output parity with the oracle."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +91-"),
+            F.lpad((F.col("doc_id") % 10000000000).cast("string"), 10, "7"),
+        ),
+    ).otherwise(F.col("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(planted, r"[a-z0-9.]+@[a-z]+\.[a-z]+", "<EMAIL>"),
+        r"\+[0-9]{2}-[0-9]{10}",
+        "<PHONE>",
+    )
+    n_of = lambda c, tok: (  # noqa: E731
+        (F.length(c) - F.length(F.regexp_replace(c, tok, ""))) / 7
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+        n_of(clean, "<EMAIL>").alias("n_emails"),
+        n_of(clean, "<PHONE>").alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(k AS BIGINT) AS chunk_id,
+             array_to_string(w[k * {CHUNK_STRIDE} + 1 :
+                               k * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ') AS chunk
+      FROM words,
+           LATERAL unnest(generate_series(
+             0, CAST((n + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} AS BIGINT) - 1
+           )) AS t(k)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_words,
+           md5(chunk) AS chunk_hash
+    FROM chunks
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for context-window packing:
+    {CHUNK_WORDS}-word chunks every {CHUNK_STRIDE} words (10-word overlap),
+    one output row per chunk via explode(sequence) — no UDF, no UDTF, and
+    chunking is map-side-only so it scales with the scan. Trailing chunks
+    are shorter (never empty); md5 pins exact chunk-text parity."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    n_chunks = ((n + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("bigint")
+    chunked = d.select(
+        "doc_id",
+        words.alias("w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            " ", F.slice("w", F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS)
+        ).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk", " ")).cast("bigint").alias("n_words"),
+        F.md5("chunk").alias("chunk_hash"),
+    )
+
+
+TRAIN_PCT = 80
+
+
+@query(
+    "sample_stratified_split",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ((doc_id * 1000 + 7) * 1103515245 + 12345) % 2147483648,
+                        doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN r * 100 <= n_lang * {TRAIN_PCT} THEN 'train' ELSE 'eval' END
+             AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/eval split: within each language
+    stratum, docs are ordered by a portable LCG hash of doc_id (stable
+    across engines and runs — re-running the pipeline reproduces the exact
+    split) and the first {TRAIN_PCT}% become train. Exact per-stratum
+    proportions, no RNG state; sum_ids pins exact membership, not just
+    counts."""
+    from ..sources.datagen import lcg
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        lcg(F.col("doc_id") * 1000 + 7), F.col("doc_id")
+    )
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wn).alias("n_lang"),
+    )
+    return (
+        ranked.select(
+            "lang",
+            F.when(
+                F.col("r") * 100 <= F.col("n_lang") * TRAIN_PCT, F.lit("train")
+            )
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+            "doc_id",
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+    )
