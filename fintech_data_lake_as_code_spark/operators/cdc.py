@@ -200,3 +200,47 @@ def cdc_dedupe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_unique"),
         exact_sum(F.col("value")).alias("delivered_value_sum"),
     )
+
+
+@query(
+    "cdc_scd2_intervals",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id,
+             event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_epoch,
+             LEAD(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to_epoch
+      FROM events
+    )
+    SELECT user_id, event_type, value_cents, valid_from_epoch,
+           COALESCE(valid_to_epoch, 9223372036854775807) AS valid_to_epoch,
+           CASE WHEN valid_to_epoch IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versions
+    """,
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 materialization of the changelog: every change event
+    becomes a versioned row with a [valid_from, valid_to) interval and an
+    is_current flag — the dimension-history view a CDC lake serves
+    alongside latest-state (ref A11: the OLTP table holds only the current
+    row, setupTables.py:57-58; the lake holds every version). One shuffle
+    on the entity key; lead() closes each interval with the next version's
+    start. Open intervals carry max-int64 so range predicates
+    (valid_from <= t < valid_to) need no null handling."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    open_end = F.lit(9223372036854775807)
+    nxt = F.lead(F.unix_timestamp("ts")).over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+        F.unix_timestamp("ts").alias("valid_from_epoch"),
+        F.coalesce(nxt, open_end).alias("valid_to_epoch"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )

@@ -149,3 +149,68 @@ def win_islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "run_len",
         )
     )
+
+
+SESSION_GAP_S = 1800
+
+
+@query(
+    "win_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS e,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_S}
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), numbered AS (
+      SELECT user_id, e,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(e) AS session_start_epoch,
+           MAX(e) AS session_end_epoch,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a session breaks after a {SESSION_GAP_S}s
+    silence. The classic two-window formulation — mark session starts with
+    lag(), number sessions with a running sum — then aggregate per session.
+    ONE shuffle on user_id serves both windows and the final groupBy
+    (partitioning reuse); the streaming twin is `stream_session`
+    (session_window does this incrementally with state)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = F.unix_timestamp("ts")
+    is_start = F.when(
+        (e - F.lag(e).over(w) > SESSION_GAP_S) | F.lag("ts").over(w).isNull(),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = ev.select("user_id", e.alias("e"), is_start.alias("is_start"))
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.select(
+        "user_id",
+        "e",
+        F.sum("is_start").over(wrun).cast("bigint").alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("e").alias("session_start_epoch"),
+        F.max("e").alias("session_end_epoch"),
+        F.count("*").alias("n_events"),
+    )
