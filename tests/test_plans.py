@@ -98,6 +98,39 @@ def test_salted_join_is_an_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# Queries allowed to contain a nested-loop/broadcast-nested-loop join:
+# the brute-force ANN baselines intentionally pair a broadcast query set
+# against every candidate (that IS the operator); everything else must
+# build candidates from key joins.
+_NESTED_LOOP_OK = {
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "join_cross_topk",
+    # theta join against a 3-row broadcast band table: NLJ IS the plan
+    "join_theta_range",
+}
+
+# Streaming keys run a real stream to completion inside fn(); their final
+# returned frame is a memory-sink scan, so plan inspection is meaningless
+# (and expensive). Excluded here; their dataflow is asserted in
+# tests/test_streaming.py and by their oracles.
+_PLAN_EXEMPT_PREFIXES = ("stream_",)
+
+
+def test_no_query_degrades_to_cartesian(spark, sf_dir):
+    bad = {}
+    for key, spec in sorted(SPECS.items()):
+        if key.startswith(_PLAN_EXEMPT_PREFIXES):
+            continue
+        plan = formatted_plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad[key] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and key not in _NESTED_LOOP_OK:
+            bad[key] = "BroadcastNestedLoopJoin"
+    assert not bad, f"plans degraded to pairwise joins: {bad}"
+
+
 def test_orc_scan_pushes_filter(spark, sf_dir):
     df = SPECS["scan_orc"].fn(spark, sf_dir)
     pf = pushed_filters(df)
