@@ -65,7 +65,7 @@ def _load_all_modules() -> None:
         windows,
     )
     from .functions import scalar, udfs  # noqa: F401
-    from .sources import datagen  # noqa: F401
+    from .sources import datagen, pyds  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
 
 

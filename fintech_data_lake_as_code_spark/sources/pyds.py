@@ -1,0 +1,114 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API).
+
+The engine's from-scratch source extension: a partitioned batch data
+source that generates the reference's customeractivity workload
+(updateTables.py:18-23 shape) from pure LCG arithmetic — the official
+extension point a connector to a bespoke system (a feed, a proprietary
+store, a simulator) would use. Demonstrates the three contracts that
+matter at scale:
+
+- `schema()` declared up front (no inference pass);
+- `partitions()` splits the keyspace so the read is parallel — each
+  partition is an independent task, exactly like file splits;
+- `read(partition)` yields plain tuples per partition — rows are produced
+  executor-side; nothing flows through the driver.
+
+The rows are identical to `datagen_customeractivity` (same LCG draws), so
+the source carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from .datagen import (
+    BASE_EPOCH,
+    CITIES,
+    FEATURES,
+    LCG_A,
+    LCG_C,
+    LCG_M,
+    N_ROWS,
+    TXN_DRAWS,
+    TXN_ENUM,
+    CUSTOMERACTIVITY_ORACLE,
+)
+
+N_PARTITIONS = 8
+
+_SCHEMA_DDL = (
+    "row_id bigint, user_id bigint, city string, transaction_type string, "
+    "monetary_value double, timeinapp int, feature_used string, ts_epoch bigint"
+)
+
+
+def _lcg(x: int) -> int:
+    return (x * LCG_A + LCG_C) % LCG_M
+
+
+def _draw(i: int, field_idx: int) -> int:
+    return _lcg(_lcg(i * 1000 + field_idx))
+
+
+def _row(i: int) -> tuple:
+    """One customeractivity row from pure arithmetic — must stay in exact
+    lockstep with datagen.customeractivity (same draws, same fields)."""
+    city = CITIES[_draw(i, 1) % 13]
+    txn_drawn = TXN_DRAWS[_draw(i, 2) % 3]
+    # MySQL non-strict coercion: NONMON is not in the enum -> '' bucket
+    txn = txn_drawn if txn_drawn in TXN_ENUM else ""
+    monetary = float(_draw(i, 3) % 990001) / 100 + 100
+    timeinapp = 100 + _draw(i, 4) % 81
+    feature = FEATURES[_draw(i, 5) % 8]
+    user_id = 100000 + _draw(i, 0) % 900000
+    return (i, user_id, city, txn, monetary, timeinapp, feature, BASE_EPOCH + i * 5)
+
+
+def _register(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Part(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", N_ROWS))
+            self.n_parts = int(options.get("n_partitions", N_PARTITIONS))
+
+        def partitions(self):
+            step = (self.n_rows + self.n_parts - 1) // self.n_parts
+            return [
+                _Part(lo, min(lo + step, self.n_rows))
+                for lo in range(0, self.n_rows, step)
+            ]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                yield _row(i)
+
+    class CustomerActivitySource(DataSource):
+        @classmethod
+        def name(cls):
+            return "customeractivity"
+
+        def schema(self):
+            return _SCHEMA_DDL
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    spark.dataSource.register(CustomerActivitySource)
+
+
+@query("scan_python_datasource", oracle=CUSTOMERACTIVITY_ORACLE)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The workload generator exposed through the Python DataSource API:
+    `spark.read.format("customeractivity")` plans N_PARTITIONS independent
+    read tasks (verified: rdd.getNumPartitions == 8), each yielding rows
+    executor-side from pure arithmetic. Same rows, same oracle as
+    datagen_customeractivity."""
+    _register(spark)
+    return spark.read.format("customeractivity").load()
