@@ -320,3 +320,69 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_users"),
     )
     return per_type_est.unionByName(total)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-day counts spread across one column per
+    event type. The pivot values are DECLARED, not discovered — an
+    undeclared pivot runs an extra distinct pass over the data and can
+    explode the schema at scale; declared values keep this a single
+    hash aggregate."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves absent combinations null; the oracle's FILTER counts 0
+    return out.select(
+        "day_epoch",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'view')  AS view
+      FROM events
+      GROUP BY 1
+    )
+    SELECT day_epoch, kind, n FROM wide
+    UNPIVOT (n FOR kind IN (click, view))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): the inverse reshape, `DataFrame.unpivot`
+    with explicit value columns — map-side only once the wide input exists
+    (stack() under the hood; no shuffle, no UDF)."""
+    ev = load(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"))
+        .pivot("event_type", ["click", "view"])
+        .count()
+    ).select(
+        "day_epoch",
+        F.coalesce("click", F.lit(0)).alias("click"),
+        F.coalesce("view", F.lit(0)).alias("view"),
+    )
+    return wide.unpivot("day_epoch", ["click", "view"], "kind", "n")
