@@ -53,7 +53,14 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit(" zqx")).alias("text"),
         )
     )
-    return d.unionByName(twins)
+    # Shingling/hashing downstream is CPU-bound (~MB/s per core), so split
+    # the corpus by CPU budget, not input bytes — parquet row-group splits
+    # underestimate parallelism for compute-heavy text work. Partitioning
+    # BY doc_id also pre-locates the per-doc signature/fingerprint groupBys
+    # (explode is narrow, so hashpartitioning(doc_id) survives to the agg).
+    return d.unionByName(twins).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
