@@ -141,3 +141,103 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         exact_sum(F.col("value")).alias("sum_value"),
     )
+
+
+@query(
+    "scan_json_corrupt",
+    oracle="""
+    WITH classified AS (
+      SELECT event_id,
+             CASE WHEN event_id % 50 = 0 THEN 'corrupt' ELSE 'valid' END AS status
+      FROM events
+    )
+    SELECT status, COUNT(*) AS n_rows
+    FROM classified
+    GROUP BY status
+    """,
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read resilience (bronze contract, SURVEY §1.3): every 50th
+    landed record is deterministically mangled into invalid JSON; the
+    PERMISSIVE reader must park exactly those in _corrupt_record and parse
+    the rest — a poison message must never kill the pipeline, and must
+    never be silently dropped either."""
+    out = scratch_dir(sf_dir, "scan_json_corrupt")
+    ev = load(spark, sf_dir, "events")
+    # serialize each row to a JSON line, then truncate every 50th to
+    # guarantee it cannot parse
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 50 == 0,
+            F.concat(F.lit("{bad "), F.substring(F.to_json(F.struct("*")), 1, 10)),
+        )
+        .otherwise(F.to_json(F.struct("*")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        EVENTS_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    # Spark refuses plans that reference ONLY _corrupt_record after pruning
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the real
+    # bronze contract wants the split PERSISTED anyway — valid rows to the
+    # silver path, corrupt originals to a quarantine partition — so write
+    # the classified records and aggregate the readback.
+    silver = scratch_dir(sf_dir, "scan_json_corrupt_silver")
+    (
+        back.withColumn(
+            "status",
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("corrupt"))
+            .otherwise(F.lit("valid")),
+        )
+        .write.mode("overwrite")
+        .partitionBy("status")
+        .parquet(silver)
+    )
+    return (
+        spark.read.parquet(silver)
+        .groupBy("status")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "sql_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_base_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (the engine surface is DataFrame AND SQL text —
+    both compile to the same Catalyst plan): TPC-H Q1-shaped pricing
+    summary via spark.sql over a registered temp view, with a parameterized
+    date literal (ref A13: prepared statements, updateTables.py:19-21)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100 AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100 AS sum_base_price,
+               COUNT(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= :cutoff
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        args={"cutoff": "1998-09-01 00:00:00"},
+    )

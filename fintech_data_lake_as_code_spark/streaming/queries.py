@@ -499,3 +499,62 @@ def stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           CAST(ROUND(p.value * 100, 0) AS BIGINT) AS purchase_cents
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range bound (ref B1's
+    'within an hour' pairing shape, setupTables.py:31): views join
+    purchases by the same user within [view, view + 30 min]. Watermarks on
+    BOTH sides bound the join state — without the time bound and
+    watermarks this state grows forever, which is why Spark rejects
+    unbounded stream-stream inner joins. Result must equal the batch
+    range self-join (full oracle): nothing lost, nothing duplicated."""
+    src = _events_json_dir(spark, sf_dir)
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .json(src)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .json(src)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.unix_timestamp("view_ts").alias("view_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        F.round(F.col("p_value") * 100, 0).cast("bigint").alias("purchase_cents"),
+    )
+    return _drain(joined, "stream_stream_join", "append")
