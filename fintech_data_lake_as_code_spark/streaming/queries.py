@@ -558,3 +558,88 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_value") * 100, 0).cast("bigint").alias("purchase_cents"),
     )
     return _drain(joined, "stream_stream_join", "append")
+
+
+# transformWithStateInPandas (the arbitrary-state successor to
+# applyInPandasWithState) needs protobuf for its state-server protocol;
+# this container ships without it, so the query registers only where the
+# dependency exists (real clusters have it). The implementation is
+# complete and carries the exact batch window-frame oracle.
+try:  # pragma: no cover - environment gate
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+TWS_ORACLE = """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+             AS running_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals through the transformWithStateInPandas
+    StatefulProcessor API (the arbitrary-state successor to
+    applyInPandasWithState): ValueState holds (n, cents) per user across
+    micro-batches; every event is emitted with its running aggregate.
+    Carries the exact batch window-frame oracle — the stateful stream must
+    reproduce `rowsBetween(unboundedPreceding, current)` to the cent."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("running_n", T.LongType()),
+            T.StructField("running_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for r in pdf.itertuples(index=False):
+                    n += 1
+                    cents += int(round(r.value * 100))
+                    out.append((int(r.event_id), int(key[0]), n, cents))
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "running_n", "running_cents"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = _events_json_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    totals = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+    return _drain(totals, "stream_transform_with_state", "append")
+
+
+if _HAS_PROTOBUF:
+    stream_transform_with_state = query(
+        "stream_transform_with_state", oracle=TWS_ORACLE
+    )(stream_transform_with_state)
