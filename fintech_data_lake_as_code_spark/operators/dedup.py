@@ -409,3 +409,108 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_cos") >= 0.99)
         .select("id_a", "id_b", F.round("_cos", 4).alias("cos_sim"))
     )
+
+
+# --- duplicate-cluster resolution (connected components) --------------------
+
+CC_MAX_ITERS = 10
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_PERTURB_SQL}),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM corpus
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM shingled
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT s.id_a, s.id_b FROM shared s
+      JOIN sizes sa ON s.id_a = sa.doc_id
+      JOIN sizes sb ON s.id_b = sb.doc_id
+      WHERE s.n_shared * 10000 >= 6000 * (sa.n + sb.n - s.n_shared)
+    ), edges AS (
+      SELECT id_a AS node, id_b AS other FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, other) AS (
+      SELECT node, other FROM edges
+      UNION
+      SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node
+      WHERE e.other <> r.node
+    )
+    SELECT node AS doc_id,
+           LEAST(node, MIN(other)) AS cluster_id
+    FROM reach
+    GROUP BY node
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: pairwise near-dup hits (the exact
+    3-gram Jaccard pairs) are only half the job — production dedup must
+    group transitively-linked docs into clusters and elect one canonical
+    representative (min doc_id). Connected components via iterative
+    min-label propagation: each round every node takes the min label among
+    itself and its neighbors; converges in graph-diameter rounds (dup
+    clusters are near-cliques, so 2-3). The driver loop only checks a
+    convergence COUNT per round — label data never leaves the executors,
+    which is what lets this run on a billion-edge similarity graph. Oracle:
+    DuckDB recursive-CTE transitive closure."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("node"), F.col("id_b").alias("other"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("node"), F.col("id_a").alias("other"))
+        )
+        .cache()
+    )
+    # localCheckpoint each round: severs lineage (otherwise the plan — and
+    # analysis ambiguity — grows with every iteration) and materializes the
+    # frontier, the standard shape for iterative algorithms on Spark.
+    labels = (
+        edges.select("node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.other") == F.col("l.node"))
+            .groupBy(F.col("e.node").alias("node"))
+            .agg(F.min("l.label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
