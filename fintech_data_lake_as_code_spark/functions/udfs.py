@@ -152,3 +152,65 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+@query(
+    "udf_cogrouped",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS event_cents
+      FROM events GROUP BY user_id
+    ), od AS (
+      SELECT o_custkey AS user_id,
+             COUNT(*) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS order_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(ev.user_id, od.user_id) AS user_id,
+           CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(od.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(ev.event_cents, 0) AS BIGINT) AS event_cents,
+           CAST(COALESCE(od.order_cents, 0) AS BIGINT) AS order_cents
+    FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+    """,
+)
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped pandas transform (`cogroup().applyInPandas`): events and
+    orders are grouped on the same key and each user's two pandas frames
+    arrive together in one Python call — the escape hatch for per-key
+    logic that needs BOTH sides at once and can't be a join (model scoring
+    over two feeds, custom reconciliation). One shuffle per side, Arrow
+    both ways; semantics pinned to the full-outer-join-of-aggregates
+    oracle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("event_cents", T.LongType()),
+            T.StructField("order_cents", T.LongType()),
+        ]
+    )
+
+    def reconcile(key, ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(od_pdf)],
+                "event_cents": [int(ev_pdf["value"].mul(100).round().sum())],
+                "order_cents": [int(od_pdf["o_totalprice"].mul(100).round().sum())],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(reconcile, out_schema)
+    )
