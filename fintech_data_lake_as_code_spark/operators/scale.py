@@ -212,3 +212,86 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("value")).alias("sum_value"),
         )
     )
+
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (native in Spark 4 — no external
+    package): write events as <event> rows, read back with an explicit
+    schema, aggregate. Timestamps travel as epoch longs (XML has no
+    canonical timestamp lexical form across engines)."""
+    out = scratch_dir(sf_dir, "scan_xml")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    (
+        ev.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(out)
+    )
+    xml_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_epoch", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .schema(xml_schema)
+        .option("rowTag", "event")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+    )
+
+
+@query(
+    "sink_sorted_lake",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(MIN(floor(epoch(ts))) AS BIGINT) AS min_epoch,
+           CAST(MAX(floor(epoch(ts))) AS BIGINT) AS max_epoch
+    FROM events
+    """,
+)
+def sink_sorted_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order lake layout: repartitionByRange(ts) gives each output
+    file a DISJOINT time range and sortWithinPartitions orders rows inside
+    it — so parquet min/max footer stats let any time-range query skip
+    whole files (the poor man's z-order; verified file-disjointness in
+    tests/test_plans.py). The write is the cost; every later range scan is
+    the payoff — same trade as bucketing, applied to range predicates."""
+    out = scratch_dir(sf_dir, "sink_sorted_lake")
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.min(F.unix_timestamp("ts")).alias("min_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("max_epoch"),
+    )

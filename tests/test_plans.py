@@ -131,6 +131,33 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
     assert not bad, f"plans degraded to pairwise joins: {bad}"
 
 
+def test_sorted_lake_files_have_disjoint_time_ranges(spark, sf_dir):
+    # repartitionByRange + sortWithinPartitions must yield parquet files
+    # whose [min(ts), max(ts)] ranges do not overlap — the property that
+    # lets footer stats skip whole files on time-range predicates.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import scratch_dir
+
+    SPECS["sink_sorted_lake"].fn(spark, sf_dir).collect()
+    out = scratch_dir(sf_dir, "sink_sorted_lake")
+    files = [f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) > 1, "need multiple files to prove disjointness"
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .first()
+        )
+        ranges.append((r.lo, r.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {ranges}"
+
+
 def test_orc_scan_pushes_filter(spark, sf_dir):
     df = SPECS["scan_orc"].fn(spark, sf_dir)
     pf = pushed_filters(df)
