@@ -467,3 +467,71 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
     )
+
+
+FRAME_STRIDE = 5
+
+_FRAMES_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+@query(
+    "multimodal_framesample",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+      FROM documents WHERE doc_id % 6 = 0
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           md5(text || '#' || CAST(f AS VARCHAR)) AS frame_hash
+    FROM vids, LATERAL unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE}))
+         AS t(f)
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary video column: every {FRAME_STRIDE}th
+    frame of each payload becomes its own output row — the 1->N row
+    expansion a real sampler does, expressed as Arrow-batched mapInPandas
+    (payload crosses into Python ONCE per doc; frames are derived rows,
+    exactly how a cv2/ffmpeg sampler batches). Frame count comes from the
+    same deterministic fake decode as multimodal_decode; the frame 'pixel'
+    hash is md5(payload + '#' + idx) so output parity is pinned
+    byte-for-byte."""
+    import hashlib
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 6 == 0)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                n_frames = len(payload) % 30 + 1
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    ids.append(int(r.doc_id))
+                    idxs.append(f)
+                    hashes.append(
+                        hashlib.md5(
+                            payload + b"#" + str(f).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(sample_batches, _FRAMES_OUT)
