@@ -386,3 +386,65 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("view", F.lit(0)).alias("view"),
     )
     return wide.unpivot("day_epoch", ["click", "view"], "kind", "n")
+
+
+@query(
+    "agg_stats_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+             SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sxy,
+             SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sxx,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 10000.0, 2)
+             AS covar_samp
+    FROM m
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/covariance per group — computed from EXACT integer
+    moments (cents-scaled sums in 128-bit-safe decimals), with the final
+    ratio taken in double from identical integers on every engine. The
+    built-in `corr()`/`covar_samp()` accumulate in floats whose partial-sum
+    order differs across engines/partitionings; moments-first is the
+    engine-portable form of the same one-pass aggregation (and what the
+    built-ins do internally, minus the exactness)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100, 0).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(num / F.sqrt(denx * deny), 6).alias("corr_qty_price"),
+        F.round(
+            num / F.col("n").cast("double") / (F.col("n") - 1).cast("double")
+            / 10000.0,
+            2,
+        ).alias("covar_samp"),
+    )
