@@ -292,3 +292,74 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("envelope"),
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           CAST(length(md5(text)) + length(sha256(text)) AS INTEGER) AS h_lens
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash family (content addressing, cache keys, exact
+    dedup ids): md5 / sha2-256 — standardized outputs, so unlike
+    xxhash64/murmur they are portable across engines (full oracle)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        (F.length(F.md5("text")) + F.length(F.sha2("text", 256)))
+        .cast("int")
+        .alias("h_lens"),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS flag
+      FROM events
+    )
+    SELECT user_id,
+           CAST(bit_or(flag) AS BIGINT) AS seen_mask,
+           CAST(bit_and(flag | 32) AS BIGINT) AS common_mask,
+           CAST(bit_count(CAST(bit_or(flag) AS BIGINT)) AS INTEGER) AS n_distinct_kinds
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family as behavior flags: event kinds become bits; bit_or
+    aggregates a per-user seen-mask (5 bools in one BIGINT — the compact
+    form for billions of users), bit_and finds universally-set bits,
+    bit_count reads the cardinality back out."""
+    ev = load(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    return (
+        ev.select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("flag").cast("bigint").alias("seen_mask"),
+            F.bit_and(F.col("flag").bitwiseOR(F.lit(32)))
+            .cast("bigint")
+            .alias("common_mask"),
+            F.bit_count(F.bit_or("flag").cast("bigint"))
+            .cast("int")
+            .alias("n_distinct_kinds"),
+        )
+    )

@@ -40,3 +40,51 @@ def test_watermark_drops_late_redelivery(spark, sf_dir):
     assert {w for (w, _) in closed} <= emitted_ws
     # and no window was emitted twice with different counts
     assert len(emitted_ws) == len(got)
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Exactly-once across restart: a checkpointed availableNow stream run
+    twice — with new files landed in between — must deliver every row
+    exactly once (the DMS-task-state property the lake's checkpoint
+    replaces, reference lib/fin-transactions-stack.ts:161)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+
+    # land a second batch; restart from the SAME checkpoint
+    spark.range(100, 150).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 150, "restart must process only the new files"
+    assert final.select("id").distinct().count() == 150, "no row delivered twice"
+    assert final.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(150))
