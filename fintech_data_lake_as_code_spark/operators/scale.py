@@ -175,11 +175,16 @@ N_SALTS = 8
 @query(
     "join_skew_salted",
     oracle="""
+    WITH fact AS (
+      SELECT user_id, value FROM events
+      UNION ALL
+      SELECT 0 AS user_id, value FROM events  -- planted hot key: ~50% of rows
+    )
     SELECT c.c_mktsegment,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
              AS sum_value
-    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    FROM fact e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
 )
@@ -190,8 +195,16 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded tasks instead of one straggler. Semantically identical to the
     plain join (same oracle). AQE skew-join handles this adaptively; the
     explicit form is for engines/paths where it can't (e.g. aggregation
-    skew, stream-static joins)."""
-    ev = load(spark, sf_dir, "events").withColumn(
+    skew, stream-static joins). The skew is REAL here: a planted hot key
+    (user 0) owns half the fact rows, so an unsalted shuffle would put 50%
+    of the join in one task; salting spreads it across N_SALTS."""
+    base = load(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    hot = base.select(
+        F.lit(0).cast("long").alias("user_id"),
+        "value",
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+    )
+    ev = base.unionByName(hot).withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int")
     )
     cust = (
