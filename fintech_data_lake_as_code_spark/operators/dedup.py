@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load
 from ..registry import query
@@ -301,34 +302,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard >= 0.6 via inverted-index join (shared
-    shingle -> candidate; count/sizes -> exact similarity). Jaccard emitted
-    in integer basis points — exact in any engine. Full DuckDB oracle."""
+    """Exact word-3-gram Jaccard >= 0.6 via PREFIX-FILTERED similarity join
+    (Bayardo/Chaudhuri): a naive inverted-index self-join blows up
+    quadratically on high-document-frequency shingles, so instead shingles
+    are globally ordered rarest-first and each doc exposes only its PREFIX
+    (n - ceil(0.6 n) + 1 rarest shingles) to the candidate join —
+    pigeonhole guarantees any pair with Jaccard >= t shares a prefix
+    shingle (overlap >= ceil(t * max(na, nb))), so no qualifying pair is
+    lost. Candidates are then verified EXACTLY with array_intersect on the
+    full shingle arrays. Same results as the naive formulation (the DuckDB
+    oracle IS the naive formulation — the differential test proves the
+    optimized algorithm exact); integer basis points for engine parity."""
     c = _corpus(spark, sf_dir)
-    shingled = c.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
-    exploded = shingled.select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    # shingled feeds candidate generation AND both verify sides — cache it
+    # (per-executor memory: one shingle array per doc, bounded)
+    shingled = (
+        c.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+        .cache()
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # prefix length n - ceil(0.6 n) + 1, in exact integer arithmetic.
+    # The global order is xxhash64(shingle): prefix filtering only needs A
+    # consistent total order to be complete (rare-first is the classic
+    # heuristic but costs a document-frequency shuffle + a per-doc window;
+    # hash order makes the prefix computable ENTIRELY map-side with
+    # array_sort + slice — zero extra shuffles before the candidate join).
+    prefix_len = F.col("n") - ((F.col("n") * 6 + 9) / 10).cast("long") + 1
+    hashed_order = F.array_sort(
+        F.transform(
+            "shingles",
+            lambda sh: F.struct(F.xxhash64(sh).alias("h"), sh.alias("s")),
         )
-        .groupBy(
+    )
+    pref = shingled.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.transform(
+                F.slice(hashed_order, F.lit(1), prefix_len), lambda p: p["s"]
+            )
+        ).alias("shingle"),
+    )
+    # length filter rides the same join: J >= 0.6 forces 0.6*na <= nb <= na/0.6
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * 10 >= F.col("a.n") * 6)
+            & (F.col("a.n") * 10 >= F.col("b.n") * 6),
+        )
+        .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count("*").alias("n_shared"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    union_n = F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    sa = shingled.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_shared")
     return (
-        shared.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_shared", n_shared)
         .where(F.col("n_shared") * 10000 >= 6000 * union_n)
         .select(
             "id_a",
