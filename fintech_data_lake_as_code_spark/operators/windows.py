@@ -214,3 +214,31 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("session_end_epoch"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(10) OVER w AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile per
+    status partition — both are exact rank ratios ((rank-1)/(n-1),
+    rank/n), so the doubles are identical on any engine; orderkey
+    tiebreak keeps ranks deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
