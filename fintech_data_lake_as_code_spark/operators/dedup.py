@@ -523,10 +523,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint each round: severs lineage (otherwise the plan — and
     # analysis ambiguity — grows with every iteration) and materializes the
     # frontier, the standard shape for iterative algorithms on Spark.
+    # Round 0 is free: min over DIRECT neighbors is a plain aggregation
+    # over the edge list (no label join yet) — one full iteration saved.
     labels = (
-        edges.select("node")
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("node")
+        .agg(F.least(F.first("node"), F.min("other")).alias("label"))
         .localCheckpoint(eager=True)
     )
     for _ in range(CC_MAX_ITERS):
