@@ -301,10 +301,12 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch bytes and merge them for any slice, never recounting raw data.
     Relative error vs exact distinct is asserted < 5% in pytest."""
     ev = load(spark, sf_dir, "events")
+    # both output branches (per-type estimates and the merged union) read
+    # this aggregate — cache it or the scan+sketch work runs twice
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
-    )
+    ).cache()
     merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_users"),
         F.sum("exact_users").alias("sum_per_type_exact"),

@@ -556,6 +556,15 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds"
+            " (component diameter exceeds the iteration bound); raise"
+            " CC_MAX_ITERS rather than returning partial labels"
+        )
+    # labels is materialized (localCheckpoint); the edge cache served only
+    # the loop's actions and can be released now
+    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

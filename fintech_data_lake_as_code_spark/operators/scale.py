@@ -111,7 +111,11 @@ def _bucketed_table(
     tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
     table = f"bkt_{tag}_{name}"
     path = scratch_dir(sf_dir, f"bucketed_{name}")
-    have_files = any(f.endswith(".parquet") for f in os.listdir(path))
+    # a complete layout requires the _SUCCESS marker: bare parquet files
+    # may be the debris of an aborted write and must not be re-registered
+    have_files = os.path.exists(os.path.join(path, "_SUCCESS")) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
     if spark.catalog.tableExists(table):
         if have_files:
             return spark.table(table)

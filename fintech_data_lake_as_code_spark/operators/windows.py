@@ -158,7 +158,7 @@ SESSION_GAP_S = 1800
     "win_sessionize",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id,
+      SELECT user_id, ts, event_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS e,
              CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
                        - LAG(CAST(floor(epoch(ts)) AS BIGINT))
@@ -171,7 +171,7 @@ SESSION_GAP_S = 1800
     ), numbered AS (
       SELECT user_id, e,
              SUM(is_start) OVER (
-               PARTITION BY user_id ORDER BY e
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id
       FROM marked
@@ -198,10 +198,14 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e - F.lag(e).over(w) > SESSION_GAP_S) | F.lag("ts").over(w).isNull(),
         F.lit(1),
     ).otherwise(F.lit(0))
-    marked = ev.select("user_id", e.alias("e"), is_start.alias("is_start"))
+    # number sessions in FULL (ts, event_id) order — epoch-second order
+    # alone is ambiguous for same-second events and engine-divergent
+    marked = ev.select(
+        "user_id", "ts", "event_id", e.alias("e"), is_start.alias("is_start")
+    )
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("e")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     numbered = marked.select(

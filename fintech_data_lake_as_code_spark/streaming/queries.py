@@ -491,7 +491,12 @@ def stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "backfill stream did not drain within 300s; stopped the query"
+            " rather than reading a half-written sink"
+        )
     back = spark.read.parquet(out)
     return back.groupBy(
         F.col("ingest_date").cast("string").alias("ingest_date")
@@ -614,8 +619,10 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             n, cents = self._totals.get() if self._totals.exists() else (0, 0)
             out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
+            # concat BEFORE sorting: a key's rows can span multiple Arrow
+            # chunks, and per-chunk sorts would process them out of global
+            # event-time order
+            for pdf in [pd.concat(list(rows)).sort_values(["ts", "event_id"])]:
                 for r in pdf.itertuples(index=False):
                     n += 1
                     cents += int(round(r.value * 100))
