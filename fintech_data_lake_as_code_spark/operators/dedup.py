@@ -308,10 +308,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n - ceil(0.6 n) + 1 rarest shingles) to the candidate join —
     pigeonhole guarantees any pair with Jaccard >= t shares a prefix
     shingle (overlap >= ceil(t * max(na, nb))), so no qualifying pair is
-    lost. Candidates are then verified EXACTLY with array_intersect on the
-    full shingle arrays. Same results as the naive formulation (the DuckDB
-    oracle IS the naive formulation — the differential test proves the
-    optimized algorithm exact); integer basis points for engine parity."""
+    lost. On top of the prefix, PPJoin POSITIONAL filtering (Xiao et al.):
+    a token matched at 1-indexed sorted positions (i, j) bounds the total
+    overlap by 1 + min(na - i, nb - j) — under a global total order, any
+    common token preceding the first match would itself be an earlier
+    match, so every common token sits at positions >= (i, j). Jaccard >=
+    0.6 needs overlap o with 8*o >= 3*(na + nb), so pairs whose matches are
+    all late in both prefixes are pruned BEFORE verification — positions
+    come free from the posexplode over the already-sorted prefix, zero
+    extra shuffles. Filtering per match is complete because the FIRST match
+    of any qualifying pair always passes the bound (every common token sits
+    at or after it, so its bound >= the true overlap). Candidates are then
+    verified EXACTLY with array_intersect on the full shingle arrays. Same
+    results as the naive formulation (the DuckDB oracle IS the naive
+    formulation — the differential test proves the optimized algorithm
+    exact); integer basis points for engine parity."""
     c = _corpus(spark, sf_dir)
     # shingled feeds candidate generation AND both verify sides — cache it
     # (per-executor memory: one shingle array per doc, bounded)
@@ -336,13 +347,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = shingled.select(
         "doc_id",
         "n",
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.slice(hashed_order, F.lit(1), prefix_len), lambda p: p["s"]
             )
-        ).alias("shingle"),
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "shingle")
+    # length filter rides the same join (J >= 0.6 forces 0.6*na <= nb <=
+    # na/0.6), as does the positional bound: overlap <= 1 + min(na - i,
+    # nb - j) for a match at (i, j), and J >= 0.6 requires 8*o >= 3*(na+nb)
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )
-    # length filter rides the same join: J >= 0.6 forces 0.6*na <= nb <= na/0.6
     cand = (
         pref.alias("a")
         .join(
@@ -350,7 +366,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n") * 10 >= F.col("a.n") * 6)
-            & (F.col("a.n") * 10 >= F.col("b.n") * 6),
+            & (F.col("a.n") * 10 >= F.col("b.n") * 6)
+            & (overlap_ub * 8 >= (F.col("a.n") + F.col("b.n")) * 3),
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
