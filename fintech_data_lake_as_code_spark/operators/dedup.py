@@ -337,22 +337,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heuristic but costs a document-frequency shuffle + a per-doc window;
     # hash order makes the prefix computable ENTIRELY map-side with
     # array_sort + slice — zero extra shuffles before the candidate join).
+    # The candidate join key is the HASH ITSELF, never the shingle string:
+    # an int64 shuffles/compares far cheaper than a 3-word string, and a
+    # hash collision can only ADD a candidate pair (two distinct shingles
+    # appearing shared) — never lose one — so exact verification below
+    # keeps the result identical to the string formulation.
     prefix_len = F.col("n") - ((F.col("n") * 6 + 9) / 10).cast("long") + 1
     hashed_order = F.array_sort(
-        F.transform(
-            "shingles",
-            lambda sh: F.struct(F.xxhash64(sh).alias("h"), sh.alias("s")),
-        )
+        F.transform("shingles", lambda sh: F.xxhash64(sh))
     )
     pref = shingled.select(
         "doc_id",
         "n",
-        F.posexplode(
-            F.transform(
-                F.slice(hashed_order, F.lit(1), prefix_len), lambda p: p["s"]
-            )
-        ).alias("pos0", "shingle"),
-    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "shingle")
+        F.posexplode(F.slice(hashed_order, F.lit(1), prefix_len)).alias(
+            "pos0", "h"
+        ),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "h")
     # length filter rides the same join (J >= 0.6 forces 0.6*na <= nb <=
     # na/0.6), as does the positional bound: overlap <= 1 + min(na - i,
     # nb - j) for a match at (i, j), and J >= 0.6 requires 8*o >= 3*(na+nb)
@@ -363,7 +363,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n") * 10 >= F.col("a.n") * 6)
             & (F.col("a.n") * 10 >= F.col("b.n") * 6)
@@ -547,6 +547,12 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.least(F.first("node"), F.min("other")).alias("label"))
         .localCheckpoint(eager=True)
     )
+    # Convergence probe: min-propagation only ever DECREASES labels, so
+    # sum(label) is strictly monotone until fixpoint — one cheap aggregate
+    # per round replaces a labels⋈labels diff join. (Labels are doc_ids
+    # < ~2^21 over <2^40 nodes: the sum can't overflow int64 even at
+    # planetary scale; use sum of DECIMAL(38) if ids are 64-bit hashes.)
+    label_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             edges.alias("e")
@@ -564,15 +570,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     else:
         raise RuntimeError(
             f"connected components did not converge in {CC_MAX_ITERS} rounds"
