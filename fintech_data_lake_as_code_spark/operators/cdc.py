@@ -244,3 +244,99 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, open_end).alias("valid_to_epoch"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle=f"""
+    WITH snap AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch
+      FROM (
+        SELECT user_id, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0
+      ) WHERE rn = 1
+    ), batch AS (
+      SELECT user_id, op,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch
+      FROM (
+        SELECT user_id, value, ts, {_OPERATION_SQL} AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 1
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, s.user_id) AS user_id,
+           CASE WHEN b.user_id IS NOT NULL THEN b.value_cents
+                ELSE s.value_cents END AS value_cents,
+           CASE WHEN b.user_id IS NOT NULL THEN b.ts_epoch
+                ELSE s.ts_epoch END AS ts_epoch,
+           CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS from_batch
+    FROM snap s FULL OUTER JOIN batch b ON s.user_id = b.user_id
+    WHERE b.op IS NULL OR b.op <> 'delete'
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on a plain-parquet lake: apply an incoming
+    changelog batch to the current snapshot — matched+update rows take the
+    batch values, matched+delete rows disappear, unmatched batch rows
+    insert, untouched snapshot rows survive. This is the incremental form
+    of cdc_latest_state: the reference's lake accumulates batches
+    (Firehose objects, lib/fin-transactions-stack.ts:196-199) and the
+    serving table must absorb each batch without recomputing history.
+
+    The physical plan is exactly what table formats compile MERGE to: a
+    full outer join of target and source on the key, then per-row action
+    resolution — one shuffle each side (and the target side's shuffle
+    disappears entirely when the snapshot is bucketed by key, see
+    join_bucketed_colocated). The batch is pre-reduced to its latest
+    action per key (max_by on ts,event_id) so at-least-once redelivery
+    collapses before the join."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+
+    def latest(df: DataFrame, *extra: str) -> DataFrame:
+        picked = F.max_by(
+            F.struct(
+                cents.alias("value_cents"),
+                F.unix_timestamp("ts").alias("ts_epoch"),
+                *[F.col(c).alias(c) for c in extra],
+            ),
+            F.struct("ts", "event_id"),
+        )
+        return df.groupBy("user_id").agg(picked.alias("s"))
+
+    snap = latest(ev.where(F.col("event_id") % 2 == 0)).select(
+        "user_id",
+        F.col("s.value_cents").alias("s_cents"),
+        F.col("s.ts_epoch").alias("s_epoch"),
+    )
+    batch = latest(
+        ev.where(F.col("event_id") % 2 == 1).withColumn("op", _operation(k)),
+        "op",
+    ).select(
+        "user_id",
+        F.col("s.value_cents").alias("b_cents"),
+        F.col("s.ts_epoch").alias("b_epoch"),
+        F.col("s.op").alias("op"),
+    )
+    hit = F.col("op").isNotNull()
+    return (
+        snap.join(batch, "user_id", "full")
+        .where(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            "user_id",
+            F.when(hit, F.col("b_cents")).otherwise(F.col("s_cents")).alias(
+                "value_cents"
+            ),
+            F.when(hit, F.col("b_epoch")).otherwise(F.col("s_epoch")).alias(
+                "ts_epoch"
+            ),
+            F.when(hit, F.lit(1)).otherwise(F.lit(0)).alias("from_batch"),
+        )
+    )

@@ -304,3 +304,84 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r2.r_name").alias("name_b"),
         )
     )
+
+
+@query(
+    "join_asof_backward",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS event_epoch,
+           od.o_orderkey AS last_order_key,
+           CAST(FLOOR(EPOCH(e.ts)) - FLOOR(EPOCH(od.o_orderdate)) AS BIGINT)
+             AS secs_since_order
+    FROM events e
+    ASOF LEFT JOIN od ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+    """,
+)
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event is enriched with the SAME user's most
+    recent order at-or-before the event time — the time-series enrichment
+    primitive (quote-to-trade matching, feature lookup at label time). The
+    reference's lake serves exactly this shape when the OLTP snapshot must
+    be read "as of" a CDC event's time (setupTables.py:57 rewrites ts on
+    update, so point-in-time reads need the changelog).
+
+    Scale form: NOT a range join (whose candidate space is |events| x
+    |orders per user|). Both sides are tagged and unioned, then ONE window
+    pass per user_id ordered by time carries the last-seen order forward
+    (`last(ignorenulls)` over unbounded-preceding). One shuffle on
+    user_id, linear work, no pair blow-up — the sort-merge as-of. Orders
+    are pre-reduced to one per (user, date) with max(o_orderkey) so the
+    at-equal-time pick is deterministic; order rows sort before event rows
+    at the same instant, making the match inclusive (ties with the DuckDB
+    ASOF oracle's >= bound)."""
+    from pyspark.sql.window import Window
+
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            "user_id",
+            F.col("o_orderdate").alias("t"),
+            "o_orderkey",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("is_event"),
+        )
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+        F.lit(1).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", F.col("event_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = od.unionByName(ev).select(
+        "user_id",
+        "t",
+        "event_id",
+        "is_event",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_order_key"),
+        F.last(F.when(F.col("is_event") == 0, F.unix_timestamp("t")), True)
+        .over(w)
+        .alias("last_order_epoch"),
+    )
+    return tagged.where(F.col("is_event") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("t").alias("event_epoch"),
+        "last_order_key",
+        (F.unix_timestamp("t") - F.col("last_order_epoch"))
+        .cast("long")
+        .alias("secs_since_order"),
+    )

@@ -312,3 +312,69 @@ def sink_sorted_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_timestamp("ts")).alias("min_epoch"),
         F.max(F.unix_timestamp("ts")).alias("max_epoch"),
     )
+
+
+@query(
+    "sink_zorder_lake",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(MIN(FLOOR(EPOCH(ts))) AS BIGINT) AS min_epoch,
+           CAST(MAX(FLOOR(EPOCH(ts))) AS BIGINT) AS max_epoch
+    FROM events
+    """,
+)
+def sink_zorder_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) lake layout: bit-interleave the 8-bit ranks
+    of TWO query dimensions (user_id, event time) into one sort key, then
+    range-partition + sort files by it — each parquet file then covers a
+    small rectangle of the (user, time) plane, so footer min/max stats let
+    BOTH per-user scans and time-range scans skip most files. This is the
+    two-dimensional generalization of sink_sorted_lake (which buys
+    skipping on one dimension only and interleaves nothing); same
+    pay-once-at-write, skip-on-every-read trade as bucketing.
+
+    Dimension bounds come from one tiny stats aggregate (4 scalars to the
+    driver — the same class of metadata collect that AQE performs; NOT a
+    data collect). The z-value itself is pure map-side bit arithmetic in
+    whole-stage codegen; the only shuffle is the range partitioner's."""
+    out = scratch_dir(sf_dir, "sink_zorder_lake")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min(F.unix_timestamp("ts")).alias("t_min"),
+        F.max(F.unix_timestamp("ts")).alias("t_max"),
+    ).first()
+
+    def rank8(col: F.Column, lo: int, hi: int) -> F.Column:
+        # proportional 0..255 bucket, exact integer arithmetic
+        span = max(hi - lo + 1, 1)
+        return ((col - F.lit(lo)) * 256 / F.lit(span)).cast("long")
+
+    ub = rank8(F.col("user_id"), bounds.u_min, bounds.u_max)
+    tb = rank8(F.unix_timestamp("ts"), bounds.t_min, bounds.t_max)
+    z = sum(
+        (F.shiftright(ub, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+        + (F.shiftright(tb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+        for i in range(8)
+    )
+    (
+        ev.withColumn("z", z)
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+        F.min(F.unix_timestamp("ts")).alias("min_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("max_epoch"),
+    )

@@ -246,3 +246,49 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+             AS hour_cents,
+           COUNT(*) OVER w AS hour_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the rolling trailing-hour spend
+    (sum of cents) and event count — the frame is bounded by the ORDER-key
+    VALUE (epoch seconds within 3600), not a row count, so bursts and
+    silences change the frame population. This is the velocity feature
+    behind the reference's rate rules (B1's within-an-hour bound,
+    setupTables.py:31) expressed as a windowed aggregate rather than a
+    lag comparison.
+
+    Scale: one shuffle on user_id, then a per-partition sort with a
+    two-pointer frame scan — no self-join against the hour window (the
+    range-join formulation of the same feature shuffles the fact table
+    twice and explodes pairs). RANGE frames include ALL rows tied on the
+    order key, identical in Spark and the oracle, so the result is
+    deterministic without a tiebreak column."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .over(w)
+        .alias("hour_cents"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )

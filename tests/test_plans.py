@@ -173,3 +173,45 @@ def test_every_query_documents_itself():
         k for k, s in SPECS.items() if len((s.doc or "").strip()) < 40
     ]
     assert not undocumented, f"underdocumented queries: {undocumented}"
+
+
+def test_asof_join_is_window_not_range_join(spark, sf_dir):
+    # the as-of must compile to a single window pass (SMJ-free of any
+    # range-join pair explosion): no BroadcastNestedLoop/Cartesian, and a
+    # Window node present
+    df = SPECS["join_asof_backward"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # semantic invariant: every matched order predates (or ties) its event
+    from pyspark.sql import functions as F
+
+    bad = df.where(F.col("secs_since_order") < 0).count()
+    assert bad == 0, f"{bad} events matched to a FUTURE order"
+
+
+def test_zorder_files_have_disjoint_z_ranges(spark, sf_dir):
+    # range-partitioning by the interleaved key must give each file a
+    # disjoint z interval — the property footer-stat skipping relies on
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import scratch_dir
+
+    SPECS["sink_zorder_lake"].fn(spark, sf_dir).collect()
+    out = scratch_dir(sf_dir, "sink_zorder_lake")
+    files = [f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) > 1, "need multiple files to prove disjointness"
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+            .first()
+        )
+        ranges.append((r.lo, r.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping z ranges: {ranges}"
