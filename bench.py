@@ -30,8 +30,10 @@ HEADLINE = [
     "join_multiway",
     "join_bucketed_colocated",
     "join_skew_salted",
+    "join_asof_backward",
     "topk_per_group",
     "win_running_frame",
+    "win_range_interval",
     "rule_b1_city_hop",
     "rule_b3_overdraft_freeze",
     "udf_vectorized_agg",

@@ -449,12 +449,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(slice(embedding, 2, size(embedding) - 1), x -> cast(x as double))"),
         ).alias("v"),
     )
-    corpus = base.unionByName(twins)
+    # per-vector norm hoisted out of the pair join (computed once per row,
+    # not once per pair; same expression shape => float-identical)
+    corpus = base.unionByName(twins).withColumn(
+        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
     a = corpus.alias("a")
     b = corpus.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
-        * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+        F.col("a.nv") * F.col("b.nv")
     )
     return (
         a.join(

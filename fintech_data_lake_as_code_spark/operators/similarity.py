@@ -71,11 +71,17 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k cosine: the first {N_QUERIES} vectors are queries;
     candidates are all other vectors. Broadcast the query side (tiny), score
     JVM-side via zip_with/aggregate, rank per query."""
+    # norms are per-VECTOR, so compute them once per row before the join —
+    # not per (query, candidate) pair inside it (3x less higher-order-fn
+    # work; float-identical because the expression shape is unchanged)
     vecs = load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
+    vecs = vecs.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
     queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     scored = (
         vecs.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
@@ -83,11 +89,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                _dot(F.col("qv"), F.col("v"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("v"), F.col("v")))
-                )
+                _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
             ).alias("cos"),
         )
     )
@@ -137,11 +139,16 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
-    bucketed = vecs.withColumn("bucket", _lsh_bucket(F.col("v"))).cache()
+    bucketed = (
+        vecs.withColumn("bucket", _lsh_bucket(F.col("v")))
+        .withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .cache()
+    )
     queries = bucketed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nv").alias("nq"),
     )
     scored = (
         bucketed.join(
@@ -153,11 +160,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                _dot(F.col("qv"), F.col("v"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("v"), F.col("v")))
-                )
+                _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
             ).alias("cos"),
         )
     )
@@ -212,6 +215,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = vecs.select(
         "vec_id",
         "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
         (F.array_position(dists, F.array_min(dists)) - 1).alias("cell_id"),
     )
     # queries probe their N_PROBE nearest cells: sort (dist, cell) structs,
@@ -232,9 +236,15 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nq"),
             F.explode(probe_cells).alias("probe"),
         )
-        .select("query_id", "qv", F.col("probe.cell").cast("long").alias("cell_id"))
+        .select(
+            "query_id",
+            "qv",
+            "nq",
+            F.col("probe.cell").cast("long").alias("cell_id"),
+        )
     )
     scored = (
         assigned.join(
@@ -246,11 +256,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                _dot(F.col("qv"), F.col("v"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("v"), F.col("v")))
-                )
+                _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
             ).alias("cos"),
         )
     )
