@@ -545,10 +545,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frontier, the standard shape for iterative algorithms on Spark.
     # Round 0 is free: min over DIRECT neighbors is a plain aggregation
     # over the edge list (no label join yet) — one full iteration saved.
+    # eager=False: the convergence aggregate below is the round's only
+    # action, and it materializes the checkpoint as it runs — one job per
+    # round instead of a checkpoint job followed by an aggregate job.
     labels = (
         edges.groupBy("node")
         .agg(F.least(F.first("node"), F.min("other")).alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Convergence probe: min-propagation only ever DECREASES labels, so
     # sum(label) is strictly monotone until fixpoint — one cheap aggregate
@@ -571,7 +574,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
