@@ -31,6 +31,8 @@ HEADLINE = [
     "join_bucketed_colocated",
     "join_skew_salted",
     "join_asof_backward",
+    "join_range_banded",
+    "cdc_incremental_agg",
     "topk_per_group",
     "win_running_frame",
     "win_range_interval",

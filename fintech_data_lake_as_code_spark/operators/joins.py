@@ -385,3 +385,76 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("secs_since_order"),
     )
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS interval_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS lo,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 7200 AS hi
+      FROM events WHERE event_id % 100 = 0
+    ), pt AS (
+      SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events
+    )
+    SELECT iv.interval_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT pt.user_id) AS n_users
+    FROM iv JOIN pt ON pt.t >= iv.lo AND pt.t < iv.hi
+    GROUP BY iv.interval_id
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO equality key, rewritten as an
+    equi-join via integer banding. Every 100th event opens a 2-hour
+    window; the query counts events (and distinct users) inside each
+    window. Written as the bare theta join `lo <= t < hi`, Spark can only
+    pick BroadcastNestedLoopJoin — O(|intervals| * |points|), which dies
+    long before 100 TB. Banding fixes the shape: time is cut into bands
+    of the interval width (1 h here, <= interval length 2 h), each
+    interval expands to the <= 3 bands it covers (a bounded explode), each
+    point belongs to EXACTLY ONE band, and the join becomes hash-
+    partitioned on band with the exact range predicate as a residual
+    filter. A (point, interval) pair can only meet in the point's single
+    band, so no dedup pass is needed. Hot bands (load spikes) are split by
+    AQE skew handling. Same rewrite serves any numeric range join: IP ->
+    CIDR blocks, value -> tariff bracket, read -> genomic interval."""
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    band_w = 3600
+    intervals = (
+        ev.where(F.col("event_id") % 100 == 0)
+        .select(
+            F.col("event_id").alias("interval_id"),
+            t.alias("lo"),
+            (t + 7200).alias("hi"),
+        )
+        .select(
+            "interval_id",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / band_w),
+                    F.floor((F.col("hi") - 1) / band_w),
+                )
+            ).alias("band"),
+        )
+    )
+    points = ev.select(
+        F.col("user_id").alias("pt_user"), t.alias("t")
+    ).withColumn("band", F.floor(F.col("t") / band_w))
+    return (
+        points.join(
+            intervals,
+            (points["band"] == intervals["band"])
+            & (F.col("t") >= F.col("lo"))
+            & (F.col("t") < F.col("hi")),
+        )
+        .groupBy("interval_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("pt_user").alias("n_users"),
+        )
+    )
