@@ -41,6 +41,7 @@ HEADLINE = [
     "udf_vectorized_agg",
     "dedup_exact",
     "dedup_near_minhash",
+    "dedup_incremental",
     "dedup_cluster_cc",
     "sim_topk_cosine",
     "text_stats",

@@ -593,3 +593,130 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# --- incremental (cross-batch) dedup ----------------------------------------
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH corpus AS ({_PERTURB_SQL}),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM corpus
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM shingled
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(FLOOR(s.n_shared * 10000 / (sa.n + sb.n - s.n_shared)) AS BIGINT)
+             AS jaccard_bp,
+           CASE WHEN (s.id_a % 2 = 1 OR s.id_a >= 100000)
+                 AND (s.id_b % 2 = 1 OR s.id_b >= 100000)
+                THEN 'new_new' ELSE 'new_old' END AS pair_kind
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE s.n_shared * 10000 >= 6000 * (sa.n + sb.n - s.n_shared)
+      AND (s.id_a % 2 = 1 OR s.id_a >= 100000
+           OR s.id_b % 2 = 1 OR s.id_b >= 100000)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch INCREMENTAL dedup — the only Jaccard formulation that
+    survives a lake that grows daily: the accumulated corpus is already
+    internally deduped, so a new batch needs exactly the new x new and
+    new x old pairs, never old x old. Structurally pruned here: the
+    prefix-filtered candidate join (same PPJoin machinery as
+    dedup_ngram_jaccard) probes ONLY new-doc prefixes against the full
+    index, so per-batch work is ~|new| x bucket-depth regardless of corpus
+    size — re-running full-corpus dedup over 100 TB per day is the
+    alternative. Odd doc_ids play the new batch (planted twins land there
+    too, guaranteeing new x old hits). Orientation is free (new side may
+    hold the larger or smaller id), so the symmetric PPJoin positional
+    bound is used and pairs are normalized with least/greatest before
+    dedup. Verification is exact on full shingle arrays; the oracle is
+    the naive all-pairs join restricted to pairs touching a new doc."""
+    c = _corpus(spark, sf_dir)
+    is_new = (F.col("doc_id") % 2 == 1) | (F.col("doc_id") >= 100000)
+    shingled = (
+        c.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+        .withColumn("is_new", is_new)
+        .cache()
+    )
+    prefix_len = F.col("n") - ((F.col("n") * 6 + 9) / 10).cast("long") + 1
+    hashed_order = F.array_sort(
+        F.transform("shingles", lambda sh: F.xxhash64(sh))
+    )
+    pref = shingled.select(
+        "doc_id",
+        "n",
+        "is_new",
+        F.posexplode(F.slice(hashed_order, F.lit(1), prefix_len)).alias(
+            "pos0", "h"
+        ),
+    ).select("doc_id", "n", "is_new", (F.col("pos0") + 1).alias("pos"), "h")
+    # symmetric PPJoin bound (orientation-free): a match at sorted
+    # positions (i, j) caps overlap at 1 + min(na - i, nb - j)
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
+    cand = (
+        pref.where("is_new")
+        .alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # never generate old x old; new x new arrives once per
+            # orientation and collapses in the distinct below
+            & (F.col("b.n") * 10 >= F.col("a.n") * 6)
+            & (F.col("a.n") * 10 >= F.col("b.n") * 6)
+            & (overlap_ub * 8 >= (F.col("a.n") + F.col("b.n")) * 3),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("n_a"),
+        F.col("is_new").alias("new_a"),
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("n_b"),
+        F.col("is_new").alias("new_b"),
+    )
+    n_shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_shared", n_shared)
+        .where(F.col("n_shared") * 10000 >= 6000 * union_n)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("n_shared") * 10000 / union_n).alias("jaccard_bp"),
+            F.when(F.col("new_a") & F.col("new_b"), "new_new")
+            .otherwise("new_old")
+            .alias("pair_kind"),
+        )
+    )
