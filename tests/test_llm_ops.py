@@ -112,3 +112,23 @@ def test_exact_dedup_finds_exactly_planted(spark, sf_dir):
     rows = SPECS["dedup_exact"].fn(spark, sf_dir).collect()
     assert len(rows) == n_planted
     assert all(r.n_copies == 2 for r in rows)
+
+
+def test_incremental_dedup_finds_twins_and_never_emits_old_pairs(spark, sf_dir):
+    # planted twins (new, doc_id+100000) must pair with their old originals;
+    # no returned pair may be old x old (the structural pruning claim)
+    planted = _planted_doc_pairs(spark, sf_dir)
+    rows = SPECS["dedup_incremental"].fn(spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    missed = planted - got
+    assert not missed, f"incremental dedup missed twins: {sorted(missed)[:5]}"
+
+    def is_new(doc_id):
+        return doc_id % 2 == 1 or doc_id >= 100000
+
+    old_old = [r for r in rows if not is_new(r.id_a) and not is_new(r.id_b)]
+    assert not old_old, f"old x old pairs leaked: {old_old[:5]}"
+    kinds = {(is_new(r.id_a) and is_new(r.id_b), r.pair_kind) for r in rows}
+    assert all(
+        (kind == "new_new") == both_new for both_new, kind in kinds
+    ), kinds

@@ -215,3 +215,12 @@ def test_zorder_files_have_disjoint_z_ranges(spark, sf_dir):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next, f"overlapping z ranges: {ranges}"
+
+
+def test_banded_range_join_is_a_hash_join(spark, sf_dir):
+    # the banded rewrite must produce an equality-keyed hash join (the
+    # residual range predicate rides the same node) — never a nested loop
+    plan = formatted_plan(SPECS["join_range_banded"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
