@@ -673,12 +673,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap_ub = F.lit(1) + F.least(
         F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )
+    # The new-side restriction lives IN the join condition, not as a
+    # pre-join filter: both join inputs then share one identical exchange
+    # subtree (shingle + sort + posexplode + shuffle computed ONCE, reused
+    # by both sides — the same reuse the full jaccard join relies on). At
+    # this corpus's new:old ratio (~1:1) that wins; when new << old,
+    # pre-filtering the probe side before its own exchange wins instead.
     cand = (
-        pref.where("is_new")
-        .alias("a")
+        pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
+            F.col("a.is_new")
+            & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             # never generate old x old; new x new arrives once per
             # orientation and collapses in the distinct below
