@@ -241,3 +241,86 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "1998-09-01 00:00:00"},
     )
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS ingest_date,
+           COUNT(*) AS n_rows
+    FROM events
+    WHERE CAST(ts AS DATE) <=
+          (SELECT MIN(CAST(ts AS DATE)) FROM events) + 1
+    GROUP BY 1
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition PRUNING on the time-partitioned lake (ref A7: the
+    Firehose YYYY/MM/dd/HH prefix exists precisely so consumers read
+    hours, not the lake): a date predicate on the partition column must
+    be resolved against directory metadata — the scan lists only the
+    matching partitions and never opens the rest. At 100 TB this is the
+    difference between reading two days and reading three years; the
+    plan-shape test asserts the predicate lands in PartitionFilters, not
+    in a post-scan Filter. The first two calendar days are selected via a
+    metadata-only min() so the query stays deterministic for the oracle."""
+    import datetime
+
+    out = scratch_dir(sf_dir, "scan_partition_pruned")
+    ev = load(spark, sf_dir, "events").withColumn("ingest_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("ingest_date").parquet(out)
+    back = spark.read.parquet(out)
+    lo = back.agg(F.min("ingest_date")).first()[0]
+    cutoff = lo + datetime.timedelta(days=1)
+    return (
+        back.where(F.col("ingest_date") <= F.lit(cutoff))
+        .groupBy(F.col("ingest_date").cast("string").alias("ingest_date"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "sink_compacted",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    """,
+)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the lake's chronic operational disease (ref
+    A2: Firehose flushes every ~5 MiB or 300 s, lib/fin-transactions-
+    stack.ts:192-206, so a quiet stream lands thousands of KB-sized
+    objects; scan cost becomes per-FILE, not per-byte). Stage one
+    simulates the fragmented landing zone (64 splits); stage two compacts
+    by rewriting with a byte-budgeted partition count: ceil(input_bytes /
+    128 MiB target), floored at one file. The returned checksum (count +
+    key sum + exact cents) proves compaction moved every byte untouched;
+    the file-count property is asserted in tests. On a real lake this
+    runs per-partition behind the ingest watermark, so compaction never
+    races the writer."""
+    frag = scratch_dir(sf_dir, "sink_compacted_frag")
+    out = scratch_dir(sf_dir, "sink_compacted")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(64, "event_id").write.mode("overwrite").parquet(frag)
+
+    landed = spark.read.parquet(frag)
+    import glob
+    import math
+    import os
+
+    input_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(f"{frag}/*.parquet")
+    )
+    target = 128 * 1024 * 1024
+    n_files = max(1, math.ceil(input_bytes / target))
+    landed.repartition(n_files).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+        F.sum(cents).alias("value_cents"),
+    )

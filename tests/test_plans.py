@@ -224,3 +224,29 @@ def test_banded_range_join_is_a_hash_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partition_pruning_reaches_directory_listing(spark, sf_dir):
+    # the date predicate must prune at the PARTITION level (directory
+    # metadata), not as a row filter after opening every file
+    df = SPECS["scan_partition_pruned"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and re.search(r"ingest_date.*<=", pf[0]), plan[:2000]
+
+
+def test_compaction_reduces_file_count_and_moves_every_byte(spark, sf_dir):
+    import glob
+
+    from fintech_data_lake_as_code_spark.io import scratch_dir
+
+    SPECS["sink_compacted"].fn(spark, sf_dir).collect()
+    frag = glob.glob(f"{scratch_dir(sf_dir, 'sink_compacted_frag')}/*.parquet")
+    out = glob.glob(f"{scratch_dir(sf_dir, 'sink_compacted')}/*.parquet")
+    assert len(frag) == 64, f"fragmented stage expected 64 files: {len(frag)}"
+    assert len(out) < len(frag) / 4, (len(frag), len(out))
+    n_in = spark.read.parquet(scratch_dir(sf_dir, "sink_compacted_frag")).count()
+    n_out = spark.read.parquet(scratch_dir(sf_dir, "sink_compacted")).count()
+    assert n_in == n_out
