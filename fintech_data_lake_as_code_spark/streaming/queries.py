@@ -650,3 +650,107 @@ if _HAS_PROTOBUF:
     stream_transform_with_state = query(
         "stream_transform_with_state", oracle=TWS_ORACLE
     )(stream_transform_with_state)
+
+
+@query(
+    "stream_foreachbatch_merge",
+    oracle="""
+    SELECT user_id,
+           event_type AS last_type,
+           round(value, 2) AS last_value,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS last_ts_epoch
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-CDC SERVING loop: foreachBatch + merge-into-snapshot,
+    which is how a changelog stream materializes a queryable latest-state
+    table on a plain-parquet lake (what cdc_merge_upsert does once, done
+    per micro-batch under checkpointing; ref: the lake's consumers want
+    the OLTP table's current state, setupTables.py:57-58, but receive an
+    event stream). Each micro-batch is first reduced to its latest row
+    per key (so at-least-once redelivery collapses batch-side), then
+    merged with the previous snapshot via union + max_by — and the result
+    is written to a NEW versioned directory, never over the one being
+    read: the reader of version N is immutable while N+1 commits, the
+    poor-man's form of the snapshot-isolation commit a table format
+    provides. Per-batch work scales with batch + snapshot, never with
+    stream history. The oracle is the batch latest-state over the whole
+    event log — the merged snapshot must equal it exactly."""
+    import shutil
+
+    src = _events_json_dir(spark, sf_dir)
+    root = scratch_dir(sf_dir, "stream_fbm_versions")
+    ckpt = scratch_dir(sf_dir, "stream_fbm_ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    current: dict[str, str] = {}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # max_by needs event_id for the tie-break; keep it batch-side only
+        b = batch_df.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("event_type", "value", "ts", "event_id"),
+                F.struct("ts", "event_id"),
+            ).alias("s")
+        ).select(
+            "user_id",
+            "s.event_type",
+            "s.value",
+            "s.ts",
+            F.col("s.event_id").alias("event_id"),
+        )
+        if "dir" in current:
+            prev = batch_df.sparkSession.read.parquet(current["dir"])
+            merged = (
+                prev.unionByName(b)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("event_type", "value", "ts", "event_id"),
+                        F.struct("ts", "event_id"),
+                    ).alias("s")
+                )
+                .select(
+                    "user_id",
+                    "s.event_type",
+                    "s.value",
+                    "s.ts",
+                    F.col("s.event_id").alias("event_id"),
+                )
+            )
+        else:
+            merged = b
+        new_dir = f"{root}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        current["dir"] = new_dir
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "foreachBatch merge stream did not drain within 300s"
+        )
+    snap = spark.read.parquet(current["dir"])
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+        F.unix_timestamp("ts").alias("last_ts_epoch"),
+    )
