@@ -726,3 +726,92 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pair_kind"),
         )
     )
+
+
+# --- leakage-safe train/eval split ------------------------------------------
+
+
+@query(
+    "sample_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_PERTURB_SQL}),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM corpus
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM shingled
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT s.id_a, s.id_b FROM shared s
+      JOIN sizes sa ON s.id_a = sa.doc_id
+      JOIN sizes sb ON s.id_b = sb.doc_id
+      WHERE s.n_shared * 10000 >= 6000 * (sa.n + sb.n - s.n_shared)
+    ), edges AS (
+      SELECT id_a AS node, id_b AS other FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, other) AS (
+      SELECT node, other FROM edges
+      UNION
+      SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node
+      WHERE e.other <> r.node
+    ),
+    labels AS (
+      SELECT node AS doc_id, LEAST(node, MIN(other)) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    assigned AS (
+      SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
+    )
+    SELECT CASE WHEN ((cluster_id * 1000 + 7) * 1103515245 + 12345)
+                     % 2147483648 % 100 < 80
+                THEN 'train' ELSE 'eval' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_id) AS n_clusters,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM assigned GROUP BY 1
+    """,
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split WITHOUT near-dup leakage: random doc-level splits
+    put one twin in train and the other in eval, and the model grades
+    itself on memorized text — the classic contaminated-benchmark bug.
+    The unit of assignment must be the duplicate CLUSTER: resolve
+    connected components (dedup_cluster_cc), give singletons their own
+    doc_id as cluster_id, then split on a portable LCG hash OF THE
+    CLUSTER ID, so every member of a cluster lands in the same split by
+    construction. Output is the per-split composition (doc count,
+    cluster count, id checksum); the twin-cohesion property is asserted
+    in tests. One extra broadcast-scale join over the split itself —
+    leakage safety costs almost nothing once dedup already ran."""
+    labels = dedup_cluster_cc(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir).select("doc_id")
+    assigned = corpus.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    lcg = (
+        (F.col("cluster_id") * 1000 + 7) * 1103515245 + 12345
+    ) % 2147483648 % 100
+    return (
+        assigned.withColumn(
+            "split", F.when(lcg < 80, "train").otherwise("eval")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )

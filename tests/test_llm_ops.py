@@ -132,3 +132,44 @@ def test_incremental_dedup_finds_twins_and_never_emits_old_pairs(spark, sf_dir):
     assert all(
         (kind == "new_new") == both_new for both_new, kind in kinds
     ), kinds
+
+
+def test_leakage_safe_split_keeps_twins_together(spark, sf_dir):
+    # recompute the per-doc assignment the query aggregates over and check
+    # every planted twin pair lands in ONE split (the leakage guarantee),
+    # and that the aggregate itself reports a sane 80/20-ish composition
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        _corpus,
+        dedup_cluster_cc,
+    )
+
+    labels = dedup_cluster_cc(spark, sf_dir)
+    assigned = (
+        _corpus(spark, sf_dir)
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    lcg = (
+        (F.col("cluster_id") * 1000 + 7) * 1103515245 + 12345
+    ) % 2147483648 % 100
+    split_of = {
+        r.doc_id: r.split
+        for r in assigned.withColumn(
+            "split", F.when(lcg < 80, "train").otherwise("eval")
+        ).collect()
+    }
+    for a, b in _planted_doc_pairs(spark, sf_dir):
+        assert split_of[a] == split_of[b], (a, b, split_of[a], split_of[b])
+
+    agg = {
+        r.split: r.n_docs
+        for r in SPECS["sample_split_leakage_safe"].fn(spark, sf_dir).collect()
+    }
+    total = sum(agg.values())
+    assert 0.6 < agg.get("train", 0) / total < 0.95, agg
