@@ -68,15 +68,20 @@ def main() -> None:
 
     _warm = pandas_udf(lambda s: s, "long")
     cores = spark.sparkContext.defaultParallelism
-    spark.range(cores * 4).repartition(cores).select(_warm("id")).count()
-    # Warm the page cache + parquet footers of every headline input once —
-    # steady-state scans are what a resident lake serves. (io.load, not raw
-    # spark.read: events.parquet is TIMESTAMP(NANOS) and needs the loader's
-    # nanos handling.)
+    # sum() over the UDF output forces evaluation — a bare count() would
+    # let the optimizer prune the UDF and spawn no workers at all
+    spark.range(cores * 4).repartition(cores).select(
+        _warm("id").alias("v")
+    ).agg({"v": "sum"}).collect()
+    # Warm the page cache of every headline input once — steady-state scans
+    # are what a resident lake serves. hash(*) touches every column so the
+    # scan decompresses real data pages (count() alone answers from footer
+    # metadata and warms nothing). io.load, not raw spark.read:
+    # events.parquet is TIMESTAMP(NANOS) and needs the loader's handling.
     from fintech_data_lake_as_code_spark.io import load
 
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
-        load(spark, sf_dir, t).count()
+        load(spark, sf_dir, t).selectExpr("sum(hash(*))").collect()
     # The bucketed lake layout is a WRITE-ONCE cost amortized over every
     # future co-located join (that is the whole point of bucketing); build
     # it outside the timing loop so the bench measures the recurring query

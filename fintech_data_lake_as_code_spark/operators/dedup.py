@@ -650,12 +650,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive all-pairs join restricted to pairs touching a new doc."""
     c = _corpus(spark, sf_dir)
     is_new = (F.col("doc_id") % 2 == 1) | (F.col("doc_id") >= 100000)
+    # cached (same pattern as dedup_ngram_jaccard) and intentionally left
+    # persisted: the returned plan still reads it, so it cannot be
+    # unpersisted inside this function without recomputing at the action
     shingled = (
         c.select("doc_id", _shingles(F.col("text")).alias("shingles"))
         .withColumn("n", F.size("shingles"))
         .withColumn("is_new", is_new)
         .cache()
     )
+    # NOTE: prefix/positional constants below mirror dedup_ngram_jaccard
+    # (threshold 0.6 appears as *6/10, 6000 bp, and the 8*o >= 3*(na+nb)
+    # bound) — change them together; the DuckDB oracles catch drift
     prefix_len = F.col("n") - ((F.col("n") * 6 + 9) / 10).cast("long") + 1
     hashed_order = F.array_sort(
         F.transform("shingles", lambda sh: F.xxhash64(sh))
@@ -673,12 +679,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap_ub = F.lit(1) + F.least(
         F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )
-    # The new-side restriction lives IN the join condition, not as a
-    # pre-join filter: both join inputs then share one identical exchange
-    # subtree (shingle + sort + posexplode + shuffle computed ONCE, reused
-    # by both sides — the same reuse the full jaccard join relies on). At
-    # this corpus's new:old ratio (~1:1) that wins; when new << old,
-    # pre-filtering the probe side before its own exchange wins instead.
+    # The new-side restriction is written in the join condition, but
+    # Catalyst pushes a single-side predicate below the join anyway
+    # (PushPredicateThroughJoin), so this compiles identically to
+    # pre-filtering the probe side — the form is a documentation choice:
+    # the predicate reads as part of the candidate-pair definition. The
+    # asymmetry that matters at scale is the ALGORITHM's: the probe side
+    # shrinks with the batch while the index side is the whole corpus.
     cand = (
         pref.alias("a")
         .join(

@@ -692,39 +692,32 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     current: dict[str, str] = {}
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # max_by needs event_id for the tie-break; keep it batch-side only
-        b = batch_df.groupBy("user_id").agg(
-            F.max_by(
-                F.struct("event_type", "value", "ts", "event_id"),
-                F.struct("ts", "event_id"),
-            ).alias("s")
-        ).select(
-            "user_id",
-            "s.event_type",
-            "s.value",
-            "s.ts",
-            F.col("s.event_id").alias("event_id"),
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        # one definition serves both the batch-side reduce and the
+        # cross-batch merge — the tie-break (ts, event_id) must be the
+        # SAME in both or redelivered/tied rows diverge from the oracle
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_type", "value", "ts", "event_id"),
+                    F.struct("ts", "event_id"),
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                "s.event_type",
+                "s.value",
+                "s.ts",
+                F.col("s.event_id").alias("event_id"),
+            )
         )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = latest_per_user(batch_df)
         if "dir" in current:
             prev = batch_df.sparkSession.read.parquet(current["dir"])
-            merged = (
-                prev.unionByName(b)
-                .groupBy("user_id")
-                .agg(
-                    F.max_by(
-                        F.struct("event_type", "value", "ts", "event_id"),
-                        F.struct("ts", "event_id"),
-                    ).alias("s")
-                )
-                .select(
-                    "user_id",
-                    "s.event_type",
-                    "s.value",
-                    "s.ts",
-                    F.col("s.event_id").alias("event_id"),
-                )
-            )
+            merged = latest_per_user(prev.unionByName(b))
         else:
             merged = b
         new_dir = f"{root}/v{batch_id}"
