@@ -450,3 +450,45 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("covar_samp"),
     )
+
+
+@query("agg_sketch_cms")  # rows-only: sketch estimates are engine-specific
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min frequency sketches: per-day CMS of user_id
+    built in one distributed pass (eps=0.1%, conf=99.9%), merged, then
+    point-queried for the exact top-10 heaviest users. The same
+    re-aggregable pattern as agg_sketch_hll but for FREQUENCIES: at
+    100 TB you persist per-partition sketch bytes (~KB each) and answer
+    "how often did key K appear in any date range" by merging sketches,
+    never rescanning raw data. Only sketch BYTES reach the driver (one
+    row per day) — the merge is over artifacts designed to be collected.
+    CMS never underestimates; the overestimate bound is asserted in
+    tests/test_sketches.py."""
+    ev = load(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").alias("sk")
+    )
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for r in per_day.collect():
+        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(r.sk)
+        )
+        if merged is None:
+            merged = s
+        else:
+            merged.mergeInPlace(s)
+    top = (
+        ev.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    data = [
+        (r.user_id, r["count"], merged.estimateCount(jvm.java.lang.Long(r.user_id)))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, exact_count long, est_count long"
+    )

@@ -26,3 +26,15 @@ def test_hll_sketch_within_error_bound(spark, sf_dir):
     assert abs(total[0].est_users - exact_total) / exact_total < 0.05
     for r in per_type:
         assert abs(r.est_users - r.exact_users) / max(r.exact_users, 1) < 0.05, r
+
+
+def test_cms_never_underestimates_and_stays_tight(spark, sf_dir):
+    rows = SPECS["agg_sketch_cms"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    total = None
+    for r in rows:
+        # count-min is one-sided: estimate >= true count, always
+        assert r.est_count >= r.exact_count, r
+        # eps=0.001 bounds overestimate by ~0.1% of total stream length;
+        # allow 1% slack for the tiny per-day sketches
+        assert r.est_count <= r.exact_count * 1.01 + 50, r
