@@ -1,0 +1,122 @@
+"""JDBC source — the reference's A1 ingest path in its literal form.
+
+The reference full-loads the Aurora MySQL `customeractivity` table through
+DMS into the lake (lib/fin-transactions-stack.ts:160-166; table DDL
+resources/data/setupTables.py:49-59). The Spark-native equivalent is
+`spark.read.format("jdbc")` with a partitioned read: N concurrent range
+queries against the OLTP source, exactly DMS's parallel full-load shape.
+
+This module round-trips the reference's insert workload (sources/datagen)
+through Apache Derby — the embedded JDBC database that ships inside every
+Spark distribution — so the JDBC code path is exercised end-to-end with no
+external server. Derby embedded is single-JVM, which is fine on local[n];
+a real deployment points the SAME options at MySQL/Postgres (swap url +
+driver) where executors connect independently and the partitioned read
+genuinely parallelizes across the cluster.
+
+Scale notes (100 TB / real OLTP source):
+- `partitionColumn/lowerBound/upperBound/numPartitions` splits the scan
+  into range predicates evaluated server-side; without it the whole table
+  streams through one task.
+- Filters on the Spark side compile into the pushed-down JDBC `WHERE`
+  (PushedFilters in the plan), so the database does the selection.
+- String columns are created VARCHAR via `createTableColumnTypes` — the
+  Derby dialect's CLOB default cannot be compared in pushed-down
+  predicates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_sum
+from ..io import scratch_dir
+from ..registry import query
+from .datagen import CUSTOMERACTIVITY_ORACLE, N_ROWS, customeractivity
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+JDBC_TABLE = "customeractivity"
+N_READ_PARTITIONS = 4
+
+
+def _derby_url(sf_dir: str) -> str:
+    db_path = os.path.join(scratch_dir(sf_dir, "derby"), "oltp_db")
+    return f"jdbc:derby:{db_path};create=true"
+
+
+def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load `customeractivity` over JDBC, seeding the Derby database once
+    per scale dir (the write is the "OLTP system exists" precondition, not
+    part of the query; marker-file guarded like the bucketed layouts)."""
+    url = _derby_url(sf_dir)
+    marker = os.path.join(scratch_dir(sf_dir, "derby"), "_LOADED")
+    if not os.path.exists(marker):
+        src = customeractivity(spark).select(
+            "row_id",
+            "user_id",
+            "city",
+            "transaction_type",
+            "monetary_value",
+            "timeinapp",
+            "feature_used",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        (
+            src.coalesce(4)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("driver", DERBY_DRIVER)
+            .option("dbtable", JDBC_TABLE)
+            .option(
+                "createTableColumnTypes",
+                "city VARCHAR(8), transaction_type VARCHAR(16),"
+                " feature_used VARCHAR(32)",
+            )
+            .mode("overwrite")
+            .save()
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", DERBY_DRIVER)
+        .option("dbtable", JDBC_TABLE)
+        .option("partitionColumn", "row_id")
+        .option("lowerBound", "0")
+        .option("upperBound", str(N_ROWS))
+        .option("numPartitions", str(N_READ_PARTITIONS))
+        .load()
+    )
+
+
+@query(
+    "scan_jdbc",
+    oracle=f"""
+    SELECT city,
+           COUNT(*) AS n_txn,
+           CAST(SUM(CAST(ROUND(monetary_value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_value
+    FROM ({CUSTOMERACTIVITY_ORACLE})
+    WHERE transaction_type = 'CREDIT'
+    GROUP BY city
+    """,
+)
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 literal form: partitioned JDBC full-load of the OLTP table
+    (lib/fin-transactions-stack.ts:160-166), predicate pushed into the
+    database, then the usual lake-side aggregate. The oracle recomputes the
+    same workload from the seeded generator, proving the JDBC write+read
+    round-trip is lossless."""
+    df = _jdbc_snapshot(spark, sf_dir)
+    return (
+        df.where(F.col("transaction_type") == "CREDIT")
+        .groupBy("city")
+        .agg(
+            F.count("*").alias("n_txn"),
+            exact_sum(F.col("monetary_value")).alias("sum_value"),
+        )
+    )
