@@ -126,12 +126,14 @@ _PERM_B = [(1103515245 * (j + 101) + 54321) % MH_PRIME for j in range(N_PERM)]
 
 
 def _shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array (distinct)."""
+    """Word n-gram shingles as an array (distinct), built from the passed
+    Column — works for derived/renamed inputs, not just a column named
+    `text`."""
     words = F.split(text, " ")
     return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, greatest(size(split(text, ' ')) - {n}, 0)),"
-            f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(n))),
         )
     )
 
@@ -781,7 +783,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id
       FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
     )
-    SELECT CASE WHEN ((cluster_id * 1000 + 7) * 1103515245 + 12345)
+    SELECT CASE WHEN ((cluster_id % 2147483648 * 1000 + 7) % 2147483648
+                      * 1103515245 + 12345)
                      % 2147483648 % 100 < 80
                 THEN 'train' ELSE 'eval' END AS split,
            COUNT(*) AS n_docs,
@@ -808,8 +811,12 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )
+    # reduce mod 2^31 between the LCG steps: the intermediates stay below
+    # 2^62, so the arithmetic never wraps int64 (Spark would overflow-wrap
+    # or throw under ANSI while DuckDB promotes to HUGEINT — divergence).
     lcg = (
-        (F.col("cluster_id") * 1000 + 7) * 1103515245 + 12345
+        (F.col("cluster_id") % 2147483648 * 1000 + 7) % 2147483648
+        * 1103515245 + 12345
     ) % 2147483648 % 100
     return (
         assigned.withColumn(

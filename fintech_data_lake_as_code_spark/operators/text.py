@@ -420,7 +420,8 @@ TRAIN_PCT = 80
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY ((doc_id * 1000 + 7) * 1103515245 + 12345) % 2147483648,
+               ORDER BY ((doc_id % 2147483648 * 1000 + 7) % 2147483648
+                         * 1103515245 + 12345) % 2147483648,
                         doc_id) AS r,
              COUNT(*) OVER (PARTITION BY lang) AS n_lang
       FROM documents
@@ -444,8 +445,11 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.datagen import lcg
 
     d = load(spark, sf_dir, "documents")
+    # bound the LCG seed mod 2^31 so intermediates never wrap int64 at
+    # large doc_id ranges (DuckDB would promote to HUGEINT and diverge)
     w = Window.partitionBy("lang").orderBy(
-        lcg(F.col("doc_id") * 1000 + 7), F.col("doc_id")
+        lcg((F.col("doc_id") % 2147483648 * 1000 + 7) % 2147483648),
+        F.col("doc_id"),
     )
     wn = Window.partitionBy("lang")
     ranked = d.select(

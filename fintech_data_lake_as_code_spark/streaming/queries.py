@@ -180,10 +180,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 5-minute gap (ref B2: sessions bounded by
-    timeinapp, setupTables.py:32) — update mode; a single micro-batch makes
-    the update stream the final sessions, provably equal to the SQL
-    gaps-and-islands sessionization (complete mode — session windows
-    support append/complete only)."""
+    timeinapp, setupTables.py:32), drained in complete mode (session
+    windows support append/complete): the final emission carries every
+    closed session, provably equal to the SQL gaps-and-islands
+    sessionization."""
     src = _events_json_dir(spark, sf_dir)
     stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
     agg = (
@@ -320,11 +320,28 @@ def stream_stateful_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the batch form (rule_b3_overdraft_freeze) — the stateful
     stream must reproduce the batch semantics exactly
     (setupTables.py:33-34)."""
+    src = _events_json_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    return _drain(
+        freeze_flagged(stream), "stream_stateful_freeze", "append"
+    )
+
+
+def freeze_flagged(stream: DataFrame) -> DataFrame:
+    """The B3 freeze state machine over any events-shaped stream. Split out
+    so tests can drive it through multiple micro-batches
+    (maxFilesPerTrigger=1) — state round-trips between batches, where the
+    None<->sentinel encoding of frozen_at matters."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def freeze_fn(key, pdf_iter, state: GroupState):
         if state.exists:
             balance, frozen_at = state.get
+            # frozen_at=None is stored as the -1 sentinel (state schema is
+            # non-nullable-friendly LongType); decode it on restore or a
+            # user whose first overdraft happens in a later micro-batch
+            # could never be frozen.
+            frozen_at = None if frozen_at == -1 else frozen_at
         else:
             balance, frozen_at = 0, None
         rows = []
@@ -343,16 +360,13 @@ def stream_stateful_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, columns=["event_id", "user_id", "ts_epoch", "frozen_at_epoch"]
         )
 
-    src = _events_json_dir(spark, sf_dir)
-    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
-    flagged = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         freeze_fn,
         _FREEZE_OUT,
         _FREEZE_STATE,
         "append",
         GroupStateTimeout.NoTimeout,
     )
-    return _drain(flagged, "stream_stateful_freeze", "append")
 
 
 @query(
@@ -442,8 +456,10 @@ def stream_rate_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(once=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
     q.stop()
+    if not finished:
+        raise RuntimeError("stream_rate_sim did not finish within 120s")
     return spark.table(name)
 
 

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from fintech_data_lake_as_code_spark.io import load
 from fintech_data_lake_as_code_spark.streaming.queries import (
+    EVENTS_SCHEMA,
+    freeze_flagged,
     stream_watermark_late,
 )
 
@@ -40,6 +42,77 @@ def test_watermark_drops_late_redelivery(spark, sf_dir):
     assert {w for (w, _) in closed} <= emitted_ws
     # and no window was emitted twice with different counts
     assert len(emitted_ws) == len(got)
+
+
+def test_freeze_state_survives_micro_batch_boundary(spark, tmp_path):
+    """The freeze state machine must keep working when a user's history
+    spans micro-batches: not-frozen state (the -1 sentinel) written by
+    batch 1 must decode back to None so a first overdraft in batch 2 still
+    freezes the account. maxFilesPerTrigger=1 forces one file per batch."""
+    import json
+    import os
+
+    src = str(tmp_path / "freeze_src")
+    os.makedirs(src)
+    base = "2024-01-01 00:0{m}:00"
+
+    mtime = [1_700_000_000]
+
+    def write_file(name, rows):
+        path = os.path.join(src, name)
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        # the file source orders batches by mtime — make it deterministic
+        mtime[0] += 60
+        os.utime(path, (mtime[0], mtime[0]))
+
+    # batch 1: deposit 100, purchase 50 -> balance +50, never frozen
+    write_file(
+        "b1.json",
+        [
+            {"event_id": 1, "ts": base.format(m=1), "user_id": 7,
+             "event_type": "deposit", "value": 100.0, "props": "{}"},
+            {"event_id": 2, "ts": base.format(m=2), "user_id": 7,
+             "event_type": "purchase", "value": 50.0, "props": "{}"},
+        ],
+    )
+    # batch 2: purchase 100 -> balance -50 => FIRST overdraft happens here,
+    # after a state round-trip; the next event falls inside the 24h window.
+    write_file(
+        "b2.json",
+        [
+            {"event_id": 3, "ts": base.format(m=3), "user_id": 7,
+             "event_type": "purchase", "value": 100.0, "props": "{}"},
+            {"event_id": 4, "ts": base.format(m=4), "user_id": 7,
+             "event_type": "deposit", "value": 10.0, "props": "{}"},
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    name = "freeze_multibatch_sink"
+    q = (
+        freeze_flagged(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.event_id, r.frozen_at_epoch) for r in spark.table(name).collect()}
+
+    frozen_at = spark.sql(
+        f"SELECT unix_timestamp(timestamp'{base.format(m=3)}')"
+    ).first()[0]
+    assert got == {(4, frozen_at)}, (
+        "event 4 (inside the freeze window opened by a later-batch "
+        f"overdraft) must be flagged; got {got}"
+    )
 
 
 def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
