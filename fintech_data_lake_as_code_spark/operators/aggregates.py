@@ -135,15 +135,36 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: approx value differs per engine
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
-    distinct would shuffle every key. No SQL oracle (estimator-specific);
-    driver records a rows-only check, pytest asserts relative error."""
+    distinct would shuffle every key. The estimate itself is
+    estimator-specific, so the engine-portable OUTPUT is the exact count
+    plus `within_bound`: |approx - exact| <= max(5% exact, 3), i.e. 5x the
+    configured rsd=0.01 — the oracle emits literal TRUE, so a sketch
+    drifting out of its published bound FAILS the hash comparison. The
+    exact column doubles as the verification baseline; at 100 TB you drop
+    it and keep only the approx (that's the point of the sketch)."""
     ev = load(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    exact = F.countDistinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        exact.alias("exact_users"),
         F.count("*").alias("n_events"),
+        (
+            F.abs(approx - exact)
+            <= F.greatest(exact.cast("double") * 0.05, F.lit(3.0))
+        ).alias("within_bound"),
     )
 
 

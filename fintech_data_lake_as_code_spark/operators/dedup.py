@@ -125,6 +125,33 @@ _PERM_A = [(1103515245 * (j + 1) + 12345) % MH_PRIME | 1 for j in range(N_PERM)]
 _PERM_B = [(1103515245 * (j + 101) + 54321) % MH_PRIME for j in range(N_PERM)]
 
 
+def _phash(col: Column, nibbles: int = 12) -> Column:
+    """Engine-portable hash: the first `nibbles` hex digits of md5 as a
+    BIGINT (48 bits by default, 15 nibbles = 60 bits max — stays inside
+    signed int64). md5 is bytewise-identical everywhere, so the DuckDB
+    oracle can replicate the FULL sketch pipeline (`_phash_sql`), unlike
+    xxhash64 which has no DuckDB equivalent. One md5 per shingle is ~2x an
+    xxhash64 — irrelevant next to the shingling itself, and it buys a
+    differential test for the whole candidate-generation path."""
+    return F.conv(F.substring(F.md5(col), 1, nibbles), 16, 10).cast("long")
+
+
+def _phash_sql(expr: str, nibbles: int = 12) -> str:
+    """DuckDB mirror of `_phash`."""
+    return f"('0x' || substr(md5({expr}), 1, {nibbles}))::BIGINT"
+
+
+# the jaccard/minhash/simhash oracles all shingle identically to _shingles()
+_SHINGLED_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM corpus
+"""
+
+
 def _shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array (distinct), built from the passed
     Column — works for derived/renamed inputs, not just a column named
@@ -140,11 +167,11 @@ def _shingles(text: Column, n: int = 3) -> Column:
 
 def _minhash_signature(df: DataFrame) -> DataFrame:
     """doc_id -> 16 minhash values. Shingles explode once; each permutation
-    is a cheap affine transform of one xxhash64 — map-side, then a single
-    groupBy(doc_id) computing all 16 mins."""
+    is a cheap affine transform of one portable 48-bit hash — map-side,
+    then a single groupBy(doc_id) computing all 16 mins."""
     sh = df.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MH_PRIME)))
+    ).withColumn("h", _phash(F.col("shingle")) % F.lit(MH_PRIME))
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MH_PRIME)).alias(f"m{j}")
         for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
@@ -152,13 +179,55 @@ def _minhash_signature(df: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-@query("dedup_near_minhash")  # rows-only: xxhash64 has no DuckDB equivalent
+_MINHASH_ORACLE = f"""
+    WITH corpus AS ({_PERTURB_SQL}),
+    shingled AS ({_SHINGLED_SQL}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ), hashed AS (
+      SELECT doc_id, {_phash_sql('shingle')} % {MH_PRIME} AS h FROM exploded
+    ), perms(j, a, b) AS (
+      VALUES {', '.join(f'({j}, {a}, {b})'
+                        for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B)))}
+    ), sigs AS (
+      SELECT doc_id, j, MIN((h * a + b) % {MH_PRIME}) AS m
+      FROM hashed CROSS JOIN perms
+      GROUP BY doc_id, j
+    ), bands AS (
+      SELECT doc_id, j // {ROWS_PER_BAND} AS band_id,
+             {_phash_sql(f"concat_ws('_', j // {ROWS_PER_BAND},"
+                         f" string_agg(m, '_' ORDER BY j))")} AS band_key
+      FROM sigs
+      GROUP BY doc_id, j // {ROWS_PER_BAND}
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), agree AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_agree
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / {N_PERM} AS est_jaccard
+    FROM agree
+    WHERE n_agree * 2 >= {N_PERM}
+"""
+
+
+@query("dedup_near_minhash", oracle=_MINHASH_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection via MinHash + LSH banding: 16 permutations,
     4 bands x 4 rows; docs sharing any band hash become candidates; pairs
     are confirmed by signature agreement >= 0.5. Planted twins (9 of 10
     shingles shared) are found; unrelated docs are not. Candidate
-    generation is an equi-join on band hash — no cross join at any scale."""
+    generation is an equi-join on band hash — no cross join at any scale.
+    Every hash is the portable md5-derived `_phash`, so the DuckDB oracle
+    replicates the ENTIRE pipeline — shingles, permutations, banding,
+    candidate join, agreement — not just row counts."""
     sig = _minhash_signature(_corpus(spark, sf_dir))
     # carry the signature array through the band explode so candidate pairs
     # come out of ONE self-join with both signatures in hand (no re-join)
@@ -168,9 +237,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                        F.lit(b),
+                    _phash(
+                        F.concat_ws(
+                            "_",
+                            F.lit(b),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"m{b * ROWS_PER_BAND + r}")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            ),
+                        )
                     )
                     for b in range(N_BANDS)
                 ]
@@ -211,18 +289,53 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash ----------------------------------------------------------------
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB equivalent
+_SIMHASH_ORACLE = f"""
+    WITH corpus AS ({_PERTURB_SQL}),
+    shingled AS ({_SHINGLED_SQL}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS w FROM shingled
+    ), hashed AS (
+      SELECT doc_id, {_phash_sql('w', 15)} AS h FROM exploded
+    ), votes AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             {', '.join(f'SUM((h >> {i}) & 1) AS b{i}' for i in range(60))}
+      FROM hashed GROUP BY doc_id
+    ), fps AS (
+      SELECT doc_id,
+             ({' + '.join(f'CASE WHEN b{i} * 2 > n_words'
+                          f' THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END'
+                          for i in range(60))}) AS fp
+      FROM votes
+    ), bands AS (
+      SELECT doc_id, fp, b AS band_id, (fp >> (10 * b)) & 1023 AS band_key
+      FROM fps CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS b)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.fp AS fp_a, b.fp AS fp_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+    FROM cands
+    WHERE bit_count(xor(fp_a, fp_b)) <= 9
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via 60-bit SimHash (bit 63 would overflow signed int64
     under ANSI arithmetic) over 3-gram shingle features — word-level
     features don't separate this corpus (tiny vocabulary => all docs share
     most words); shingles give twins hamming <= ~9 vs >= ~18 for unrelated
     docs. 6x10-bit band blocking; hamming <= 9 via bit_count(xor). Same
-    join-only candidate generation as MinHash."""
+    join-only candidate generation as MinHash. Feature hashes are the
+    portable md5-derived `_phash` (15 nibbles = 60 bits), so the DuckDB
+    oracle replicates fingerprints, banding, and verification bit-exactly."""
     c = _corpus(spark, sf_dir)
     words = c.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", _phash(F.col("w"), 15))
     votes = words.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         *[
