@@ -12,7 +12,7 @@ max_by instead of a window so it needs one shuffle and no sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import exact_avg, exact_sum
@@ -313,36 +313,61 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketch_hll")  # rows-only: sketch estimates are engine-specific
+@query(
+    "agg_sketch_hll",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
 def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches, built into Spark):
     per-event-type user-count sketches built in one pass, UNIONED across
     groups to estimate global distinct users — the re-aggregable
     cardinality pattern: at 100 TB you persist the per-partition/per-day
     sketch bytes and merge them for any slice, never recounting raw data.
-    Relative error vs exact distinct is asserted < 5% in pytest."""
+
+    Sketch estimates are engine-specific, so the graded output is the
+    engine-portable CONTRACT: the exact distinct count plus a
+    `within_bound` boolean (|est/exact - 1| <= 5%, ~3 sigma at the default
+    lgConfigK=12). The oracle emits the same exact counts with TRUE — a
+    hash match therefore requires every Spark-side estimate to honor the
+    published bound. The exact pass exists only to make the estimate
+    verifiable; production queries merge persisted sketch bytes alone."""
     ev = load(spark, sf_dir, "events")
-    # both output branches (per-type estimates and the merged union) read
-    # this aggregate — cache it or the scan+sketch work runs twice
+    # both output branches (per-type and the merged union) read this
+    # aggregate — cache it or the scan+sketch work runs twice
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
     ).cache()
-    merged = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_users"),
-        F.sum("exact_users").alias("sum_per_type_exact"),
-    )
-    per_type_est = per_type.select(
+
+    def bound(est: Column, exact: Column) -> Column:
+        rel = est.cast("double") / exact.cast("double") - 1.0
+        return F.abs(rel) <= 0.05
+
+    per_type_out = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("est_users"),
         "exact_users",
+        bound(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
     )
-    total = merged.select(
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total")
+    )
+    exact_total = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    total = exact_total.crossJoin(merged).select(
         F.lit("__all__").alias("event_type"),
-        F.col("est_total_users").alias("est_users"),
-        F.lit(None).cast("long").alias("exact_users"),
+        "exact_users",
+        bound(F.col("est_total"), F.col("exact_users")).alias("within_bound"),
     )
-    return per_type_est.unionByName(total)
+    return per_type_out.unionByName(total)
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -473,32 +498,64 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketch_cms")  # rows-only: sketch estimates are engine-specific
-def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable count-min frequency sketches: per-day CMS of user_id
-    built in one distributed pass (eps=0.1%, conf=99.9%), merged, then
-    point-queried for the exact top-10 heaviest users. The same
-    re-aggregable pattern as agg_sketch_hll but for FREQUENCIES: at
-    100 TB you persist per-partition sketch bytes (~KB each) and answer
-    "how often did key K appear in any date range" by merging sketches,
-    never rescanning raw data. Only sketch BYTES reach the driver (one
-    row per day) — the merge is over artifacts designed to be collected.
-    CMS never underestimates; the overestimate bound is asserted in
-    tests/test_sketches.py."""
-    ev = load(spark, sf_dir, "events")
+def merged_cms_sketch(spark: SparkSession, ev: DataFrame):
+    """Build per-day count-min sketches of `user_id` distributed, then
+    merge the (KB-sized) sketch bytes driver-side. Returns the merged JVM
+    CountMinSketch and the total stream length the eps-bound scales with.
+    Shared by `agg_sketch_cms` and tests/test_sketches.py's tight-bound
+    assertion."""
     per_day = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").alias("sk")
+        F.expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").alias("sk"),
+        F.count("*").alias("n_rows"),
     )
     jvm = spark.sparkContext._jvm
     merged = None
+    n_total = 0
     for r in per_day.collect():
         s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
             bytes(r.sk)
         )
+        n_total += r.n_rows
         if merged is None:
             merged = s
         else:
             merged.mergeInPlace(s)
+    return merged, n_total
+
+
+@query(
+    "agg_sketch_cms",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    )
+    SELECT user_id, exact_count, TRUE AS within_bound
+    FROM counts
+    ORDER BY exact_count DESC, user_id
+    LIMIT 10
+    """,
+)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min frequency sketches: per-day CMS of user_id
+    built in one distributed pass (eps=0.1%, conf=99.9%), merged, then
+    point-queried for the 10 heaviest users. The same re-aggregable
+    pattern as agg_sketch_hll but for FREQUENCIES: at 100 TB you persist
+    per-partition sketch bytes (~KB each) and answer "how often did key K
+    appear in any date range" by merging sketches, never rescanning raw
+    data. Only sketch BYTES reach the driver (one row per day) — the
+    merge is over artifacts designed to be collected.
+
+    Sketch estimates are engine-specific, so the graded output is the
+    portable CONTRACT per probe key: the exact count plus a
+    `within_bound` boolean encoding the one-sided count-min guarantee
+    (exact <= est <= exact + eps*N at confidence 99.9%). The oracle emits
+    the same probe set with TRUE; a hash match forces every estimate to
+    honor the bound. The exact pass exists only to pick the probe set and
+    verify — the production path queries the merged sketch alone (the
+    tight-bound assertion lives in tests/test_sketches.py)."""
+    ev = load(spark, sf_dir, "events")
+    jvm = spark.sparkContext._jvm
+    merged, n_total = merged_cms_sketch(spark, ev)
     top = (
         ev.groupBy("user_id")
         .count()
@@ -506,10 +563,17 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .collect()
     )
-    data = [
-        (r.user_id, r["count"], merged.estimateCount(jvm.java.lang.Long(r.user_id)))
-        for r in top
-    ]
+    eps_bound = int(0.001 * n_total) + 1
+    data = []
+    for r in top:
+        est = merged.estimateCount(jvm.java.lang.Long(r.user_id))
+        data.append(
+            (
+                r.user_id,
+                r["count"],
+                bool(r["count"] <= est <= r["count"] + eps_bound),
+            )
+        )
     return spark.createDataFrame(
-        data, "user_id long, exact_count long, est_count long"
+        data, "user_id long, exact_count long, within_bound boolean"
     )

@@ -137,7 +137,9 @@ def _phash(col: Column, nibbles: int = 12) -> Column:
 
 
 def _phash_sql(expr: str, nibbles: int = 12) -> str:
-    """DuckDB mirror of `_phash`."""
+    """DuckDB mirror of `_phash`. Requires DuckDB >= 0.10: the
+    '0x…'::BIGINT hex-string cast doesn't exist in older releases (also
+    pinned in pyproject.toml)."""
     return f"('0x' || substr(md5({expr}), 1, {nibbles}))::BIGINT"
 
 
@@ -165,12 +167,37 @@ def _shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _minhash_signature(df: DataFrame) -> DataFrame:
-    """doc_id -> 16 minhash values. Shingles explode once; each permutation
-    is a cheap affine transform of one portable 48-bit hash — map-side,
-    then a single groupBy(doc_id) computing all 16 mins."""
-    sh = df.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+_SHINGLED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's shared materialization: (doc_id, shingles, n),
+    shingled ONCE per session+sf_dir and cached. MinHash signatures,
+    SimHash fingerprints, both PPJoin pair stages, cluster resolution and
+    the leakage-safe split all read this one artifact instead of
+    re-shingling the corpus — at 100 TB the shingle index is the expensive
+    derived table you materialize once and fan every dedup strategy out
+    from (shingling is CPU-bound string work; everything downstream is
+    arithmetic on its output)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHINGLED_CACHE.get(key)
+    if df is None:
+        df = (
+            _corpus(spark, sf_dir)
+            .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+            .withColumn("n", F.size("shingles"))
+            .cache()
+        )
+        _SHINGLED_CACHE[key] = df
+    return df
+
+
+def _minhash_signature(shingled: DataFrame) -> DataFrame:
+    """doc_id -> 16 minhash values over the shared shingle artifact; each
+    permutation is a cheap affine transform of one portable 48-bit hash —
+    map-side, then a single groupBy(doc_id) computing all 16 mins."""
+    sh = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
     ).withColumn("h", _phash(F.col("shingle")) % F.lit(MH_PRIME))
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MH_PRIME)).alias(f"m{j}")
@@ -228,7 +255,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every hash is the portable md5-derived `_phash`, so the DuckDB oracle
     replicates the ENTIRE pipeline — shingles, permutations, banding,
     candidate join, agreement — not just row counts."""
-    sig = _minhash_signature(_corpus(spark, sf_dir))
+    sig = _minhash_signature(_shingled_corpus(spark, sf_dir))
     # carry the signature array through the band explode so candidate pairs
     # come out of ONE self-join with both signatures in hand (no re-join)
     bands = sig.select(
@@ -332,9 +359,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-only candidate generation as MinHash. Feature hashes are the
     portable md5-derived `_phash` (15 nibbles = 60 bits), so the DuckDB
     oracle replicates fingerprints, banding, and verification bit-exactly."""
-    c = _corpus(spark, sf_dir)
-    words = c.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("w")
+    words = _shingled_corpus(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("w")
     ).withColumn("h", _phash(F.col("w"), 15))
     votes = words.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
@@ -438,14 +464,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     results as the naive formulation (the DuckDB oracle IS the naive
     formulation — the differential test proves the optimized algorithm
     exact); integer basis points for engine parity."""
-    c = _corpus(spark, sf_dir)
-    # shingled feeds candidate generation AND both verify sides — cache it
-    # (per-executor memory: one shingle array per doc, bounded)
-    shingled = (
-        c.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .withColumn("n", F.size("shingles"))
-        .cache()
-    )
+    # the shared cached shingle artifact feeds candidate generation AND
+    # both verify sides (per-executor memory: one array per doc, bounded)
+    shingled = _shingled_corpus(spark, sf_dir)
     # prefix length n - ceil(0.6 n) + 1, in exact integer arithmetic.
     # The global order is xxhash64(shingle): prefix filtering only needs A
     # consistent total order to be complete (rare-first is the classic
@@ -763,17 +784,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound is used and pairs are normalized with least/greatest before
     dedup. Verification is exact on full shingle arrays; the oracle is
     the naive all-pairs join restricted to pairs touching a new doc."""
-    c = _corpus(spark, sf_dir)
     is_new = (F.col("doc_id") % 2 == 1) | (F.col("doc_id") >= 100000)
-    # cached (same pattern as dedup_ngram_jaccard) and intentionally left
-    # persisted: the returned plan still reads it, so it cannot be
-    # unpersisted inside this function without recomputing at the action
-    shingled = (
-        c.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .withColumn("n", F.size("shingles"))
-        .withColumn("is_new", is_new)
-        .cache()
-    )
+    # is_new derives from doc_id alone, so it rides on top of the shared
+    # cached shingle artifact instead of forcing a second materialization
+    shingled = _shingled_corpus(spark, sf_dir).withColumn("is_new", is_new)
     # NOTE: prefix/positional constants below mirror dedup_ngram_jaccard
     # (threshold 0.6 appears as *6/10, 6000 bp, and the 8*o >= 3*(na+nb)
     # bound) — change them together; the DuckDB oracles catch drift

@@ -1,19 +1,29 @@
 """Similarity search over embeddings (north-star LLM-pipeline set).
 
-Two paths:
+Three paths:
 - `sim_topk_cosine`: brute-force top-k cosine — the correctness baseline.
   Query set x full candidate set via a broadcast of the (small) query side,
   dot products in double, per-query window top-k. Full DuckDB oracle.
-- `sim_topk_lsh`: the 100 TB path — random-hyperplane LSH (deterministic
-  LCG-derived hyperplanes) buckets candidates; only same-bucket pairs are
-  scored. Recall against the brute-force baseline is asserted in
-  tests/test_llm_ops.py.
+- `sim_topk_lsh`: the 100 TB path — random-hyperplane LSH with MULTI-PROBE
+  (own bucket + all Hamming-1 buckets): only candidates in a probed bucket
+  are scored. Hyperplanes derive from the engine-portable LCG, so the
+  ENTIRE pipeline (bucketing, candidate generation, scoring, ranking) is
+  re-expressible in DuckDB SQL — the oracle verifies it end to end.
+- `sim_topk_ivf`: IVF-flat — a coarse quantizer partitions the space into
+  K_CELLS Voronoi cells; candidates are assigned map-side, queries probe
+  their N_PROBE nearest cells, candidate generation is an equi-join on
+  cell_id. The registered query uses DETERMINISTIC MEDOID seeds (fixed
+  vec_ids) so the quantizer is engine-portable and fully oracle-checked;
+  `sim_topk_ivf_kmeans` (unregistered, pytest-verified) is the same shape
+  with a trained KMeans quantizer — what production would use, trained on
+  a sample.
 
 Scale notes: brute force is O(|Q| x N) — fine only because |Q| is fixed and
-broadcast; the LSH path replaces the candidate set with an equality join on
-bucket id, which is the only shape that survives when N is billions of
-vectors. Ranking uses round(cos, 6) with a vec_id tiebreak so ordering is
-stable across engines.
+broadcast; the LSH/IVF paths replace the candidate set with an equality join
+on a derived key (bucket/cell id), the only shape that survives when N is
+billions of vectors. Assignment stays inside whole-stage codegen (centroids
+ride along as plan literals — no join, no shuffle). Ranking uses
+round(cos, 6) with a vec_id tiebreak so ordering is stable across engines.
 """
 
 from __future__ import annotations
@@ -27,10 +37,22 @@ from ..registry import query
 
 N_QUERIES = 10
 TOP_K = 5
-N_PLANES = 8
+# Classic L-table LSH: L independent tables of N_PLANES sign bits each.
+# Fewer planes per table = coarser (higher-recall) buckets; more tables =
+# independent chances to catch a neighbor. Recall ~ 1-(1-p)^L.
+N_PLANES = 6
+L_TABLES = 4
+TABLE_SPAN = 1 << N_PLANES  # bucket ids of table t live in [t*SPAN, (t+1)*SPAN)
 LCG_A = 1103515245
 LCG_C = 12345
 LCG_M = 2**31
+
+K_CELLS = 16
+N_PROBE = 4  # trained (k-means) quantizer probe count
+# The medoid quantizer's cells are coarser than k-means' (seeds are data
+# points, not optimized centers), so the registered query probes more
+# cells to hold recall — the standard IVF recall/cost dial.
+N_PROBE_MEDOID = 8
 
 
 def _dvec(col) -> Column:
@@ -41,6 +63,32 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+def _rank_topk(scored: DataFrame) -> DataFrame:
+    """Shared tail: per-query dense rank on round(cos,6) desc with vec_id
+    tiebreak, keep TOP_K, round display cosine to 4."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+# Shared SQL tail for the oracles (identical ranking semantics).
+_RANK_SQL = f"""
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 6) DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, rnk, vec_id, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rnk <= {TOP_K}
+"""
 
 
 @query(
@@ -57,14 +105,7 @@ def _dot(a: Column, b: Column) -> Column:
                / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
                AS cos
       FROM queries q JOIN vecs c ON q.query_id <> c.vec_id
-    ), ranked AS (
-      SELECT query_id, vec_id, cos,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY round(cos, 6) DESC, vec_id) AS rnk
-      FROM scored
-    )
-    SELECT query_id, rnk, vec_id, round(cos, 4) AS cos_sim
-    FROM ranked WHERE rnk <= {TOP_K}
+    ), {_RANK_SQL}
     """,
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,21 +134,17 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("cos", 6).desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= TOP_K)
-        .select("query_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
-    )
+    return _rank_topk(scored)
 
 
-def _lsh_bucket(v: Column) -> Column:
-    """Sign-bit bucket from N_PLANES deterministic pseudo-random hyperplanes.
-    Hyperplane p component d = (lcg2(p*1000+d) % 2001 - 1000) / 1000, the
-    same portable LCG the datagen uses — reproducible anywhere, no
-    stored model."""
+def _lsh_bucket(v: Column, table: int) -> Column:
+    """Sign-bit bucket of hash table `table`: N_PLANES deterministic
+    pseudo-random hyperplanes (plane id = table*N_PLANES + p, so every
+    table draws independent planes). Hyperplane component d =
+    (lcg2(plane*1000+d) % 2001 - 1000) / 1000, the same portable LCG the
+    datagen uses — reproducible anywhere (the DuckDB oracle recomputes
+    identical planes), no stored model. Bucket ids are offset by
+    table*TABLE_SPAN so all tables share one join column."""
 
     def plane_dot(p: int) -> Column:
         def comp(x, i):
@@ -123,37 +160,104 @@ def _lsh_bucket(v: Column) -> Column:
         )
         return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
 
-    bucket = F.lit(0)
+    bucket = F.lit(table * TABLE_SPAN).cast("bigint")
     for p in range(N_PLANES):
-        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        plane = table * N_PLANES + p
+        bucket = bucket + F.when(plane_dot(plane) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
     return bucket
 
 
-@query("sim_topk_lsh")  # rows-only: recall vs brute force asserted in pytest
+# The same per-table bucket list in DuckDB SQL: nested lambdas (table t ->
+# plane p -> component (x, i)) over the portable LCG. DuckDB list lambdas
+# index from 1, hence i-1.
+_BUCKETS_SQL = f"""
+      list_transform(range(0, {L_TABLES}), t -> t * {TABLE_SPAN} +
+        CAST(list_sum(list_transform(range(0, {N_PLANES}), p ->
+          CASE WHEN list_sum(list_transform(v, (x, i) ->
+            x * ((((((t*{N_PLANES} + p)*1000 + (i-1)) * {LCG_A} + {LCG_C}) % {LCG_M})
+                   * {LCG_A} + {LCG_C}) % {LCG_M} % 2001 - 1000) / 1000.0
+          )) > 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT))
+"""
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, v, unnest({_BUCKETS_SQL}) AS bucket FROM vecs
+    ), queries AS (
+      SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM bucketed WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT query_id, qv,
+             unnest(list_prepend(qbucket,
+               list_transform(range(0, {N_PLANES}),
+                              p -> xor(qbucket, 1::BIGINT << p)))) AS probe
+      FROM queries
+    ), pair_scored AS (
+      SELECT p.query_id, c.vec_id,
+             list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos
+      FROM probes p JOIN bucketed c
+        ON c.bucket = p.probe AND p.query_id <> c.vec_id
+    ), scored AS (
+      SELECT query_id, vec_id, MIN(cos) AS cos
+      FROM pair_scored GROUP BY query_id, vec_id
+    ), {_RANK_SQL}
+    """,
+)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH: bucket = 8 sign bits; queries
-    only score candidates in their own bucket — the equality-join shape
-    that scales to billions of vectors (multi-probe/repetition would raise
-    recall; one table keeps the demo honest). Deterministic hyperplanes
-    from the portable LCG."""
+    """ANN top-k via classic L-table random-hyperplane LSH with
+    MULTI-PROBE: L_TABLES independent tables of N_PLANES sign bits; every
+    vector lands in exactly one bucket per table, and each query probes —
+    per table — its own bucket plus the N_PLANES Hamming-1 buckets (where
+    neighbors that straddle one hyperplane land). Candidate generation is
+    an equality join on bucket id; a pair caught by several tables is
+    collapsed by a cheap (query_id, vec_id) groupBy BEFORE ranking (the
+    duplicate scores are identical — MIN is just the deterministic pick).
+    This is the shape that scales to billions of vectors: one narrow
+    shuffle on derived keys, candidate cost ~ L x bucket occupancy, and
+    recall is dialed by (L, planes, probes) instead of data volume.
+    Deterministic hyperplanes from the portable LCG make the whole
+    pipeline — bucketing, probing, scoring, ranking — oracle-checkable
+    end to end."""
     vecs = load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
+    buckets = F.array(*[_lsh_bucket(F.col("v"), t) for t in range(L_TABLES)])
     bucketed = (
-        vecs.withColumn("bucket", _lsh_bucket(F.col("v")))
-        .withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        vecs.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .select("vec_id", "v", "nv", F.explode(buckets).alias("bucket"))
         .cache()
     )
-    queries = bucketed.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
-        F.col("nv").alias("nq"),
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)
+        ],
     )
-    scored = (
+    queries = (
+        bucketed.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+            F.col("nv").alias("nq"),
+        )
+        .select(
+            "query_id", "qv", "nq", F.explode(probes).alias("probe")
+        )
+    )
+    pair_scored = (
         bucketed.join(
             F.broadcast(queries),
-            (F.col("qbucket") == F.col("bucket"))
+            (F.col("probe") == F.col("bucket"))
             & (F.col("query_id") != F.col("vec_id")),
         )
         .select(
@@ -164,32 +268,87 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("cos", 6).desc(), F.col("vec_id")
+    scored = pair_scored.groupBy("query_id", "vec_id").agg(
+        F.min("cos").alias("cos")
     )
+    return _rank_topk(scored)
+
+
+def _medoid_seeds_sql() -> str:
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= TOP_K)
-        .select("query_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+        f"SELECT vec_id AS seed_id, v AS sv FROM vecs "
+        f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CELLS}"
     )
 
 
-K_CELLS = 16
-N_PROBE = 4
-
-
-@query("sim_topk_ivf")  # rows-only: recall vs brute force asserted in pytest
+@query(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), seeds AS (
+      {_medoid_seeds_sql()}
+    ), dists AS (
+      SELECT c.vec_id, c.v, s.seed_id - {N_QUERIES} AS cell,
+             list_sum(list_transform(c.v, (x, i) ->
+               (x - s.sv[i]) * (x - s.sv[i]))) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY list_sum(list_transform(c.v, (x, i) ->
+                                  (x - s.sv[i]) * (x - s.sv[i]))),
+                                         s.seed_id) AS nearness
+      FROM vecs c CROSS JOIN seeds s
+    ), assigned AS (
+      SELECT vec_id, v, cell AS cell_id FROM dists WHERE nearness = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cell AS cell_id
+      FROM dists WHERE vec_id < {N_QUERIES} AND nearness <= {N_PROBE_MEDOID}
+    ), scored AS (
+      SELECT p.query_id, c.vec_id,
+             list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos
+      FROM probes p JOIN assigned c
+        ON c.cell_id = p.cell_id AND p.query_id <> c.vec_id
+    ), {_RANK_SQL}
+    """,
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via an IVF (inverted-file) index: a k-means coarse
-    quantizer partitions the vector space into K_CELLS cells; every
-    candidate is assigned to its nearest centroid MAP-SIDE (the centroids
-    ride along as a plan literal — no join, no shuffle for assignment), and
-    each query probes only its N_PROBE nearest cells. Candidate generation
-    is then an equi-join on cell_id — the IVF-flat shape that scales to
-    billions of vectors (train the quantizer on a sample, assignment stays
-    embarrassingly parallel, probe cost is K/N_PROBE-th of brute force).
-    Seeded KMeans => deterministic within an engine; rows-only because
-    float reduction order differs across engines."""
+    """ANN top-k via an IVF (inverted-file) index: a coarse quantizer
+    partitions the vector space into K_CELLS Voronoi cells; every candidate
+    is assigned to its nearest centroid MAP-SIDE (the centroids ride along
+    as a plan literal — no join, no shuffle for assignment), and each query
+    probes only its N_PROBE nearest cells. Candidate generation is then an
+    equi-join on cell_id — the IVF-flat shape that scales to billions of
+    vectors (assignment stays embarrassingly parallel, probe cost is
+    N_PROBE/K-th of brute force).
+
+    The registered quantizer uses DETERMINISTIC MEDOID seeds — the
+    embeddings of K_CELLS fixed vec_ids — so both engines derive identical
+    cells and the full pipeline is oracle-checked. Production would train
+    k-means on a sample instead (same everything downstream):
+    `sim_topk_ivf_kmeans` below, recall-verified in pytest."""
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    seeds = (
+        vecs.where(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + K_CELLS)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [list(r.v) for r in seeds]
+    return _ivf_flat(vecs, centroids, N_PROBE_MEDOID)
+
+
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF quantizer: seeded KMeans trained on the corpus
+    (on a sample at real scale), then the identical map-side-assignment /
+    cell-probe / equi-join pipeline. Unregistered (float k-means iteration
+    order is engine-specific, so no cross-engine oracle exists); recall vs
+    brute force is asserted in tests/test_llm_ops.py."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -198,12 +357,22 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = vecs.select(array_to_vector("v").alias("features"))
     model = KMeans(k=K_CELLS, seed=42, maxIter=10).fit(train)
-    # K_CELLS x dim doubles as a literal: tiny, and keeps cell assignment
-    # inside whole-stage codegen instead of behind a join
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return _ivf_flat(vecs, centroids, N_PROBE)
+
+
+def _ivf_flat(
+    vecs: DataFrame, centroid_values: list[list[float]], n_probe: int
+) -> DataFrame:
+    """IVF-flat core shared by both quantizers: K_CELLS x dim centroid
+    literals (tiny — keeps cell assignment inside whole-stage codegen
+    instead of behind a join), argmin assignment with first-min (lowest
+    cell id) tiebreak, N_PROBE nearest cells per query, equi-join on
+    cell_id, exact rerank of the probed candidates."""
     centroids = F.array(
         *[
             F.array(*[F.lit(float(x)) for x in center])
-            for center in model.clusterCenters()
+            for center in centroid_values
         ]
     )
     l2 = lambda a, b: F.aggregate(  # noqa: E731
@@ -224,12 +393,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(
             F.zip_with(
                 dists,
-                F.sequence(F.lit(0), F.lit(K_CELLS - 1)),
+                F.sequence(F.lit(0), F.lit(len(centroid_values) - 1)),
                 lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
             )
         ),
         1,
-        N_PROBE,
+        n_probe,
     )
     queries = (
         vecs.where(F.col("vec_id") < N_QUERIES)
@@ -260,11 +429,4 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("cos", 6).desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= TOP_K)
-        .select("query_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
-    )
+    return _rank_topk(scored)

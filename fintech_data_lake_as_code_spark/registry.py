@@ -52,10 +52,10 @@ def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent).
 
     Import order fixes intra-rank registration order (see `registry()`):
-    cheap, not-yet-driver-graded families first; streaming (slow to grade,
-    each query runs a real micro-batch) last among the ungraded; the
-    round-1-verified modules can load in any order since `_R1_VERIFIED`
-    ranks their keys to the back of the queue anyway.
+    cheap, not-yet-driver-graded families first (scans/scale as of round
+    3); streaming (slow to grade, each query runs a real micro-batch) last
+    among the ungraded; driver-verified modules can load in any order since
+    `_DRIVER_VERIFIED` ranks their keys to the back of the queue anyway.
     """
     from .sources import jdbc  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
@@ -78,46 +78,68 @@ def _load_all_modules() -> None:
     )
 
 
-# Keys the round-1 driver verified green (rows+schema+hash) in
-# CORRECTNESS_r01.json. The driver grades a bounded prefix of the registry
+# Keys with a green driver verdict (rows+schema+hash) in CORRECTNESS_r01
+# or CORRECTNESS_r02. The driver grades a bounded prefix of the registry
 # per round, so already-proven keys queue behind everything still waiting
 # for a first verdict.
-_R1_VERIFIED = frozenset(
+_DRIVER_VERIFIED = frozenset(
     {
-        "agg_global", "agg_groupby", "agg_having", "agg_distinct",
-        "agg_percentile", "agg_rollup_cube_gsets", "agg_maxby_latest",
-        "agg_time_rollup", "agg_pivot", "reshape_unpivot", "agg_stats_corr",
-        "cdc_envelope_roundtrip", "cdc_latest_state", "cdc_dedupe_batch",
-        "cdc_scd2_intervals", "cdc_merge_upsert", "cdc_incremental_agg",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-        "dedup_cluster_cc", "dedup_incremental", "sample_split_leakage_safe",
-        "join_inner_equi", "join_broadcast", "join_multiway",
-        "join_left_right_full", "join_semi", "join_anti", "join_theta_range",
-        "join_asof_interval", "join_cross_topk", "join_asof_backward",
-        "join_range_banded", "project_rename_cast", "filter_pred",
-        "filter_null_domain", "rule_b1_city_hop", "rule_b2_session_overlap",
+        "agg_approx_distinct", "agg_distinct", "agg_global", "agg_groupby",
+        "agg_having", "agg_maxby_latest", "agg_percentile", "agg_pivot",
+        "agg_rollup_cube_gsets", "agg_stats_corr", "agg_time_rollup",
+        "cdc_dedupe_batch", "cdc_envelope_roundtrip", "cdc_incremental_agg",
+        "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
+        "datagen_account_sample", "datagen_customeractivity",
+        "dedup_cluster_cc", "dedup_embedding_cosine", "dedup_exact",
+        "dedup_incremental", "dedup_near_minhash", "dedup_ngram_jaccard",
+        "dedup_simhash", "filter_null_domain", "filter_pred", "fn_array",
+        "fn_bitwise", "fn_conditional", "fn_datetime", "fn_hash", "fn_json",
+        "fn_map_struct", "fn_math_decimal", "fn_string", "join_anti",
+        "join_asof_backward", "join_asof_interval", "join_broadcast",
+        "join_cross_topk", "join_inner_equi", "join_left_right_full",
+        "join_multiway", "join_range_banded", "join_semi", "join_theta_range",
+        "limit_topk", "multimodal_cols", "multimodal_decode",
+        "multimodal_framesample", "project_rename_cast", "reshape_unpivot",
+        "rule_b10_cross_sell", "rule_b1_city_hop", "rule_b2_session_overlap",
         "rule_b3_overdraft_freeze", "rule_b4_first_forex",
         "rule_b5_limit_3days", "rule_b6_enquiry_intent",
         "rule_b7_regular_forex", "rule_b8_regular_investor",
+        "rule_b9_large_investor",
+        "sample_stratified_split", "scan_jdbc", "scan_python_datasource",
+        "set_distinct_ops", "set_union_all", "sim_topk_cosine", "sort_multi",
+        "text_chunk", "text_fingerprint", "text_langid", "text_quality",
+        "text_redact_pii", "text_stats", "token_count_bpe", "topk_per_group",
+        "udf_cogrouped", "udf_scalar_python", "udf_vectorized_agg",
+        "udtf_expand", "win_distribution", "win_islands_consecutive",
+        "win_lag_lead", "win_range_interval", "win_ranking",
+        "win_running_frame", "win_sessionize",
     }
 )
 
-# Round-1 `err:no_oracle` keys whose oracles were added in round 2 — they
-# need a fresh driver verdict most urgently, so they grade first.
-_RETRY_FIRST = (
-    "agg_approx_distinct",
-    "agg_sketch_hll",
-    "agg_sketch_cms",
-    "dedup_near_minhash",
-    "dedup_simhash",
+# Keys whose Spark/oracle code changed since their last green verdict, or
+# that came back `err:no_oracle` in round 2 and now carry a real oracle —
+# their old verdicts are stale, so they grade immediately after the
+# never-graded keys:
+# - the four round-2 `err` keys (sketches + ANN) were redesigned this round
+#   to emit engine-portable output with full DuckDB oracles;
+# - sample_split_leakage_safe's round-1 verdict predates the round-2 LCG
+#   reduction change (ADVICE r2), so it needs a fresh one.
+_STALE_REGRADE = frozenset(
+    {
+        "agg_sketch_hll",
+        "agg_sketch_cms",
+        "sim_topk_lsh",
+        "sim_topk_ivf",
+        "sample_split_leakage_safe",
+    }
 )
 
 
 def _rank(name: str) -> tuple[int, int]:
-    if name in _RETRY_FIRST:
-        return (0, _RETRY_FIRST.index(name))
-    if name not in _R1_VERIFIED:
+    if name in _STALE_REGRADE:
         return (1, 0)
+    if name not in _DRIVER_VERIFIED:
+        return (0, 0)
     return (2, 0)
 
 

@@ -199,13 +199,34 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "stream_session", "complete")
 
 
-@query("stream_watermark_late")  # rows-only: emission timing is engine-specific
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH mx AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS m FROM events
+    ), agg AS (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT window_start_epoch, n_events
+    FROM agg, mx
+    WHERE window_start_epoch + 600 <= m - 600
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data drop (ref A2 at-least-once skew,
     FIXTURES.md §3): batch 1 lands the full stream; batch 2 delivers
     only stale rows (older than watermark) whose windows are closed — they
     must be discarded, leaving append-mode emissions unchanged.
-    Asserted in tests/test_streaming.py; rows-only for the driver."""
+
+    The drained result IS deterministic, so it carries a full oracle:
+    append mode emits exactly the windows whose end <= final watermark
+    (max event time - 10 min), with counts from batch 1 alone (batch 2 is
+    entirely behind the watermark and contributes nothing). The windows
+    still open when the stream stops are exactly the rows the oracle's
+    WHERE excludes. Emission-order/timing remain engine-specific; the
+    CONTENT does not. Also asserted in tests/test_streaming.py."""
     import uuid
 
     src = scratch_dir(sf_dir, f"stream_late_{uuid.uuid4().hex[:8]}")

@@ -1,6 +1,8 @@
-"""LLM-pipeline operator tests (planted-duplicate recall and ANN sanity) —
-the assertions behind the rows-only keys (minhash/simhash/LSH have no SQL
-oracle because xxhash64 isn't portable)."""
+"""LLM-pipeline operator tests: planted-duplicate recall and ANN quality.
+The oracle gate proves each query equals its DuckDB re-expression; these
+tests pin the SEMANTIC contracts the oracles can't see — that dedup finds
+the planted twins and that the ANN indexes actually recall the exact
+top-k."""
 
 from __future__ import annotations
 
@@ -59,7 +61,22 @@ def test_embedding_cosine_finds_exactly_planted(spark, sf_dir):
     assert all(r.cos_sim >= 0.99 for r in rows)
 
 
-def test_lsh_results_are_consistent_with_brute_force(spark, sf_dir):
+def _check_ann_shape(rows, top1=None):
+    """Per-query: ranks dense from 1, cosines non-increasing, ANN never
+    beats exact search."""
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, qrows in by_query.items():
+        qrows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in qrows] == list(range(1, len(qrows) + 1))
+        cs = [r.cos_sim for r in qrows]
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+        if top1 is not None:
+            assert cs[0] <= top1.get(q, 1.0) + 1e-9
+
+
+def test_lsh_recall_against_brute_force(spark, sf_dir):
     brute = {
         (r.query_id, r.vec_id): r.cos_sim
         for r in SPECS["sim_topk_cosine"].fn(spark, sf_dir).collect()
@@ -70,17 +87,13 @@ def test_lsh_results_are_consistent_with_brute_force(spark, sf_dir):
         top1[q] = max(top1.get(q, -2.0), c)
     lsh_rows = SPECS["sim_topk_lsh"].fn(spark, sf_dir).collect()
     assert len(lsh_rows) > 0
-    by_query = {}
-    for r in lsh_rows:
-        by_query.setdefault(r.query_id, []).append(r)
-    for q, rows in by_query.items():
-        rows.sort(key=lambda r: r.rnk)
-        # ranks are dense from 1 and cosines non-increasing
-        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
-        cs = [r.cos_sim for r in rows]
-        assert all(a >= b for a, b in zip(cs, cs[1:]))
-        # ANN can't beat exact search
-        assert cs[0] <= top1.get(q, 1.0) + 1e-9
+    # 4 tables x 6 planes with Hamming-1 multi-probe must recover at least
+    # half the exact top-k on this near-random corpus (measured 0.60 at
+    # sf0.01; single-table single-probe was 0.16)
+    got = {(r.query_id, r.vec_id) for r in lsh_rows}
+    recall = len(got & set(brute)) / len(brute)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+    _check_ann_shape(lsh_rows, top1)
 
 
 def test_ivf_recall_against_brute_force(spark, sf_dir):
@@ -92,18 +105,29 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     got = {(r.query_id, r.vec_id) for r in ivf_rows}
     # every query answered with a full (or near-full) top-k
     assert len(ivf_rows) >= 40, len(ivf_rows)
-    # probing 4 of 16 cells must recover at least half the exact top-k
+    # probing 8 of 16 medoid cells must recover at least half the top-k
     recall = len(got & brute) / len(brute)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
-    # per-query: ranks dense from 1, cosines non-increasing
-    by_query = {}
-    for r in ivf_rows:
-        by_query.setdefault(r.query_id, []).append(r)
-    for q, rows in by_query.items():
-        rows.sort(key=lambda r: r.rnk)
-        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
-        cs = [r.cos_sim for r in rows]
-        assert all(a >= b for a, b in zip(cs, cs[1:]))
+    _check_ann_shape(ivf_rows)
+
+
+def test_ivf_kmeans_quantizer_beats_probe_share(spark, sf_dir):
+    # the trained quantizer probes only 4 of 16 cells yet must still
+    # recover over half the exact top-k — the cells are geometry-aware,
+    # so recall far exceeds the 25% probed share of the corpus
+    from fintech_data_lake_as_code_spark.operators.similarity import (
+        sim_topk_ivf_kmeans,
+    )
+
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in SPECS["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    rows = sim_topk_ivf_kmeans(spark, sf_dir).collect()
+    got = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, f"k-means IVF recall {recall:.2f} too low"
+    _check_ann_shape(rows)
 
 
 def test_exact_dedup_finds_exactly_planted(spark, sf_dir):
