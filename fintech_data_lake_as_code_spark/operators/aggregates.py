@@ -577,3 +577,64 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         data, "user_id long, exact_count long, within_bound boolean"
     )
+
+
+ROLL_DAYS = 7
+
+
+@query(
+    "agg_rolling_distinct",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch
+      FROM events
+    ), bounds AS (
+      SELECT MAX(day_epoch) AS max_day FROM daily
+    ), contrib AS (
+      SELECT d.user_id, d.day_epoch + k.k * 86400 AS target_day_epoch
+      FROM daily d
+      CROSS JOIN (SELECT unnest(range(0, {ROLL_DAYS})) AS k) k
+    )
+    SELECT c.target_day_epoch AS day_epoch,
+           COUNT(DISTINCT c.user_id) AS users_{ROLL_DAYS}d
+    FROM contrib c, bounds b
+    WHERE c.target_day_epoch <= b.max_day
+    GROUP BY c.target_day_epoch
+    """,
+)
+def agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLL_DAYS}-day DISTINCT users per day — the windowed
+    distinct that window functions cannot express (COUNT(DISTINCT) OVER a
+    sliding frame is unsupported in Spark AND naively needs per-frame set
+    state). The scalable rewrite is CONTRIBUTION EXPLODE: reduce events to
+    distinct (user, day) pairs first (the heavy shuffle, on high-
+    cardinality keys), then each pair contributes to the {ROLL_DAYS}
+    target days it is visible in — a map-side explode multiplying the
+    ALREADY-reduced relation, never raw events — and one groupBy counts
+    distinct users per target day. Work is O(active-pairs x window-days)
+    regardless of event volume; day arithmetic is pure epoch-second
+    integers (UTC-pinned), identical in both engines. Trailing ghost days
+    past the data's end are clipped against the max observed day."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+    ).distinct()
+    contrib = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day_epoch"),
+                F.col("day_epoch") + (ROLL_DAYS - 1) * 86400,
+                F.lit(86400),
+            )
+        ).alias("target_day_epoch"),
+    )
+    max_day = daily.agg(F.max("day_epoch").alias("max_day"))
+    return (
+        contrib.join(F.broadcast(max_day))
+        .where(F.col("target_day_epoch") <= F.col("max_day"))
+        .groupBy(F.col("target_day_epoch").alias("day_epoch"))
+        .agg(F.countDistinct("user_id").alias(f"users_{ROLL_DAYS}d"))
+    )

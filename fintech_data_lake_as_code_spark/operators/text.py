@@ -539,3 +539,72 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(sample_batches, _FRAMES_OUT)
+
+
+CTX_TOKENS = 256  # target training context length, in whitespace tokens
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM toks
+    )
+    SELECT source,
+           CAST(cum_before // {CTX_TOKENS} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY source, CAST(cum_before // {CTX_TOKENS} AS BIGINT)
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING for LLM training: documents are concatenated in
+    deterministic (source, doc_id) order and cut into fixed CTX_TOKENS
+    context windows; each doc is assigned to the window its first token
+    falls in (`seq_id = floor(tokens_before / CTX)` — the running-sum
+    formulation of concat-and-chunk packing). Output is the packing
+    manifest per (source, sequence): doc count, token count and the doc-id
+    range, which is exactly what a training dataloader needs to material-
+    ize shard files.
+
+    Scale: one window (shuffle on `source` + in-partition sort by doc_id)
+    and one reassociative groupBy that reuses the same partitioning — no
+    UDF, no driver loop. `source` is a coarse partition key; at 100 TB you
+    sub-partition it (e.g. (source, doc_id bucket) with per-bucket token
+    offsets re-based map-side) so no single packing partition exceeds an
+    executor — the running-sum shape is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / CTX_TOKENS).alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -292,3 +292,87 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hour_cents"),
         F.count(F.lit(1)).over(w).alias("hour_n"),
     )
+
+
+@query(
+    "win_funnel_conversion",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), clicks AS (
+      SELECT e.user_id, CAST(floor(epoch(min(e.ts))) AS BIGINT) AS t_click
+      FROM events e JOIN views v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) > v.t_view
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) <= v.t_view + 7 * 86400
+      GROUP BY e.user_id
+    ), purchases AS (
+      SELECT e.user_id, CAST(floor(epoch(min(e.ts))) AS BIGINT) AS t_purchase
+      FROM events e JOIN clicks c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS funnel_stage
+    FROM views v
+    LEFT JOIN clicks c ON v.user_id = c.user_id
+    LEFT JOIN purchases p ON c.user_id = p.user_id
+    """,
+)
+def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence (funnel) matching: per user, the first view,
+    the first click strictly AFTER that view (within a 7-day horizon), and
+    the first purchase strictly after that click — `funnel_stage` counts
+    how deep each user got. This is MATCH_RECOGNIZE-lite expressed as
+    stage-wise filtered aggregations joined on user_id: every stage is one
+    filtered groupBy + an equi-join against the previous stage's anchor
+    time, so the whole funnel costs three narrow shuffles on the SAME key
+    (co-partitioned end to end; AQE collapses the exchanges) and holds no
+    per-user state — the shape that survives 100 TB of events where a
+    per-user sort-and-scan UDF would not. The 7-day click horizon bounds
+    the stage-2 candidate range the way a production funnel bounds state
+    retention. Epoch-seconds comparisons keep both engines identical."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("te")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("te").alias("t_view"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(
+            (F.col("te") > F.col("t_view"))
+            & (F.col("te") <= F.col("t_view") + 7 * 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("te").alias("t_click"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("te") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("te").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            stage.alias("funnel_stage"),
+        )
+    )

@@ -92,3 +92,77 @@ def test_exact_sum_identical_under_any_partitioning(spark, n_part):
     # and identical across partitionings (the order-independence invariant)
     base = df.coalesce(1).agg(exact_sum(F.col("v")).alias("s")).first().s
     assert got == base
+
+
+def test_funnel_stages_are_consistent(spark, sf_dir):
+    # stage timestamps must be strictly ordered and stage counts monotone:
+    # every stage-3 user is a stage-2 user is a stage-1 user
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    rows = registry()["win_funnel_conversion"].fn(spark, sf_dir).collect()
+    assert rows, "no funnel entrants"
+    for r in rows:
+        if r.funnel_stage >= 2:
+            assert r.t_click is not None and r.t_click > r.t_view
+            assert r.t_click <= r.t_view + 7 * 86400
+        else:
+            assert r.t_click is None
+        if r.funnel_stage == 3:
+            assert r.t_purchase is not None and r.t_purchase > r.t_click
+        else:
+            assert r.t_purchase is None
+    stages = {s: sum(1 for r in rows if r.funnel_stage >= s) for s in (1, 2, 3)}
+    assert stages[1] >= stages[2] >= stages[3]
+
+
+def test_pack_sequences_partitions_the_corpus_exactly(spark, sf_dir):
+    # packing is a partition of the corpus: doc counts and token counts
+    # must add up exactly, and doc-id ranges of consecutive sequences of
+    # one source must not interleave
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    rows = registry()["text_pack_sequences"].fn(spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    totals = d.select(
+        F.count("*").alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("t"),
+    ).first()
+    assert sum(r.n_docs for r in rows) == totals.n
+    assert sum(r.n_tokens for r in rows) == totals.t
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, seqs in by_source.items():
+        seqs.sort(key=lambda r: r.seq_id)
+        for a, b in zip(seqs, seqs[1:]):
+            assert a.last_doc < b.first_doc, (src, a, b)
+
+
+def test_rolling_distinct_dominates_daily_distinct(spark, sf_dir):
+    # a 7-day window can never see fewer users than its last day alone,
+    # nor more than the global distinct count
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    roll = {
+        r.day_epoch: r.users_7d
+        for r in registry()["agg_rolling_distinct"].fn(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    daily = {
+        r.d: r.u
+        for r in ev.groupBy(
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("d")
+        )
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    total = ev.select("user_id").distinct().count()
+    for day, users in daily.items():
+        assert roll[day] >= users
+        assert roll[day] <= total
