@@ -608,3 +608,56 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "text_idf_rarity",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+      FROM documents
+    ), dfreq AS (
+      SELECT w, COUNT(*) AS df FROM words GROUP BY w
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(FLOOR(SUM(FLOOR(10000 / df)) / COUNT(*)) AS BIGINT) AS rarity_bp
+    FROM words JOIN dfreq USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring: per-document mean inverse
+    document frequency in basis points — docs made of corpus-rare words
+    score high, boilerplate-heavy docs score low (the IDF half of TF-IDF
+    as a training-data quality filter). Two passes over the distinct
+    (doc, word) relation: a document-frequency aggregate, then a join
+    back and a per-doc reduce. INTEGER-EXACT by construction:
+    floor(10000/df) and the floored mean avoid float log/division
+    portability hazards entirely (exact for any df < 2^53 — a correctly
+    rounded double quotient can only cross an integer boundary when the
+    true quotient IS that integer).
+
+    Scale: df fits the vocabulary (~Heaps' law, millions of rows at
+    100 TB, not billions) so AQE broadcasts the join's df side; both
+    groupBys partial-aggregate map-side. The distinct word explode is the
+    dominant shuffle and is shared by both passes."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), " "))
+        ).alias("w"),
+    )
+    dfreq = words.groupBy("w").agg(F.count("*").alias("df"))
+    return (
+        words.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.floor(
+                F.sum(F.floor(F.lit(10000) / F.col("df"))) / F.count("*")
+            )
+            .cast("bigint")
+            .alias("rarity_bp"),
+        )
+    )

@@ -376,3 +376,85 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage.alias("funnel_stage"),
         )
     )
+
+
+@query(
+    "win_asof_gap_fill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+             CAST(floor(epoch(ts)) AS BIGINT) AS te, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ), hourly AS (
+      SELECT user_id, hour_epoch, cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, hour_epoch
+                                     ORDER BY te DESC, event_id DESC) AS rn
+        FROM ev) t WHERE rn = 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(hour_epoch), max(hour_epoch), 3600))
+               AS hour_epoch
+      FROM hourly GROUP BY user_id
+    )
+    SELECT s.user_id, s.hour_epoch,
+           last_value(h.cents IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.hour_epoch
+                   ROWS UNBOUNDED PRECEDING) AS cents_filled,
+           h.cents IS NOT NULL AS is_observed
+    FROM spine s LEFT JOIN hourly h USING (user_id, hour_epoch)
+    """,
+)
+def win_asof_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style GAP FILL + LOCF (last observation carried forward):
+    per user, a dense hourly spine from first to last active hour; hours
+    with no events inherit the latest observed value (`is_observed` marks
+    real vs filled rows). This is the time_bucket_gapfill/locf surface of
+    a time-series store (ref A7's hour-bucketed lake) as three relational
+    steps: (1) reduce events to one deterministic row per (user, hour) —
+    last event by (ts, event_id); (2) build the spine MAP-SIDE with
+    explode(sequence(min_hour, max_hour, 3600)) — spine size is bounded by
+    the time span, never by event volume; (3) one left join + an
+    ignore-nulls last() window. Everything shuffles on user_id only, so
+    the reduce, join and fill co-partition; epoch-second integer hours
+    keep both engines identical (UTC pinned by io.load)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        F.unix_timestamp("ts").alias("te"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w_last = Window.partitionBy("user_id", "hour_epoch").orderBy(
+        F.desc("te"), F.desc("event_id")
+    )
+    hourly = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "hour_epoch", "cents")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_epoch").alias("h0"), F.max("hour_epoch").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))
+            ).alias("hour_epoch"),
+        )
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour_epoch"], "left")
+        .select(
+            "user_id",
+            "hour_epoch",
+            F.last("cents", ignorenulls=True).over(wf).alias("cents_filled"),
+            F.col("cents").isNotNull().alias("is_observed"),
+        )
+    )

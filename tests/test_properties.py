@@ -166,3 +166,37 @@ def test_rolling_distinct_dominates_daily_distinct(spark, sf_dir):
     for day, users in daily.items():
         assert roll[day] >= users
         assert roll[day] <= total
+
+
+def test_gap_fill_spine_is_dense_and_filled(spark, sf_dir):
+    # per user: hours are consecutive from first to last active hour, no
+    # nulls after the fill, and first spine row is always observed
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    rows = registry()["win_asof_gap_fill"].fn(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        assert r.cents_filled is not None, r
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    some_gap = False
+    for u, urows in by_user.items():
+        urows.sort(key=lambda r: r.hour_epoch)
+        hours = [r.hour_epoch for r in urows]
+        assert hours == list(range(hours[0], hours[-1] + 1, 3600)), u
+        assert urows[0].is_observed, u
+        some_gap = some_gap or any(not r.is_observed for r in urows)
+    assert some_gap, "corpus has no gaps to fill — test is vacuous"
+
+
+def test_idf_rarity_scores_every_doc_in_range(spark, sf_dir):
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    rows = registry()["text_idf_rarity"].fn(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    # floor(10000/df) is 10000 for hapaxes and >= 0 always; the tiny
+    # shared vocabulary of the synthetic corpus means means stay low
+    assert all(0 <= r.rarity_bp <= 10000 for r in rows)
+    assert len({r.rarity_bp for r in rows}) > 1, "scores degenerate"
