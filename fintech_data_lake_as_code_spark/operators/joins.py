@@ -458,3 +458,89 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("pt_user").alias("n_users"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te
+      FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te,
+             MIN(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.te AS event_epoch,
+           p.purchase_id AS next_purchase_id,
+           p.te - c.te AS secs_until_purchase
+    FROM clicks c
+    ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.te <= p.te
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — the time-reversed sibling of
+    `join_asof_backward`: each click is enriched with the SAME user's next
+    purchase at-or-after it (label lookahead: "did a purchase follow this
+    click, and how soon?" — the conversion-lag feature behind the funnel
+    rule). Completes the as-of family (backward / forward / interval).
+
+    Same scale form as backward — union-tag both sides, ONE window pass
+    per user_id, no range-join pair blow-up — but the frame looks AHEAD:
+    `first(ignorenulls)` over [currentRow, unboundedFollowing]. Ties at
+    the same second sort clicks BEFORE purchases (is_probe descending) so
+    a purchase at exactly the click time is inside the click's forward
+    frame, matching the oracle's inclusive <= bound; purchases pre-reduce
+    to min(event_id) per (user, second) for a deterministic
+    at-equal-time pick."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("te"),
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "te")
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select(
+            "user_id",
+            "te",
+            "purchase_id",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("is_probe"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "te",
+        F.lit(None).cast("long").alias("purchase_id"),
+        "event_id",
+        F.lit(1).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("te", F.desc("is_probe"), F.col("event_id").asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tagged = purch.unionByName(clicks).select(
+        "user_id",
+        "te",
+        "event_id",
+        "is_probe",
+        F.first("purchase_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first(F.when(F.col("is_probe") == 0, F.col("te")), True)
+        .over(w)
+        .alias("next_purchase_epoch"),
+    )
+    return tagged.where(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("te").alias("event_epoch"),
+        "next_purchase_id",
+        (F.col("next_purchase_epoch") - F.col("te"))
+        .cast("long")
+        .alias("secs_until_purchase"),
+    )

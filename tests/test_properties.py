@@ -200,3 +200,35 @@ def test_idf_rarity_scores_every_doc_in_range(spark, sf_dir):
     # shared vocabulary of the synthetic corpus means means stay low
     assert all(0 <= r.rarity_bp <= 10000 for r in rows)
     assert len({r.rarity_bp for r in rows}) > 1, "scores degenerate"
+
+
+def test_asof_forward_finds_the_true_next_purchase(spark, sf_dir):
+    # recompute each user's purchase timeline from raw events and check the
+    # operator's pick IS the earliest at-or-after purchase, with exact lag
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    rows = registry()["join_asof_forward"].fn(spark, sf_dir).collect()
+    assert rows
+    matched = [r for r in rows if r.next_purchase_id is not None]
+    assert matched, "forward as-of is vacuous on this corpus"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("te")
+    )
+    purchases = {}
+    for r in ev.where(F.col("event_type") == "purchase").collect():
+        purchases.setdefault(r.user_id, []).append(r.te)
+    for ts in purchases.values():
+        ts.sort()
+    import bisect
+
+    for r in rows:
+        user_p = purchases.get(r.user_id, [])
+        i = bisect.bisect_left(user_p, r.event_epoch)
+        if r.next_purchase_id is None:
+            assert i == len(user_p), r
+        else:
+            assert r.secs_until_purchase >= 0
+            assert user_p[i] == r.event_epoch + r.secs_until_purchase, r
