@@ -616,10 +616,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 10
 
 
-@query(
-    "dedup_cluster_cc",
-    oracle=f"""
-    WITH RECURSIVE corpus AS ({_PERTURB_SQL}),
+# Shared recursive-CTE fragment: exact-jaccard pair edges + transitive
+# closure (`reach`) over the perturbed corpus. Used by the cluster_cc and
+# keep_best oracles so both verify against the SAME naive formulation.
+_CC_REACH_SQL = f"""
+    corpus AS ({_PERTURB_SQL}),
     shingled AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -651,6 +652,13 @@ CC_MAX_ITERS = 10
       SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node
       WHERE e.other <> r.node
     )
+"""
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {_CC_REACH_SQL}
     SELECT node AS doc_id,
            LEAST(node, MIN(other)) AS cluster_id
     FROM reach
@@ -955,4 +963,58 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_id").alias("n_clusters"),
             F.sum("doc_id").alias("sum_ids"),
         )
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_CC_REACH_SQL},
+    labels AS (
+      SELECT node AS doc_id, LEAST(node, MIN(other)) AS cluster_id
+      FROM reach GROUP BY node
+    ), members AS (
+      SELECT l.doc_id, l.cluster_id,
+             len(string_split(c.text, ' ')) AS n_words
+      FROM labels l JOIN corpus c ON l.doc_id = c.doc_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_words DESC, doc_id) AS rn
+      FROM members
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+           MAX(CASE WHEN rn = 1 THEN n_words END) AS survivor_words,
+           COUNT(*) AS n_members
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVOR ELECTION — the step after cluster resolution that actually
+    deduplicates a training corpus: within every near-dup cluster, keep
+    the single best member and drop the rest. "Best" here is the longest
+    text with min-doc_id tiebreak (production would plug in a quality
+    score like text_idf_rarity/text_quality; the election shape is
+    identical — rank members per cluster, rn=1 survives). Composes
+    dedup_cluster_cc's labels with the corpus: one join, one per-cluster
+    window, one reassociative groupBy — everything after the (cached)
+    pair stage shuffles on cluster_id only. Returns the per-cluster
+    manifest (survivor, its length, member count) a corpus-rewrite job
+    would consume."""
+    from pyspark.sql.window import Window
+
+    labels = dedup_cluster_cc(spark, sf_dir)
+    members = labels.join(_corpus(spark, sf_dir), "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_words"), "doc_id")
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_words"))).alias(
+            "survivor_words"
+        ),
+        F.count("*").alias("n_members"),
     )

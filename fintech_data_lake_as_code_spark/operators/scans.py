@@ -324,3 +324,63 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("id_sum"),
         F.sum(cents).alias("value_cents"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+                ELSE '__legacy__' END AS channel,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION on the JSON lake (ref A2/A4: a schema-on-read lake
+    accretes columns as the OLTP source evolves): an old batch lands
+    without `channel`, a newer batch carries it. One unified read over
+    both generations must surface the union schema, with the missing
+    column null-backfilled for legacy rows — never a rewrite of old data,
+    never a broken reader. The aggregate buckets legacy rows under
+    '__legacy__' and new rows by their channel.
+
+    Spark mechanics: the JSON reader is given the EVOLVED schema
+    explicitly (bronze contract: the lake's current declared schema reads
+    every older generation; absent fields parse as null). At 100 TB this
+    is the only viable path — column addition is a metadata-only change,
+    all historical files stay byte-identical."""
+    out = scratch_dir(sf_dir, "scan_schema_evolution")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        "event_type",
+    )
+    old_gen = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "cents"
+    )
+    new_gen = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "cents", F.col("event_type").alias("channel")
+    )
+    old_gen.write.mode("overwrite").json(out + "/gen1")
+    new_gen.write.mode("overwrite").json(out + "/gen2")
+    evolved = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("channel", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(evolved).json([out + "/gen1", out + "/gen2"])
+    return (
+        back.groupBy(
+            F.coalesce("channel", F.lit("__legacy__")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents"),
+        )
+    )

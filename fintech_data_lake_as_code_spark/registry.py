@@ -123,7 +123,9 @@ _DRIVER_VERIFIED = frozenset(
 # - the four round-2 `err` keys (sketches + ANN) were redesigned this round
 #   to emit engine-portable output with full DuckDB oracles;
 # - sample_split_leakage_safe's round-1 verdict predates the round-2 LCG
-#   reduction change (ADVICE r2), so it needs a fresh one.
+#   reduction change (ADVICE r2), so it needs a fresh one;
+# - the dedup family now reads the shared cached shingle artifact
+#   (plan-shape change; outputs identical, but the old verdicts predate it).
 _STALE_REGRADE = frozenset(
     {
         "agg_sketch_hll",
@@ -131,6 +133,11 @@ _STALE_REGRADE = frozenset(
         "sim_topk_lsh",
         "sim_topk_ivf",
         "sample_split_leakage_safe",
+        "dedup_near_minhash",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_cluster_cc",
+        "dedup_incremental",
     }
 )
 

@@ -197,3 +197,19 @@ def test_leakage_safe_split_keeps_twins_together(spark, sf_dir):
     }
     total = sum(agg.values())
     assert 0.6 < agg.get("train", 0) / total < 0.95, agg
+
+
+def test_keep_best_elects_the_longer_twin(spark, sf_dir):
+    # planted twins append one word, so the +100000 twin must survive its
+    # pair cluster; member counts must cover every labeled doc exactly once
+    rows = SPECS["dedup_keep_best"].fn(spark, sf_dir).collect()
+    assert rows
+    labels = SPECS["dedup_cluster_cc"].fn(spark, sf_dir).collect()
+    assert sum(r.n_members for r in rows) == len(labels)
+    by_cluster = {r.cluster_id: r for r in rows}
+    planted = _planted_doc_pairs(spark, sf_dir)
+    label_of = {r.doc_id: r.cluster_id for r in labels}
+    for orig, twin in planted:
+        c = by_cluster[label_of[orig]]
+        if c.n_members == 2:  # pure pair cluster: twin is longer, wins
+            assert c.survivor_id == twin, (orig, twin, c)
