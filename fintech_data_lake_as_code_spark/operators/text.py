@@ -638,9 +638,11 @@ def text_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     true quotient IS that integer).
 
     Scale: df fits the vocabulary (~Heaps' law, millions of rows at
-    100 TB, not billions) so AQE broadcasts the join's df side; both
-    groupBys partial-aggregate map-side. The distinct word explode is the
-    dominant shuffle and is shared by both passes."""
+    100 TB, not billions) so the join's df side broadcasts (plan-checked);
+    both groupBys partial-aggregate map-side. The word explode itself is
+    map-side work recomputed per pass — cheaper than materializing the
+    exploded relation; at 100 TB you'd cache/checkpoint it only if the
+    corpus scan dominates the two passes."""
     d = load(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
