@@ -65,6 +65,7 @@ def _load_all_modules() -> None:
         text,
         similarity,
         rules,
+        graph,
     )
     from .sources import datagen, pyds  # noqa: F401
     from .operators import scans, scale  # noqa: F401

@@ -232,3 +232,18 @@ def test_asof_forward_finds_the_true_next_purchase(spark, sf_dir):
         else:
             assert r.secs_until_purchase >= 0
             assert user_p[i] == r.event_epoch + r.secs_until_purchase, r
+
+
+def test_pagerank_ranks_are_sane_and_deterministic(spark, sf_dir):
+    # fixed-point PageRank: every rank >= the damping floor, both node
+    # types surface, and a second run is bit-identical (pure function of
+    # the input — no float drift, no RNG)
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    fn = registry()["graph_pagerank"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.rank_scaled >= 150000 for r in rows)
+    assert {r.node_type for r in rows} == {"customer", "supplier"}
+    again = fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
