@@ -453,3 +453,61 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_users") > 0)
     )
+
+
+@query(
+    "cdc_gdpr_erasure",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE user_id % 10 <> 7) AS n_rows_kept,
+           COUNT(*) FILTER (WHERE user_id % 10 = 7)  AS n_rows_erased,
+           COUNT(DISTINCT user_id) FILTER (WHERE user_id % 10 = 7)
+             AS n_users_erased
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten ERASURE PROPAGATION: a deterministic erasure
+    set (user_id % 10 == 7 stands in for the request table) is anti-joined
+    out of the event lake; the surviving rows are REWRITTEN to a new
+    partitioned snapshot (erasure must be physical — filtering at read
+    time is not deletion) and a tombstone audit counts what was removed
+    per event type. The returned manifest reads the REWRITTEN lake for
+    the kept counts, so the oracle match proves the rewrite dropped
+    exactly the erased users and nothing else.
+
+    Scale shape: the erasure set is tiny relative to the lake, so the
+    anti-join broadcasts it (here it is a predicate stand-in, pushed into
+    the scan); the rewrite streams partition-by-partition — at 100 TB you
+    restrict it to the partitions the erased keys actually touch (join
+    the request table against the partition index first) instead of a
+    full-lake rewrite."""
+    from ..io import scratch_dir
+
+    out = scratch_dir(sf_dir, "cdc_gdpr_erasure")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    erased = F.col("user_id") % 10 == 7
+    kept = ev.where(~erased)
+    kept.withColumn("day", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(out)
+    kept_back = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_rows_kept"))
+    )
+    tombstones = (
+        ev.where(erased)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows_erased"),
+            F.countDistinct("user_id").alias("n_users_erased"),
+        )
+    )
+    return kept_back.join(tombstones, "event_type", "outer").select(
+        "event_type",
+        F.coalesce("n_rows_kept", F.lit(0)).alias("n_rows_kept"),
+        F.coalesce("n_rows_erased", F.lit(0)).alias("n_rows_erased"),
+        F.coalesce("n_users_erased", F.lit(0)).alias("n_users_erased"),
+    )

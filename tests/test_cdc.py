@@ -96,3 +96,22 @@ def test_datagen_mirrors_reference_distributions(spark):
     again = customeractivity(spark, n_rows=1000)
     assert df.exceptAll(again).count() == 0 and again.exceptAll(df).count() == 0
     df.unpersist()
+
+
+def test_gdpr_erasure_physically_removes_erased_users(spark, sf_dir):
+    # the rewritten lake on disk must contain ZERO rows for erased users
+    # (reading the manifest is not enough — erasure must be physical)
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    rows = registry()["cdc_gdpr_erasure"].fn(spark, sf_dir).collect()
+    assert sum(r.n_rows_erased for r in rows) > 0, "nothing erased — vacuous"
+    out = scratch_dir(sf_dir, "cdc_gdpr_erasure")
+    leaked = (
+        spark.read.parquet(out)
+        .where(F.col("user_id") % 10 == 7)
+        .count()
+    )
+    assert leaked == 0, f"{leaked} rows of erased users survived the rewrite"
