@@ -275,8 +275,12 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _medoid_seeds_sql() -> str:
+    # cell number = POSITION in the seed_id-ordered list, not seed_id
+    # arithmetic — matches the Spark side's ordered-collect index even if
+    # the id range ever has gaps
     return (
-        f"SELECT vec_id AS seed_id, v AS sv FROM vecs "
+        f"SELECT vec_id AS seed_id, v AS sv, "
+        f"ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell FROM vecs "
         f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CELLS}"
     )
 
@@ -290,7 +294,7 @@ def _medoid_seeds_sql() -> str:
     ), seeds AS (
       {_medoid_seeds_sql()}
     ), dists AS (
-      SELECT c.vec_id, c.v, s.seed_id - {N_QUERIES} AS cell,
+      SELECT c.vec_id, c.v, s.cell,
              list_sum(list_transform(c.v, (x, i) ->
                (x - s.sv[i]) * (x - s.sv[i]))) AS d2,
              ROW_NUMBER() OVER (PARTITION BY c.vec_id
