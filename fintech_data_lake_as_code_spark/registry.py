@@ -52,10 +52,10 @@ def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent).
 
     Import order fixes intra-rank registration order (see `registry()`):
-    cheap, not-yet-driver-graded families first (scans/scale as of round
-    3); streaming (slow to grade, each query runs a real micro-batch) last
-    among the ungraded; driver-verified modules can load in any order since
-    `_DRIVER_VERIFIED` ranks their keys to the back of the queue anyway.
+    within the same verdict-age rank, earlier-imported modules grade
+    first. Keys ranked by `_VERDICT_ROUND` age are mostly order-insensitive;
+    the order below keeps cheap scan/function families ahead of streaming
+    (slow to grade, each query runs a real micro-batch) within a rank.
     """
     from .sources import jdbc  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
@@ -79,76 +79,104 @@ def _load_all_modules() -> None:
     )
 
 
-# Keys with a green driver verdict (rows+schema+hash) in CORRECTNESS_r01
-# or CORRECTNESS_r02. The driver grades a bounded prefix of the registry
-# per round, so already-proven keys queue behind everything still waiting
-# for a first verdict.
-_DRIVER_VERIFIED = frozenset(
-    {
-        "agg_approx_distinct", "agg_distinct", "agg_global", "agg_groupby",
-        "agg_having", "agg_maxby_latest", "agg_percentile", "agg_pivot",
-        "agg_rollup_cube_gsets", "agg_stats_corr", "agg_time_rollup",
-        "cdc_dedupe_batch", "cdc_envelope_roundtrip", "cdc_incremental_agg",
-        "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
-        "datagen_account_sample", "datagen_customeractivity",
-        "dedup_cluster_cc", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_incremental", "dedup_near_minhash", "dedup_ngram_jaccard",
-        "dedup_simhash", "filter_null_domain", "filter_pred", "fn_array",
-        "fn_bitwise", "fn_conditional", "fn_datetime", "fn_hash", "fn_json",
-        "fn_map_struct", "fn_math_decimal", "fn_string", "join_anti",
-        "join_asof_backward", "join_asof_interval", "join_broadcast",
-        "join_cross_topk", "join_inner_equi", "join_left_right_full",
-        "join_multiway", "join_range_banded", "join_semi", "join_theta_range",
-        "limit_topk", "multimodal_cols", "multimodal_decode",
-        "multimodal_framesample", "project_rename_cast", "reshape_unpivot",
-        "rule_b10_cross_sell", "rule_b1_city_hop", "rule_b2_session_overlap",
-        "rule_b3_overdraft_freeze", "rule_b4_first_forex",
-        "rule_b5_limit_3days", "rule_b6_enquiry_intent",
-        "rule_b7_regular_forex", "rule_b8_regular_investor",
-        "rule_b9_large_investor",
-        "sample_stratified_split", "scan_jdbc", "scan_python_datasource",
-        "set_distinct_ops", "set_union_all", "sim_topk_cosine", "sort_multi",
-        "text_chunk", "text_fingerprint", "text_langid", "text_quality",
-        "text_redact_pii", "text_stats", "token_count_bpe", "topk_per_group",
-        "udf_cogrouped", "udf_scalar_python", "udf_vectorized_agg",
-        "udtf_expand", "win_distribution", "win_islands_consecutive",
-        "win_lag_lead", "win_range_interval", "win_ranking",
-        "win_running_frame", "win_sessionize",
-    }
-)
+# Round of each key's latest green driver verdict (rows+schema+hash),
+# from CORRECTNESS_r01–r03.json. The driver grades a bounded prefix (50)
+# of the registry per round, so ranking by verdict AGE keeps every
+# verdict fresh on a rolling basis: never-graded keys and keys whose
+# defining code changed since their last green round grade first, then
+# the oldest-verdict keys, newest last.
+_VERDICT_ROUND: dict[str, int] = {
+    # round 1 greens — oldest verdicts, due for a refresh
+    **dict.fromkeys(
+        [
+            "agg_distinct", "agg_global", "agg_groupby", "agg_having",
+            "agg_maxby_latest", "agg_percentile", "agg_pivot",
+            "agg_rollup_cube_gsets", "agg_stats_corr", "agg_time_rollup",
+            "cdc_dedupe_batch", "cdc_envelope_roundtrip",
+            "cdc_incremental_agg", "cdc_latest_state", "cdc_merge_upsert",
+            "cdc_scd2_intervals", "dedup_embedding_cosine", "dedup_exact",
+            "filter_null_domain", "filter_pred", "join_anti",
+            "join_asof_backward", "join_asof_interval", "join_broadcast",
+            "join_cross_topk", "join_inner_equi", "join_left_right_full",
+            "join_multiway", "join_range_banded", "join_semi",
+            "join_theta_range", "project_rename_cast", "reshape_unpivot",
+            "rule_b1_city_hop", "rule_b2_session_overlap",
+            "rule_b3_overdraft_freeze", "rule_b4_first_forex",
+            "rule_b5_limit_3days", "rule_b6_enquiry_intent",
+            "rule_b7_regular_forex", "rule_b8_regular_investor",
+        ],
+        1,
+    ),
+    # round 2 greens
+    **dict.fromkeys(
+        [
+            "agg_approx_distinct", "fn_array", "fn_bitwise",
+            "fn_conditional", "fn_datetime", "fn_hash", "fn_json",
+            "fn_map_struct", "fn_math_decimal", "fn_string", "limit_topk",
+            "multimodal_cols", "multimodal_decode", "multimodal_framesample",
+            "rule_b10_cross_sell", "rule_b9_large_investor",
+            "sample_stratified_split", "scan_python_datasource",
+            "set_distinct_ops", "set_union_all", "sim_topk_cosine",
+            "sort_multi", "text_chunk", "text_fingerprint", "text_langid",
+            "text_quality", "text_redact_pii", "text_stats",
+            "token_count_bpe", "topk_per_group", "udf_cogrouped",
+            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
+            "win_distribution", "win_islands_consecutive", "win_lag_lead",
+            "win_range_interval", "win_ranking", "win_running_frame",
+            "win_sessionize",
+        ],
+        2,
+    ),
+    # round 3 greens — freshest, grade last
+    **dict.fromkeys(
+        [
+            "agg_rolling_distinct", "agg_sketch_cms", "agg_sketch_hll",
+            "cdc_gdpr_erasure", "datagen_account_sample",
+            "datagen_customeractivity", "dedup_cluster_cc",
+            "dedup_incremental", "dedup_keep_best", "dedup_near_minhash",
+            "dedup_ngram_jaccard", "dedup_simhash", "graph_pagerank",
+            "join_asof_forward", "join_bucketed_colocated",
+            "join_skew_salted", "sample_split_leakage_safe", "scan_csv",
+            "scan_jdbc", "scan_json_corrupt", "scan_json_lines", "scan_orc",
+            "scan_parquet", "scan_partition_pruned",
+            "scan_schema_evolution", "scan_text", "scan_xml",
+            "sim_topk_ivf", "sim_topk_lsh", "sink_compacted",
+            "sink_partitioned", "sink_sorted_lake", "sink_zorder_lake",
+            "sql_pricing_summary", "stream_backfill_availablenow",
+            "stream_bronze_ingest", "stream_dedupe",
+            "stream_foreachbatch_merge", "stream_join_static",
+            "stream_rate_sim", "stream_session", "stream_sliding",
+            "stream_stateful_freeze", "stream_stream_join",
+            "stream_tumbling", "stream_watermark_late", "text_idf_rarity",
+            "text_pack_sequences", "win_asof_gap_fill",
+            "win_funnel_conversion",
+        ],
+        3,
+    ),
+}
 
-# Keys whose Spark/oracle code changed since their last green verdict, or
-# that came back `err:no_oracle` in round 2 and now carry a real oracle —
-# their old verdicts are stale, so they grade immediately after the
-# never-graded keys:
-# - the four round-2 `err` keys (sketches + ANN) were redesigned this round
-#   to emit engine-portable output with full DuckDB oracles;
-# - sample_split_leakage_safe's round-1 verdict predates the round-2 LCG
-#   reduction change (ADVICE r2), so it needs a fresh one;
-# - the dedup family now reads the shared cached shingle artifact
-#   (plan-shape change; outputs identical, but the old verdicts predate it).
+# Keys whose Spark/oracle code materially changed in round 4, after their
+# last green verdict — the old verdict no longer covers the code that
+# ships, so they grade with the never-graded keys:
+# - agg_sketch_cms: single-scan rewrite (probe keys now from the sketch's
+#   own estimates, exact pass moved to tests);
+# - dedup_cluster_cc: large-star/small-star contraction round added;
+# - graph_pagerank: exact BIGINT `div` replaces double-division floor;
+# - cdc_gdpr_erasure: null-safe event_type merge join.
 _STALE_REGRADE = frozenset(
     {
-        "agg_sketch_hll",
         "agg_sketch_cms",
-        "sim_topk_lsh",
-        "sim_topk_ivf",
-        "sample_split_leakage_safe",
-        "dedup_near_minhash",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
         "dedup_cluster_cc",
-        "dedup_incremental",
+        "graph_pagerank",
+        "cdc_gdpr_erasure",
     }
 )
 
 
 def _rank(name: str) -> tuple[int, int]:
-    if name in _STALE_REGRADE:
-        return (1, 0)
-    if name not in _DRIVER_VERIFIED:
+    if name in _STALE_REGRADE or name not in _VERDICT_ROUND:
         return (0, 0)
-    return (2, 0)
+    return (_VERDICT_ROUND[name], 0)
 
 
 def registry() -> dict[str, QuerySpec]:
