@@ -505,8 +505,16 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users_erased"),
         )
     )
-    return kept_back.join(tombstones, "event_type", "outer").select(
-        "event_type",
+    # Null-safe merge: a NULL event_type is a legal group (SQL GROUP BY
+    # treats NULL as one group) but `=` join keys drop it — the kept and
+    # erased NULL rows would come back as TWO half-null rows instead of
+    # one merged manifest row. `eqNullSafe` (SQL `<=>`) keeps the merge
+    # total; pinned by tests/test_cdc.py::test_gdpr_null_event_type_merge.
+    k, t = kept_back.alias("k"), tombstones.alias("t")
+    return k.join(
+        t, F.col("k.event_type").eqNullSafe(F.col("t.event_type")), "outer"
+    ).select(
+        F.coalesce("k.event_type", "t.event_type").alias("event_type"),
         F.coalesce("n_rows_kept", F.lit(0)).alias("n_rows_kept"),
         F.coalesce("n_rows_erased", F.lit(0)).alias("n_rows_erased"),
         F.coalesce("n_users_erased", F.lit(0)).alias("n_users_erased"),

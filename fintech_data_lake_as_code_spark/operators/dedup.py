@@ -655,6 +655,91 @@ _CC_REACH_SQL = f"""
 """
 
 
+def connected_components(
+    edges: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> tuple[DataFrame, int]:
+    """Min-label connected components over a symmetric `(node, other)`
+    edge relation. Returns `(labels, rounds)` where labels has columns
+    `(node, label)` and label = component minimum.
+
+    Each round is (1) neighbor-min propagation — join edges to labels on
+    `other`, groupBy `node`, take the min — and (2) a POINTER-JUMPING
+    contraction: every node then follows its label ONE hop (takes the
+    label of its current label node). Propagation alone needs
+    O(component diameter) rounds; the contraction step roughly doubles
+    the distance a min travels per round, so chains converge in
+    O(log diameter) rounds (pinned by tests/test_llm_ops.py::
+    test_cc_chain_converges_logarithmically — a 200-node path closes in
+    <=8 rounds where propagation alone needs ~100). Near-clique dup
+    clusters (diameter 2-3) pay one extra self-join per round for it;
+    long accidental chains — the shape that kills a fixed iteration
+    budget at 100 TB — stop being a risk.
+
+    localCheckpoint each round severs lineage (otherwise the plan — and
+    analysis ambiguity — grows with every iteration); eager=False lets
+    the convergence aggregate below materialize the checkpoint as it
+    runs — one job per round. Round 0 is free: min over DIRECT neighbors
+    is a plain aggregation over the edge list (no label join yet).
+
+    Convergence probe: both steps only ever DECREASE labels, so
+    sum(label) is strictly monotone until fixpoint — one cheap aggregate
+    per round replaces a labels⋈labels diff join, and label data never
+    leaves the executors. (Labels are doc_ids < ~2^21 over <2^40 nodes:
+    the sum can't overflow int64 even at planetary scale; use sum of
+    DECIMAL(38) if ids are 64-bit hashes.)
+    """
+    labels = (
+        edges.groupBy("node")
+        .agg(F.least(F.first("node"), F.min("other")).alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    label_sum = labels.agg(F.sum("label")).first()[0]
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        neighbor_min = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.other") == F.col("l.node"))
+            .groupBy(F.col("e.node").alias("node"))
+            .agg(F.min("l.label").alias("nbr_label"))
+        )
+        prop = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label <- label-of-label. The hop side is the
+        # same relation projected to (node, label); a left join keeps
+        # nodes whose label has no own row (cannot happen for symmetric
+        # edges, but cheap insurance).
+        hop = prop.select(
+            F.col("node").alias("hop_node"), F.col("label").alias("hop_label")
+        )
+        new_labels = (
+            prop.join(hop, F.col("label") == F.col("hop_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("hop_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels = new_labels
+        if new_sum == label_sum:
+            break
+        label_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} rounds"
+            " (component log-diameter exceeds the iteration bound); raise"
+            " max_iters rather than returning partial labels"
+        )
+    return labels, rounds
+
+
 @query(
     "dedup_cluster_cc",
     oracle=f"""
@@ -670,12 +755,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram Jaccard pairs) are only half the job — production dedup must
     group transitively-linked docs into clusters and elect one canonical
     representative (min doc_id). Connected components via iterative
-    min-label propagation: each round every node takes the min label among
-    itself and its neighbors; converges in graph-diameter rounds (dup
-    clusters are near-cliques, so 2-3). The driver loop only checks a
-    convergence COUNT per round — label data never leaves the executors,
-    which is what lets this run on a billion-edge similarity graph. Oracle:
-    DuckDB recursive-CTE transitive closure."""
+    min-label propagation with a pointer-jumping contraction round (see
+    `connected_components` for the algorithm and its convergence bound).
+    Oracle: DuckDB recursive-CTE transitive closure."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     edges = (
         pairs.select(F.col("id_a").alias("node"), F.col("id_b").alias("other"))
@@ -684,53 +766,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    # localCheckpoint each round: severs lineage (otherwise the plan — and
-    # analysis ambiguity — grows with every iteration) and materializes the
-    # frontier, the standard shape for iterative algorithms on Spark.
-    # Round 0 is free: min over DIRECT neighbors is a plain aggregation
-    # over the edge list (no label join yet) — one full iteration saved.
-    # eager=False: the convergence aggregate below is the round's only
-    # action, and it materializes the checkpoint as it runs — one job per
-    # round instead of a checkpoint job followed by an aggregate job.
-    labels = (
-        edges.groupBy("node")
-        .agg(F.least(F.first("node"), F.min("other")).alias("label"))
-        .localCheckpoint(eager=False)
-    )
-    # Convergence probe: min-propagation only ever DECREASES labels, so
-    # sum(label) is strictly monotone until fixpoint — one cheap aggregate
-    # per round replaces a labels⋈labels diff join. (Labels are doc_ids
-    # < ~2^21 over <2^40 nodes: the sum can't overflow int64 even at
-    # planetary scale; use sum of DECIMAL(38) if ids are 64-bit hashes.)
-    label_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(CC_MAX_ITERS):
-        neighbor_min = (
-            edges.alias("e")
-            .join(labels.alias("l"), F.col("e.other") == F.col("l.node"))
-            .groupBy(F.col("e.node").alias("node"))
-            .agg(F.min("l.label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels = new_labels
-        if new_sum == label_sum:
-            break
-        label_sum = new_sum
-    else:
-        raise RuntimeError(
-            f"connected components did not converge in {CC_MAX_ITERS} rounds"
-            " (component diameter exceeds the iteration bound); raise"
-            " CC_MAX_ITERS rather than returning partial labels"
-        )
+    labels, _ = connected_components(edges)
     # labels is materialized (localCheckpoint); the edge cache served only
     # the loop's actions and can be released now
     edges.unpersist()

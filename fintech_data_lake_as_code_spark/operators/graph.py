@@ -14,10 +14,14 @@ result a pure function of the input.
 
 Engine parity for an iterative FLOAT algorithm is hopeless (reduction
 order differs per engine/partitioning), so the ranks are computed in
-SCALED INTEGER arithmetic end to end: rank//deg contributions and the
-(850 * sum)//1000 damping are exact floor divisions in both engines —
-the DuckDB oracle unrolls the same ten iterations as chained CTEs and
-must match bit-for-bit.
+SCALED INTEGER arithmetic end to end: rank`div`deg contributions and
+the (850 * sum)`div`1000 damping are Spark's integral `div` on BIGINT
+operands — never a double quotient, so values past 2^53 cannot drift
+off-by-one the way `floor(a / b)` can. All operands here are positive,
+where Spark's truncating `div` and DuckDB's flooring `//` agree exactly
+(pinned by tests/test_plans.py::test_bigint_div_exact_past_2_53) — the
+DuckDB oracle unrolls the same ten iterations as chained CTEs and must
+match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -120,17 +124,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
                 "dst",
-                F.floor(F.col("rank") / F.col("deg")).cast("bigint").alias("c"),
+                F.expr("rank div deg").alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         ranks = contrib.select(
             F.col("dst").alias("node"),
-            (
-                F.lit(150000)
-                + F.floor(F.lit(850) * F.col("s") / 1000).cast("bigint")
-            ).alias("rank"),
+            (F.lit(150000).cast("bigint") + F.expr("(850 * s) div 1000")).alias(
+                "rank"
+            ),
         ).localCheckpoint(eager=True)
     edges_deg.unpersist()
     return (
@@ -140,7 +143,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
             .otherwise(F.lit("supplier"))
             .alias("node_type"),
-            F.floor(F.col("node") / 2).cast("bigint").alias("entity_id"),
+            F.expr("node div 2").alias("entity_id"),
             F.col("rank").cast("bigint").alias("rank_scaled"),
         )
     )

@@ -115,3 +115,32 @@ def test_gdpr_erasure_physically_removes_erased_users(spark, sf_dir):
         .count()
     )
     assert leaked == 0, f"{leaked} rows of erased users survived the rewrite"
+
+
+def test_gdpr_null_event_type_merge(spark, tmp_path):
+    # NULL is a legal GROUP BY group: the kept-counts and tombstone sides
+    # must merge their NULL rows into ONE manifest row (eqNullSafe join) —
+    # a plain `=` outer join would emit two half-null rows instead.
+    import datetime
+
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, None, ts),  # erased (user_id % 10 == 7), null type
+        (2, 7, None, ts),
+        (3, 1, None, ts),  # kept, null type
+        (4, 17, "click", ts),  # erased, typed
+        (5, 2, "click", ts),  # kept, typed
+        (6, 2, "click", ts),
+        (7, 2, "click", ts),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.event_type: (r.n_rows_kept, r.n_rows_erased, r.n_users_erased)
+        for r in registry()["cdc_gdpr_erasure"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {None: (1, 2, 1), "click": (3, 1, 1)}, got

@@ -213,3 +213,26 @@ def test_keep_best_elects_the_longer_twin(spark, sf_dir):
         c = by_cluster[label_of[orig]]
         if c.n_members == 2:  # pure pair cluster: twin is longer, wins
             assert c.survivor_id == twin, (orig, twin, c)
+
+
+def test_cc_chain_converges_logarithmically(spark):
+    # a 200-node path graph is the adversarial shape for min-label
+    # propagation (needs ~n rounds); the pointer-jumping contraction round
+    # must close it in O(log n) — well under the production iteration cap
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 200
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "node bigint, other bigint"
+    )
+    edges = e.unionByName(
+        e.select(F.col("other").alias("node"), F.col("node").alias("other"))
+    )
+    labels, rounds = connected_components(edges, max_iters=12)
+    got = {r.node: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}, "chain must collapse to one label"
+    assert rounds <= 9, f"expected O(log n) convergence, took {rounds} rounds"

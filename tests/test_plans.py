@@ -284,3 +284,30 @@ def test_keep_best_aggregates_without_a_second_shuffle(spark, sf_dir):
     )
     above = "\n".join(lines[:win_idx])
     assert "Exchange" not in above.split("Window")[0].rsplit("HashAggregate", 1)[-1]
+
+
+def test_bigint_div_exact_past_2_53(spark):
+    # graph_pagerank's fixed-point ranks rely on integral `div`, never a
+    # double quotient: floor(a / b) goes through a 53-bit mantissa and is
+    # off-by-one for quotients past 2^53, while `a div b` stays exact and
+    # agrees with DuckDB's integer `//` (both truncate toward zero for the
+    # positive operands the rank loop produces).
+    import duckdb
+
+    vals = [(2**62 - 3, 3), (2**61 + 1, 7), (2**62 - 1, 1000)]
+    rows = (
+        spark.createDataFrame(vals, "a bigint, b bigint")
+        .selectExpr(
+            "a",
+            "b",
+            "a div b AS q_div",
+            "CAST(floor(a / b) AS BIGINT) AS q_floor",
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.q_div == r.a // r.b, (r.a, r.b, r.q_div)
+        duck = duckdb.sql(f"SELECT {r.a} // {r.b}").fetchone()[0]
+        assert r.q_div == duck, (r.a, r.b, r.q_div, duck)
+    # and the double-division form this replaced is provably NOT exact here
+    assert any(r.q_floor != r.a // r.b for r in rows), rows
