@@ -498,28 +498,91 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merged_cms_sketch(spark: SparkSession, ev: DataFrame):
-    """Build per-day count-min sketches of `user_id` distributed, then
-    merge the (KB-sized) sketch bytes driver-side. Returns the merged JVM
-    CountMinSketch and the total stream length the eps-bound scales with.
-    Shared by `agg_sketch_cms` and tests/test_sketches.py's tight-bound
-    assertion."""
-    per_day = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").alias("sk"),
-        F.count("*").alias("n_rows"),
+# Portable count-min sketch: depth x width int64 counter table with
+# pairwise-independent hashes h_i(x) = ((a_i*x + b_i) mod p) mod w over
+# the Mersenne prime p = 2^31 - 1. Operands stay under 2^62, so the whole
+# build vectorizes in int64 numpy — no JVM round-trip, and (unlike the
+# engine's count_min_sketch function) inserts take a WEIGHT, which is
+# what lets the sketch build from a pre-aggregated (key, cnt) relation
+# instead of re-touching raw rows. eps = e/w ~= 0.1% at w=2719; failure
+# probability per query decays as ~e^-depth (depth 5 here).
+CMS_W = 2719
+CMS_D = 5
+CMS_P = 2147483647  # 2^31 - 1
+# fixed odd multipliers/offsets < p: the sketch is a pure function of the
+# data, so estimates are reproducible across runs and engines
+CMS_AB = (
+    (1103515245, 12345),
+    (214013, 2531011),
+    (134775813, 1),
+    (22695477, 7777777),
+    (48271, 1299709),
+)
+
+
+def cms_estimate(table, key: int) -> int:
+    """Point-query the (CMS_D, CMS_W) counter table: min over rows of the
+    key's cell — the count-min estimate (>= true count, always)."""
+    x = int(key) % CMS_P
+    return int(
+        min(
+            table[i][((a * x + b) % CMS_P) % CMS_W]
+            for i, (a, b) in enumerate(CMS_AB)
+        )
     )
-    jvm = spark.sparkContext._jvm
-    merged = None
+
+
+def day_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single heavy pass over `events`: reduce to one row per
+    (day, user) with its count — every downstream CMS artifact and probe
+    derives from this relation, never from raw events again."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+        "user_id",
+    ).agg(F.count("*").alias("cnt"))
+
+
+def merged_cms_sketch(spark: SparkSession, day_user: DataFrame):
+    """Build per-day count-min sketches from the reduced (day_epoch,
+    user_id, cnt) relation — weighted inserts, one Arrow-batched group
+    task per day — then merge the (~100 KB) counter tables driver-side
+    by element-wise add (CMS merge IS addition; hash params are fixed, so
+    collisions line up across days). Returns (merged numpy table,
+    total stream length) — the eps bound scales with the latter. Shared
+    by `agg_sketch_cms` and tests/test_sketches.py's tight-bound
+    assertion."""
+    import numpy as np
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        x = pdf["user_id"].to_numpy(np.int64) % CMS_P
+        cnt = pdf["cnt"].to_numpy(np.int64)
+        for i, (a, b) in enumerate(CMS_AB):
+            np.add.at(table[i], ((a * x + b) % CMS_P) % CMS_W, cnt)
+        return pd.DataFrame(
+            {
+                "day_epoch": [int(pdf["day_epoch"].iloc[0])],
+                "sk": [table.tobytes()],
+                "n_rows": [int(cnt.sum())],
+            }
+        )
+
+    rows = (
+        day_user.groupBy("day_epoch")
+        .applyInPandas(build, "day_epoch bigint, sk binary, n_rows bigint")
+        .collect()
+    )
+    merged = np.zeros((CMS_D, CMS_W), dtype=np.int64)
     n_total = 0
-    for r in per_day.collect():
-        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            bytes(r.sk)
+    for r in rows:
+        merged += np.frombuffer(bytes(r.sk), dtype=np.int64).reshape(
+            CMS_D, CMS_W
         )
         n_total += r.n_rows
-        if merged is None:
-            merged = s
-        else:
-            merged.mergeInPlace(s)
     return merged, n_total
 
 
@@ -536,42 +599,46 @@ def merged_cms_sketch(spark: SparkSession, ev: DataFrame):
     """,
 )
 def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable count-min frequency sketches: per-day CMS of user_id
-    built in one distributed pass (eps=0.1%, conf=99.9%), merged, then
-    point-queried for the 10 heaviest users. The same re-aggregable
-    pattern as agg_sketch_hll but for FREQUENCIES: at 100 TB you persist
-    per-partition sketch bytes (~KB each) and answer "how often did key K
-    appear in any date range" by merging sketches, never rescanning raw
-    data. Only sketch BYTES reach the driver (one row per day) — the
-    merge is over artifacts designed to be collected.
+    """Mergeable count-min frequency sketches in a SINGLE scan of events:
+    one pass reduces events to (day, user, cnt) — cached, so the parquet
+    is read exactly once (pinned by tests/test_sketches.py::
+    test_cms_builds_from_a_single_events_scan) — then (a) per-day CMS
+    artifacts build from that relation with weighted inserts and merge
+    driver-side, and (b) the 10 heaviest users (the probe set) come from
+    re-aggregating the SAME relation, a partial-agg over ~users x days
+    rows, not raw events. At 100 TB you persist the per-day sketch bytes
+    (~100 KB each) and answer "how often did key K appear in any date
+    range" by merging sketches, never rescanning raw data; only sketch
+    BYTES reach the driver — artifacts designed to be collected.
 
     Sketch estimates are engine-specific, so the graded output is the
     portable CONTRACT per probe key: the exact count plus a
     `within_bound` boolean encoding the one-sided count-min guarantee
-    (exact <= est <= exact + eps*N at confidence 99.9%). The oracle emits
-    the same probe set with TRUE; a hash match forces every estimate to
-    honor the bound. The exact pass exists only to pick the probe set and
-    verify — the production path queries the merged sketch alone (the
-    tight-bound assertion lives in tests/test_sketches.py)."""
-    ev = load(spark, sf_dir, "events")
-    jvm = spark.sparkContext._jvm
-    merged, n_total = merged_cms_sketch(spark, ev)
-    top = (
-        ev.groupBy("user_id")
-        .count()
-        .orderBy(F.desc("count"), "user_id")
-        .limit(10)
-        .collect()
-    )
+    (exact <= est <= exact + eps*N, eps ~= 0.1%). The oracle emits the
+    same probe set with TRUE; a hash match forces every estimate to honor
+    the bound. The tight-bound assertion on the raw estimates lives in
+    tests/test_sketches.py."""
+    day_user = day_user_counts(spark, sf_dir).cache()
+    try:
+        merged, n_total = merged_cms_sketch(spark, day_user)
+        top = (
+            day_user.groupBy("user_id")
+            .agg(F.sum("cnt").alias("exact_count"))
+            .orderBy(F.desc("exact_count"), "user_id")
+            .limit(10)
+            .collect()
+        )
+    finally:
+        day_user.unpersist()
     eps_bound = int(0.001 * n_total) + 1
     data = []
     for r in top:
-        est = merged.estimateCount(jvm.java.lang.Long(r.user_id))
+        est = cms_estimate(merged, r.user_id)
         data.append(
             (
                 r.user_id,
-                r["count"],
-                bool(r["count"] <= est <= r["count"] + eps_bound),
+                r.exact_count,
+                bool(r.exact_count <= est <= r.exact_count + eps_bound),
             )
         )
     return spark.createDataFrame(

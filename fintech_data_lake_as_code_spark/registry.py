@@ -80,40 +80,18 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r03.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r04.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
 # the oldest-verdict keys, newest last.
 _VERDICT_ROUND: dict[str, int] = {
-    # round 1 greens — oldest verdicts, due for a refresh
+    # round 2 greens — oldest surviving verdicts, due for a refresh
     **dict.fromkeys(
         [
-            "agg_distinct", "agg_global", "agg_groupby", "agg_having",
-            "agg_maxby_latest", "agg_percentile", "agg_pivot",
-            "agg_rollup_cube_gsets", "agg_stats_corr", "agg_time_rollup",
-            "cdc_dedupe_batch", "cdc_envelope_roundtrip",
-            "cdc_incremental_agg", "cdc_latest_state", "cdc_merge_upsert",
-            "cdc_scd2_intervals", "dedup_embedding_cosine", "dedup_exact",
-            "filter_null_domain", "filter_pred", "join_anti",
-            "join_asof_backward", "join_asof_interval", "join_broadcast",
-            "join_cross_topk", "join_inner_equi", "join_left_right_full",
-            "join_multiway", "join_range_banded", "join_semi",
-            "join_theta_range", "project_rename_cast", "reshape_unpivot",
-            "rule_b1_city_hop", "rule_b2_session_overlap",
-            "rule_b3_overdraft_freeze", "rule_b4_first_forex",
-            "rule_b5_limit_3days", "rule_b6_enquiry_intent",
-            "rule_b7_regular_forex", "rule_b8_regular_investor",
-        ],
-        1,
-    ),
-    # round 2 greens
-    **dict.fromkeys(
-        [
-            "agg_approx_distinct", "fn_array", "fn_bitwise",
-            "fn_conditional", "fn_datetime", "fn_hash", "fn_json",
-            "fn_map_struct", "fn_math_decimal", "fn_string", "limit_topk",
-            "multimodal_cols", "multimodal_decode", "multimodal_framesample",
+            "agg_approx_distinct", "fn_array", "fn_bitwise", "fn_hash",
+            "fn_json", "fn_map_struct", "limit_topk", "multimodal_cols",
+            "multimodal_decode", "multimodal_framesample",
             "rule_b10_cross_sell", "rule_b9_large_investor",
             "sample_stratified_split", "scan_python_datasource",
             "set_distinct_ops", "set_union_all", "sim_topk_cosine",
@@ -127,17 +105,16 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         2,
     ),
-    # round 3 greens — freshest, grade last
+    # round 3 greens
     **dict.fromkeys(
         [
-            "agg_rolling_distinct", "agg_sketch_cms", "agg_sketch_hll",
-            "cdc_gdpr_erasure", "datagen_account_sample",
-            "datagen_customeractivity", "dedup_cluster_cc",
+            "agg_rolling_distinct", "agg_sketch_hll",
+            "datagen_account_sample", "datagen_customeractivity",
             "dedup_incremental", "dedup_keep_best", "dedup_near_minhash",
-            "dedup_ngram_jaccard", "dedup_simhash", "graph_pagerank",
-            "join_asof_forward", "join_bucketed_colocated",
-            "join_skew_salted", "sample_split_leakage_safe", "scan_csv",
-            "scan_jdbc", "scan_json_corrupt", "scan_json_lines", "scan_orc",
+            "dedup_ngram_jaccard", "dedup_simhash", "join_asof_forward",
+            "join_bucketed_colocated", "join_skew_salted",
+            "sample_split_leakage_safe", "scan_csv", "scan_jdbc",
+            "scan_json_corrupt", "scan_json_lines", "scan_orc",
             "scan_parquet", "scan_partition_pruned",
             "scan_schema_evolution", "scan_text", "scan_xml",
             "sim_topk_ivf", "sim_topk_lsh", "sink_compacted",
@@ -153,16 +130,47 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         3,
     ),
+    # round 4 greens — freshest, grade last
+    **dict.fromkeys(
+        [
+            "agg_distinct", "agg_global", "agg_groupby", "agg_having",
+            "agg_maxby_latest", "agg_percentile", "agg_pivot",
+            "agg_rollup_cube_gsets", "agg_sketch_cms", "agg_stats_corr",
+            "agg_time_rollup", "cdc_dedupe_batch", "cdc_envelope_roundtrip",
+            "cdc_gdpr_erasure", "cdc_incremental_agg", "cdc_latest_state",
+            "cdc_merge_upsert", "cdc_scd2_intervals", "dedup_cluster_cc",
+            "dedup_embedding_cosine", "dedup_exact", "filter_null_domain",
+            "filter_pred", "fn_conditional", "fn_datetime",
+            "fn_math_decimal", "fn_string", "graph_pagerank", "join_anti",
+            "join_asof_backward", "join_asof_interval", "join_broadcast",
+            "join_cross_topk", "join_inner_equi", "join_left_right_full",
+            "join_multiway", "join_range_banded", "join_semi",
+            "join_theta_range", "project_rename_cast", "reshape_unpivot",
+            "rule_b1_city_hop", "rule_b2_session_overlap",
+            "rule_b3_overdraft_freeze", "rule_b4_first_forex",
+            "rule_b5_limit_3days", "rule_b6_enquiry_intent",
+            "rule_b7_regular_forex", "rule_b8_regular_investor",
+            "stream_transform_with_state",
+        ],
+        4,
+    ),
 }
 
-# Keys whose Spark/oracle code materially changed in round 4, after their
+# Keys whose Spark/oracle code materially changed in ROUND 5, after their
 # last green verdict — the old verdict no longer covers the code that
-# ships, so they grade with the never-graded keys:
-# - agg_sketch_cms: single-scan rewrite (probe keys now from the sketch's
-#   own estimates, exact pass moved to tests);
-# - dedup_cluster_cc: large-star/small-star contraction round added;
-# - graph_pagerank: exact BIGINT `div` replaces double-division floor;
-# - cdc_gdpr_erasure: null-safe event_type merge join.
+# ships, so they grade with the never-graded keys. The round-5 changes
+# (each pinned by a regression test):
+# - agg_sketch_cms: single-scan rewrite — events reduce once to
+#   (day, user, cnt), cached; sketches build from that relation with a
+#   portable weighted-insert CMS and the probe set re-aggregates the same
+#   cache (tests/test_sketches.py::test_cms_builds_from_a_single_events_scan);
+# - dedup_cluster_cc: pointer-jumping contraction round added — chains
+#   close in O(log diameter) rounds (tests/test_llm_ops.py::
+#   test_cc_chain_converges_logarithmically);
+# - graph_pagerank: exact BIGINT `div` replaces double-division floor
+#   (tests/test_plans.py::test_bigint_div_exact_past_2_53);
+# - cdc_gdpr_erasure: null-safe event_type merge join via eqNullSafe
+#   (tests/test_cdc.py::test_gdpr_null_event_type_merge).
 _STALE_REGRADE = frozenset(
     {
         "agg_sketch_cms",

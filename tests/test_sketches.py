@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from fintech_data_lake_as_code_spark.io import load
-from fintech_data_lake_as_code_spark.operators.aggregates import merged_cms_sketch
+from fintech_data_lake_as_code_spark.operators.aggregates import (
+    cms_estimate,
+    day_user_counts,
+    merged_cms_sketch,
+)
 from fintech_data_lake_as_code_spark.registry import registry
 
 SPECS = registry()
@@ -40,14 +44,42 @@ def test_cms_never_underestimates_and_stays_tight(spark, sf_dir):
     assert len(rows) == 10
     assert all(r.within_bound for r in rows), rows
     # raw-estimate tightness: rebuild the merged sketch and check the
-    # one-sided guarantee directly (est >= exact, est <= exact + ~eps*N)
-    ev = load(spark, sf_dir, "events")
-    merged, n_total = merged_cms_sketch(spark, ev)
-    jvm = spark.sparkContext._jvm
-    for r in rows:
-        est = merged.estimateCount(jvm.java.lang.Long(r.user_id))
+    # one-sided guarantee directly for EVERY user, not just the probe set
+    # (est >= exact, est <= exact + ~eps*N)
+    from pyspark.sql import functions as F
+
+    day_user = day_user_counts(spark, sf_dir)
+    merged, n_total = merged_cms_sketch(spark, day_user)
+    exact = (
+        day_user.groupBy("user_id")
+        .agg(F.sum("cnt").alias("exact_count"))
+        .collect()
+    )
+    assert n_total == sum(r.exact_count for r in exact)
+    for r in exact:
+        est = cms_estimate(merged, r.user_id)
         # count-min is one-sided: estimate >= true count, always
         assert est >= r.exact_count, r
-        # eps=0.001 bounds overestimate by ~0.1% of total stream length;
-        # allow 1% slack for the tiny per-day sketches
-        assert est <= r.exact_count * 1.01 + 0.001 * n_total + 50, r
+        # eps = e/w ~= 0.1% of total stream length bounds the overestimate
+        assert est <= r.exact_count + 0.0011 * n_total + 1, (r, est)
+
+
+def test_cms_builds_from_a_single_events_scan(spark, sf_dir):
+    # the single-scan claim: once the reduced (day, user, cnt) relation is
+    # cached and materialized (the sketch-build action does this inside
+    # the query), the probe-set re-aggregation must read the CACHE — no
+    # second parquet scan of events
+    day_user = day_user_counts(spark, sf_dir).cache()
+    try:
+        day_user.count()  # stands in for the sketch-build action
+        from pyspark.sql import functions as F
+
+        top = day_user.groupBy("user_id").agg(F.sum("cnt").alias("exact_count"))
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        # the InMemoryRelation node prints the plan it CACHED (which names
+        # the parquet); what must not exist is a FileScan above/outside it
+        executed_prefix = plan.split("InMemoryRelation")[0]
+        assert "FileScan" not in executed_prefix, plan
+    finally:
+        day_user.unpersist()
