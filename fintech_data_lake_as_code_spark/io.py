@@ -44,10 +44,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
-    ([PARQUET_TYPE_ILLEGAL]); read nanos as int64 and convert to a proper
-    TimestampType (microsecond) column. Integer DIV (not `/`) — nanos since
-    epoch (~1.7e18) exceed double's 53-bit mantissa."""
+    """Normalize `events.ts` to a proper TimestampType (UTC) regardless of
+    how the generator wrote it:
+    - TIMESTAMP(NANOS): Spark's reader rejects it ([PARQUET_TYPE_ILLEGAL]);
+      read nanos as int64 and convert (integer DIV, not `/` — nanos since
+      epoch ~1.7e18 exceed double's 53-bit mantissa);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ,
+      which strict functions like `unix_micros` reject — cast to TIMESTAMP
+      (session tz is pinned UTC above, so the wall clock IS the instant,
+      matching the TZ-naive DuckDB oracle)."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -57,6 +62,8 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
         )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -170,13 +170,17 @@ _VERDICT_ROUND: dict[str, int] = {
 # - graph_pagerank: exact BIGINT `div` replaces double-division floor
 #   (tests/test_plans.py::test_bigint_div_exact_past_2_53);
 # - cdc_gdpr_erasure: null-safe event_type merge join via eqNullSafe
-#   (tests/test_cdc.py::test_gdpr_null_event_type_merge).
+#   (tests/test_cdc.py::test_gdpr_null_event_type_merge);
+# - multimodal_decode: real BMP codec — payload is a genuine BMP file and
+#   dimensions come from parsing its header, not from metadata
+#   (tests/test_llm_ops.py::test_bmp_codec_roundtrip_and_rejects_garbage).
 _STALE_REGRADE = frozenset(
     {
         "agg_sketch_cms",
         "dedup_cluster_cc",
         "graph_pagerank",
         "cdc_gdpr_erasure",
+        "multimodal_decode",
     }
 )
 

@@ -236,3 +236,26 @@ def test_cc_chain_converges_logarithmically(spark):
     got = {r.node: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}, "chain must collapse to one label"
     assert rounds <= 9, f"expected O(log n) convergence, took {rounds} rounds"
+
+
+def test_bmp_codec_roundtrip_and_rejects_garbage():
+    # the decode operator's "real path": a genuine BMP writer + header
+    # parser — dimensions must come back from parsed bytes, and non-BMP
+    # payloads must fail loudly, not decode to nonsense
+    import pytest
+
+    from fintech_data_lake_as_code_spark.operators.text import (
+        _decode_image_real,
+        _encode_bmp,
+    )
+
+    bmp = _encode_bmp(b"\x00" * 33, width=11, height=3)
+    assert bmp[:2] == b"BM" and len(bmp) == 54 + 33
+    assert _decode_image_real(bmp) == (11, 3)
+    # top-down bitmaps store negative height; report positive dims
+    import struct
+
+    topdown = bmp[:22] + struct.pack("<i", -3) + bmp[26:]
+    assert _decode_image_real(topdown) == (11, 3)
+    with pytest.raises(ValueError):
+        _decode_image_real(b"GIF89a not a bitmap at all....................")
