@@ -535,8 +535,17 @@ def cms_estimate(table, key: int) -> int:
 def day_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The single heavy pass over `events`: reduce to one row per
     (day, user) with its count — every downstream CMS artifact and probe
-    derives from this relation, never from raw events again."""
+    derives from this relation, never from raw events again.
+
+    NULL user_ids are dropped here, matching the JVM count_min_sketch's
+    null-skipping: without the filter, pandas delivers a nullable int
+    group as float64 with NaN, and `.to_numpy(np.int64)` would cast NaN
+    to a platform-defined garbage int64 — silently corrupting sketch
+    inserts. FIXTURES.md says user_id is not-null today, but the driver
+    regenerates testdata per round and column types have drifted before
+    (ts); the build below also asserts, so drift fails loudly."""
     ev = load(spark, sf_dir, "events")
+    ev = ev.where(F.col("user_id").isNotNull())
     return ev.groupBy(
         F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
         "user_id",
@@ -559,6 +568,10 @@ def merged_cms_sketch(spark: SparkSession, day_user: DataFrame):
         import pandas as pd
 
         table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        # day_user_counts filters nulls upstream; a NaN here means the
+        # float64-with-NaN nullable path leaked through — int64-cast of
+        # NaN is garbage, so fail loudly instead of corrupting counts
+        assert not pdf["user_id"].isna().any(), "NULL user_id reached CMS build"
         x = pdf["user_id"].to_numpy(np.int64) % CMS_P
         cnt = pdf["cnt"].to_numpy(np.int64)
         for i, (a, b) in enumerate(CMS_AB):
@@ -590,7 +603,9 @@ def merged_cms_sketch(spark: SparkSession, day_user: DataFrame):
     "agg_sketch_cms",
     oracle="""
     WITH counts AS (
-      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+      SELECT user_id, COUNT(*) AS exact_count FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
     )
     SELECT user_id, exact_count, TRUE AS within_bound
     FROM counts

@@ -663,17 +663,30 @@ def connected_components(
     `(node, label)` and label = component minimum.
 
     Each round is (1) neighbor-min propagation — join edges to labels on
-    `other`, groupBy `node`, take the min — and (2) a POINTER-JUMPING
-    contraction: every node then follows its label ONE hop (takes the
-    label of its current label node). Propagation alone needs
-    O(component diameter) rounds; the contraction step roughly doubles
-    the distance a min travels per round, so chains converge in
-    O(log diameter) rounds (pinned by tests/test_llm_ops.py::
-    test_cc_chain_converges_logarithmically — a 200-node path closes in
-    <=8 rounds where propagation alone needs ~100). Near-clique dup
-    clusters (diameter 2-3) pay one extra self-join per round for it;
-    long accidental chains — the shape that kills a fixed iteration
-    budget at 100 TB — stop being a risk.
+    `other`, groupBy `node`, take the min — and, ONCE PROPAGATION
+    STALLS, (2) a POINTER-JUMPING contraction: every node then follows
+    its label ONE hop (takes the label of its current label node).
+    Propagation alone needs O(component diameter) rounds; the
+    contraction step roughly doubles the distance a min travels per
+    round, so chains converge in O(log diameter) rounds (pinned by
+    tests/test_llm_ops.py::test_cc_chain_converges_logarithmically —
+    a 200-node path closes in <=9 rounds where propagation alone needs
+    ~100). Long accidental chains — the shape that kills a fixed
+    iteration budget at 100 TB — stop being a risk.
+
+    The contraction is CONDITIONAL because the common case doesn't need
+    it and shouldn't pay for it: near-clique dup clusters (diameter
+    2-3) converge in 2-3 propagation-only rounds, and the hop join's
+    key (label == hop_node) is maximally skewed by component size — all
+    members of a component probe one hot key. So each round's hop
+    engages only after propagation's progress stalls: the per-round
+    sum(label) delta not at least halving (delta_r * 2 > delta_{r-1})
+    is the chain signature — cliques' deltas crash to zero, a path's
+    stay constant. Once engaged it stays on (a stalled front never
+    re-accelerates under propagation alone). Measured at sf0.1 this
+    removed the contraction entirely (real dup clusters are
+    near-cliques) and returned the query to propagation-only cost; the
+    chain test still closes in 9 rounds (2 propagation + 7 hop).
 
     localCheckpoint each round severs lineage (otherwise the plan — and
     analysis ambiguity — grows with every iteration); eager=False lets
@@ -686,7 +699,8 @@ def connected_components(
     per round replaces a labels⋈labels diff join, and label data never
     leaves the executors. (Labels are doc_ids < ~2^21 over <2^40 nodes:
     the sum can't overflow int64 even at planetary scale; use sum of
-    DECIMAL(38) if ids are 64-bit hashes.)
+    DECIMAL(38) if ids are 64-bit hashes.) The same scalar stream
+    drives the stall detector — no extra jobs.
     """
     labels = (
         edges.groupBy("node")
@@ -695,8 +709,16 @@ def connected_components(
     )
     label_sum = labels.agg(F.sum("label")).first()[0]
     rounds = 0
+    deltas: list[int] = []
+    hop_engaged = False
     for _ in range(max_iters):
         rounds += 1
+        if (
+            not hop_engaged
+            and len(deltas) >= 2
+            and deltas[-1] * 2 > deltas[-2]
+        ):
+            hop_engaged = True
         neighbor_min = (
             edges.alias("e")
             .join(labels.alias("l"), F.col("e.other") == F.col("l.node"))
@@ -709,27 +731,29 @@ def connected_components(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
         )
-        # pointer jumping: label <- label-of-label. The hop side is the
-        # same relation projected to (node, label); a left join keeps
-        # nodes whose label has no own row (cannot happen for symmetric
-        # edges, but cheap insurance).
-        hop = prop.select(
-            F.col("node").alias("hop_node"), F.col("label").alias("hop_label")
-        )
-        new_labels = (
-            prop.join(hop, F.col("label") == F.col("hop_node"), "left")
-            .select(
+        if hop_engaged:
+            # pointer jumping: label <- label-of-label. The hop side is
+            # the same relation projected to (node, label); a left join
+            # keeps nodes whose label has no own row (cannot happen for
+            # symmetric edges, but cheap insurance).
+            hop = prop.select(
+                F.col("node").alias("hop_node"),
+                F.col("label").alias("hop_label"),
+            )
+            prop = prop.join(
+                hop, F.col("label") == F.col("hop_node"), "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("hop_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
-        )
+        new_labels = prop.localCheckpoint(eager=False)
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
         if new_sum == label_sum:
             break
+        deltas.append(label_sum - new_sum)
         label_sum = new_sum
     else:
         raise RuntimeError(

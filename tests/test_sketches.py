@@ -56,12 +56,23 @@ def test_cms_never_underestimates_and_stays_tight(spark, sf_dir):
         .collect()
     )
     assert n_total == sum(r.exact_count for r in exact)
+    # the eps = e/w ~= 0.1% overestimate bound is PROBABILISTIC — each
+    # point query misses it with prob ~e^-depth (~0.7% at depth 5) — so
+    # asserting it universally over thousands of users would flake on
+    # unlucky (driver-regenerated) data even when the sketch behaves as
+    # designed. Keep the deterministic one-sided guarantee universal and
+    # allow a small violation fraction on the eps bound.
+    violations = 0
     for r in exact:
         est = cms_estimate(merged, r.user_id)
-        # count-min is one-sided: estimate >= true count, always
+        # count-min is one-sided: estimate >= true count, ALWAYS
         assert est >= r.exact_count, r
-        # eps = e/w ~= 0.1% of total stream length bounds the overestimate
-        assert est <= r.exact_count + 0.0011 * n_total + 1, (r, est)
+        if est > r.exact_count + 0.0011 * n_total + 1:
+            violations += 1
+    assert violations <= max(1, int(0.01 * len(exact))), (
+        violations,
+        len(exact),
+    )
 
 
 def test_cms_builds_from_a_single_events_scan(spark, sf_dir):
@@ -75,11 +86,35 @@ def test_cms_builds_from_a_single_events_scan(spark, sf_dir):
         from pyspark.sql import functions as F
 
         top = day_user.groupBy("user_id").agg(F.sum("cnt").alias("exact_count"))
-        plan = top._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" in plan, plan
-        # the InMemoryRelation node prints the plan it CACHED (which names
-        # the parquet); what must not exist is a FileScan above/outside it
-        executed_prefix = plan.split("InMemoryRelation")[0]
-        assert "FileScan" not in executed_prefix, plan
+        # structural pin, not a pretty-print pin: walk the OPTIMIZED
+        # logical plan tree (AQE-free, stable across renderer changes) and
+        # classify leaves by node class. The cache hit appears as an
+        # InMemoryRelation leaf; a second parquet read would appear as a
+        # file-source relation leaf. (InMemoryRelation holds the plan it
+        # cached as a FIELD, not a child, so traversal never descends into
+        # the cached parquet scan.)
+        names = _logical_node_classes(top)
+        assert any("InMemoryRelation" in n for n in names), names
+        scans = [
+            n
+            for n in names
+            if n.startswith(
+                ("LogicalRelation", "DataSourceV2", "HiveTableRelation")
+            )
+        ]
+        assert not scans, (scans, names)
     finally:
         day_user.unpersist()
+
+
+def _logical_node_classes(df) -> list[str]:
+    """Class simple-names of every node in df's optimized logical plan,
+    via tree traversal (children()) rather than string rendering."""
+    names, stack = [], [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        names.append(node.getClass().getSimpleName())
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+    return names
