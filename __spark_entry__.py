@@ -21,6 +21,17 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# Best-effort: make an on-disk protobuf runtime importable (and exported
+# via PYTHONPATH) as early as possible — if the caller imports this module
+# before building its SparkSession, the Python workers inherit it and
+# stream_transform_with_state can take its real transformWithStateInPandas
+# path instead of the applyInPandasWithState fallback. Safe no-op when
+# protobuf is already installed or absent (compat.tws_supported re-probes
+# the workers at query time either way).
+from fintech_data_lake_as_code_spark.compat import ensure_protobuf as _ensure_pb
+
+_ensure_pb()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.

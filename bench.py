@@ -20,6 +20,10 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Median of the calibration probe on an idle local[32] sandbox (measured
+# round 6). If the hardware profile changes, re-measure and update.
+_CAL_REF_SEC = 0.18
+
 # Headline set: one representative per heavy operator family; extended as
 # families land. Order: cheap scan first (warms the JVM/code paths).
 HEADLINE = [
@@ -101,6 +105,31 @@ def main() -> None:
 
     _shingled_corpus(spark, sf_dir).selectExpr("sum(n)").collect()
 
+    # Noise calibration: a fixed, IO-free, pure-codegen probe timed before
+    # the headline loop. Its runtime depends only on the box's available
+    # CPU at bench time, never on engine code, so round-over-round its
+    # ratio to CAL_REF_SEC separates sandbox load (uniform inflation of
+    # everything, calibration included) from real regressions (one query
+    # moves, calibration doesn't). CAL_REF_SEC is the median measured on
+    # an idle local[32] box; `calibration_ratio` ~1.0 means comparable
+    # conditions, and `queries_normalized` rescales each median by the
+    # ratio for cross-round comparison.
+    CAL_REF_SEC = _CAL_REF_SEC
+    cal_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id % 7)", "sum(id * 3 + 1)"
+        ).collect()
+        cal_runs.append(time.perf_counter() - t0)
+    cal_sec = round(sorted(cal_runs)[len(cal_runs) // 2], 3)
+    cal_ratio = round(cal_sec / CAL_REF_SEC, 3)
+    print(
+        f"# calibration: median {cal_sec:.3f}s (ref {CAL_REF_SEC}s, "
+        f"ratio {cal_ratio:.2f})",
+        file=sys.stderr,
+    )
+
     # Per-query MEDIAN of N_RUNS runs: single-shot timings on this box swing
     # +/-30% with background load; medians are what regressions are graded
     # against. Total = sum of medians.
@@ -139,6 +168,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": {
+                    "probe": "range(2e8) two-sum codegen, median of 5",
+                    "sec": cal_sec,
+                    "ref_sec": CAL_REF_SEC,
+                    "ratio": cal_ratio,
+                },
+                "queries_normalized": {
+                    k: round(v / cal_ratio, 3) for k, v in timings.items()
+                },
+                "value_normalized": round(total / cal_ratio, 3),
             }
         )
     )

@@ -80,68 +80,44 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r04.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r05.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
 # the oldest-verdict keys, newest last.
 _VERDICT_ROUND: dict[str, int] = {
-    # round 2 greens — oldest surviving verdicts, due for a refresh
+    # round 3 greens — oldest surviving verdicts, due for a refresh
     **dict.fromkeys(
         [
-            "agg_approx_distinct", "fn_array", "fn_bitwise", "fn_hash",
-            "fn_json", "fn_map_struct", "limit_topk", "multimodal_cols",
-            "multimodal_decode", "multimodal_framesample",
-            "rule_b10_cross_sell", "rule_b9_large_investor",
-            "sample_stratified_split", "scan_python_datasource",
-            "set_distinct_ops", "set_union_all", "sim_topk_cosine",
-            "sort_multi", "text_chunk", "text_fingerprint", "text_langid",
-            "text_quality", "text_redact_pii", "text_stats",
-            "token_count_bpe", "topk_per_group", "udf_cogrouped",
-            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
-            "win_distribution", "win_islands_consecutive", "win_lag_lead",
-            "win_range_interval", "win_ranking", "win_running_frame",
-            "win_sessionize",
-        ],
-        2,
-    ),
-    # round 3 greens
-    **dict.fromkeys(
-        [
-            "agg_rolling_distinct", "agg_sketch_hll",
-            "datagen_account_sample", "datagen_customeractivity",
-            "dedup_incremental", "dedup_keep_best", "dedup_near_minhash",
-            "dedup_ngram_jaccard", "dedup_simhash", "join_asof_forward",
-            "join_bucketed_colocated", "join_skew_salted",
-            "sample_split_leakage_safe", "scan_csv", "scan_jdbc",
+            "agg_rolling_distinct", "agg_sketch_hll", "dedup_incremental",
+            "dedup_keep_best", "dedup_near_minhash", "dedup_ngram_jaccard",
+            "dedup_simhash", "join_asof_forward", "join_bucketed_colocated",
+            "join_skew_salted", "sample_split_leakage_safe", "scan_csv",
             "scan_json_corrupt", "scan_json_lines", "scan_orc",
             "scan_parquet", "scan_partition_pruned",
             "scan_schema_evolution", "scan_text", "scan_xml",
-            "sim_topk_ivf", "sim_topk_lsh", "sink_compacted",
-            "sink_partitioned", "sink_sorted_lake", "sink_zorder_lake",
-            "sql_pricing_summary", "stream_backfill_availablenow",
-            "stream_bronze_ingest", "stream_dedupe",
-            "stream_foreachbatch_merge", "stream_join_static",
-            "stream_rate_sim", "stream_session", "stream_sliding",
-            "stream_stateful_freeze", "stream_stream_join",
-            "stream_tumbling", "stream_watermark_late", "text_idf_rarity",
-            "text_pack_sequences", "win_asof_gap_fill",
-            "win_funnel_conversion",
+            "sink_compacted", "sink_partitioned", "sink_sorted_lake",
+            "sink_zorder_lake", "sql_pricing_summary",
+            "stream_backfill_availablenow", "stream_bronze_ingest",
+            "stream_dedupe", "stream_foreachbatch_merge",
+            "stream_join_static", "stream_rate_sim", "stream_session",
+            "stream_sliding", "stream_stateful_freeze",
+            "stream_stream_join", "stream_tumbling",
+            "stream_watermark_late",
         ],
         3,
     ),
-    # round 4 greens — freshest, grade last
+    # round 4 greens
     **dict.fromkeys(
         [
             "agg_distinct", "agg_global", "agg_groupby", "agg_having",
             "agg_maxby_latest", "agg_percentile", "agg_pivot",
-            "agg_rollup_cube_gsets", "agg_sketch_cms", "agg_stats_corr",
-            "agg_time_rollup", "cdc_dedupe_batch", "cdc_envelope_roundtrip",
-            "cdc_gdpr_erasure", "cdc_incremental_agg", "cdc_latest_state",
-            "cdc_merge_upsert", "cdc_scd2_intervals", "dedup_cluster_cc",
-            "dedup_embedding_cosine", "dedup_exact", "filter_null_domain",
-            "filter_pred", "fn_conditional", "fn_datetime",
-            "fn_math_decimal", "fn_string", "graph_pagerank", "join_anti",
+            "agg_rollup_cube_gsets", "agg_stats_corr", "agg_time_rollup",
+            "cdc_dedupe_batch", "cdc_envelope_roundtrip",
+            "cdc_incremental_agg", "cdc_latest_state", "cdc_merge_upsert",
+            "cdc_scd2_intervals", "dedup_embedding_cosine", "dedup_exact",
+            "filter_null_domain", "filter_pred", "fn_conditional",
+            "fn_datetime", "fn_math_decimal", "fn_string", "join_anti",
             "join_asof_backward", "join_asof_interval", "join_broadcast",
             "join_cross_topk", "join_inner_equi", "join_left_right_full",
             "join_multiway", "join_range_banded", "join_semi",
@@ -154,33 +130,50 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         4,
     ),
+    # round 5 greens — freshest, grade last
+    **dict.fromkeys(
+        [
+            "agg_approx_distinct", "agg_sketch_cms", "cdc_gdpr_erasure",
+            "datagen_account_sample", "datagen_customeractivity",
+            "dedup_cluster_cc", "fn_array", "fn_bitwise", "fn_hash",
+            "fn_json", "fn_map_struct", "graph_pagerank", "limit_topk",
+            "multimodal_cols", "multimodal_decode",
+            "multimodal_framesample", "rule_b10_cross_sell",
+            "rule_b9_large_investor", "sample_stratified_split",
+            "scan_jdbc", "scan_python_datasource", "set_distinct_ops",
+            "set_union_all", "sim_topk_cosine", "sim_topk_ivf",
+            "sim_topk_lsh", "sort_multi", "text_chunk", "text_fingerprint",
+            "text_idf_rarity", "text_langid", "text_pack_sequences",
+            "text_quality", "text_redact_pii", "text_stats",
+            "token_count_bpe", "topk_per_group", "udf_cogrouped",
+            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
+            "win_asof_gap_fill", "win_distribution",
+            "win_funnel_conversion", "win_islands_consecutive",
+            "win_lag_lead", "win_range_interval", "win_ranking",
+            "win_running_frame", "win_sessionize",
+        ],
+        5,
+    ),
 }
 
-# Keys whose Spark/oracle code materially changed in ROUND 5, after their
+# Keys whose Spark/oracle code materially changed in ROUND 6, after their
 # last green verdict — the old verdict no longer covers the code that
-# ships, so they grade with the never-graded keys. The round-5 changes
+# ships, so they grade with the never-graded keys. The round-6 changes
 # (each pinned by a regression test):
-# - agg_sketch_cms: single-scan rewrite — events reduce once to
-#   (day, user, cnt), cached; sketches build from that relation with a
-#   portable weighted-insert CMS and the probe set re-aggregates the same
-#   cache (tests/test_sketches.py::test_cms_builds_from_a_single_events_scan);
-# - dedup_cluster_cc: pointer-jumping contraction round added — chains
-#   close in O(log diameter) rounds (tests/test_llm_ops.py::
+# - dedup_cluster_cc: the pointer-jumping contraction is now CONDITIONAL —
+#   it engages only once propagation's per-round label-sum delta stalls
+#   (near-clique clusters converge propagation-only; chains still close in
+#   O(log diameter), tests/test_llm_ops.py::
 #   test_cc_chain_converges_logarithmically);
-# - graph_pagerank: exact BIGINT `div` replaces double-division floor
-#   (tests/test_plans.py::test_bigint_div_exact_past_2_53);
-# - cdc_gdpr_erasure: null-safe event_type merge join via eqNullSafe
-#   (tests/test_cdc.py::test_gdpr_null_event_type_merge);
-# - multimodal_decode: real BMP codec — payload is a genuine BMP file and
-#   dimensions come from parsing its header, not from metadata
-#   (tests/test_llm_ops.py::test_bmp_codec_roundtrip_and_rejects_garbage).
+# - agg_sketch_cms: NULL user_ids are filtered before the sketch build
+#   (and asserted against inside it) on both the Spark and oracle side —
+#   pandas would deliver a nullable int group as float64/NaN and the
+#   int64 cast would silently corrupt inserts
+#   (tests/test_sketches.py).
 _STALE_REGRADE = frozenset(
     {
         "agg_sketch_cms",
         "dedup_cluster_cc",
-        "graph_pagerank",
-        "cdc_gdpr_erasure",
-        "multimodal_decode",
     }
 )
 

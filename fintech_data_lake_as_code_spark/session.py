@@ -47,6 +47,13 @@ def apply_engine_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
 def get_spark(app_name: str = "fintech-data-lake-spark") -> SparkSession:
     """Local session for tests/bench; the driver passes its own session to
     `__spark_entry__` functions, which therefore never call this."""
+    # Discover an on-disk protobuf runtime BEFORE the JVM starts: PYTHONPATH
+    # set here is merged into every Python worker's environment, which is
+    # what lets transformWithStateInPandas run its real state-server path
+    # (see compat.py; sessions built elsewhere degrade gracefully).
+    from .compat import ensure_protobuf
+
+    ensure_protobuf()
     cores = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)

@@ -606,21 +606,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # applyInPandasWithState) needs protobuf for its state-server protocol —
 # probed empirically: without google.protobuf the TWS driver worker
 # crashes at stream start ([STREAM_FAILED] ... worker exited
-# unexpectedly). Vendoring the generated protobuf runtime (tens of
-# thousands of third-party LoC) into this repo is worse than the gate,
-# so: where the dependency exists (real clusters), the query runs the
-# TWS StatefulProcessor; without it, it degrades to an
+# unexpectedly). compat.ensure_protobuf() discovers an on-disk
+# pure-python runtime when pip install is impossible, and
+# compat.tws_supported(spark) additionally probes the WORKER side (an
+# externally-built session's workers may predate the PYTHONPATH fix) and
+# the RocksDB state-store requirement. Where all of that holds — local
+# pytest/bench sessions, real clusters — the query runs the TWS
+# StatefulProcessor; anywhere else it degrades to an
 # applyInPandasWithState twin with identical semantics, so the key
 # registers — and grades against the same exact oracle — in every
-# environment. The processor's state-transition logic itself is executed
-# protobuf-free by tests/test_streaming.py::
-# test_tws_processor_state_transitions.
-try:  # pragma: no cover - environment gate
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
-
-    _HAS_PROTOBUF = True
-except ImportError:
-    _HAS_PROTOBUF = False
+# environment. The processor's state-transition logic is additionally
+# unit-tested protobuf-free by tests/test_streaming.py::
+# test_tws_processor_state_transitions, and the real TWS path
+# end-to-end by test_tws_real_path_matches_twin.
+from ..compat import tws_supported
 
 TWS_ORACLE = """
     SELECT event_id, user_id,
@@ -736,7 +735,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     `rowsBetween(unboundedPreceding, current)` to the cent."""
     src = _events_json_dir(spark, sf_dir)
     stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
-    impl = _running_totals_tws if _HAS_PROTOBUF else _running_totals_apiws
+    impl = _running_totals_tws if tws_supported(spark) else _running_totals_apiws
     return _drain(impl(stream), "stream_transform_with_state", "append")
 
 

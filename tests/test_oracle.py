@@ -21,13 +21,16 @@ def test_oracle_match(spark, sf_dir, key):
     assert result.ok, str(result)
 
 
-@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
-def test_rows_only_runs_deterministically(spark, sf_dir, key):
-    spec = SPECS[key]
-    first = spec.fn(spark, sf_dir)
-    n1 = first.count()
-    n2 = spec.fn(spark, sf_dir).count()
-    assert n1 == n2, f"{key}: row count not stable across runs ({n1} vs {n2})"
+def test_every_key_is_oracle_graded():
+    # the registry's strongest correctness property: NO key falls back to
+    # the driver's weaker rows-only check — every operator carries a full
+    # DuckDB value-hash oracle. If a future key genuinely cannot be
+    # SQL-expressed, remove it from this pin and restore a rows-only
+    # determinism test for it (run it twice, compare counts).
+    assert ROWS_ONLY_KEYS == [], (
+        "keys without oracles appeared; grade them rows-only deliberately: "
+        f"{ROWS_ONLY_KEYS}"
+    )
 
 
 def test_entry_smoke(spark):

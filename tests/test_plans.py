@@ -311,3 +311,36 @@ def test_bigint_div_exact_past_2_53(spark):
         assert r.q_div == duck, (r.a, r.b, r.q_div, duck)
     # and the double-division form this replaced is provably NOT exact here
     assert any(r.q_floor != r.a // r.b for r in rows), rows
+
+
+def test_jdbc_scan_pushes_filter_to_database(spark, sf_dir):
+    # the partitioned Derby read (sources/jdbc.py) must compile Spark-side
+    # predicates into the pushed-down JDBC WHERE — at scale the database
+    # does the selection and only matching rows cross the wire. Structural
+    # pin: read the scan node's metadata map, not the rendered plan string
+    # (sparkPlan() is the pre-AQE physical plan, so no Adaptive wrapper).
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.sources.jdbc import _jdbc_snapshot
+
+    df = _jdbc_snapshot(spark, sf_dir).where(
+        F.col("transaction_type") == "CREDIT"
+    )
+    plan = df._jdf.queryExecution().sparkPlan()
+    pushed = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if "Scan" in node.getClass().getSimpleName():
+            md = node.metadata()
+            if md.contains("PushedFilters"):
+                pushed.append(md.apply("PushedFilters"))
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+    assert pushed, "no scan node with PushedFilters metadata found"
+    # '*' prefix = filter handled entirely by the source (the database);
+    # the equality must be pushed, not re-evaluated Spark-side
+    assert any(
+        "EqualTo(transaction_type,CREDIT)" in p for p in pushed
+    ), pushed

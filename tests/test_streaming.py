@@ -218,3 +218,32 @@ def test_tws_processor_state_transitions():
     assert out2.values.tolist() == [[4, 42, 4, 400]]
     assert handle.states["totals"].get() == (4, 400)
     proc.close()
+
+
+def test_tws_real_path_matches_twin(spark, sf_dir):
+    """The REAL transformWithStateInPandas path (protobuf state server in
+    the Python workers) must produce exactly the rows of its
+    applyInPandasWithState twin. The pytest session is built by
+    session.get_spark, which discovers an on-disk protobuf runtime and
+    propagates it to workers before the JVM starts (compat.py) — so
+    locally this exercises the genuine TWS branch, not the fallback."""
+    import pytest
+
+    from fintech_data_lake_as_code_spark.compat import tws_supported
+    from fintech_data_lake_as_code_spark.streaming import queries as SQ
+
+    if not tws_supported(spark):
+        pytest.skip("no protobuf runtime reachable by the Python workers")
+
+    src = SQ._events_json_dir(spark, sf_dir)
+
+    def run(impl, key):
+        stream = spark.readStream.schema(SQ.EVENTS_SCHEMA).json(src)
+        return sorted(
+            tuple(r) for r in SQ._drain(impl(stream), key, "append").collect()
+        )
+
+    tws = run(SQ._running_totals_tws, "tws_real_probe")
+    twin = run(SQ._running_totals_apiws, "tws_twin_probe")
+    assert len(tws) > 0
+    assert tws == twin
