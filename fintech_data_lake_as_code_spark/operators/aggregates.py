@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_avg, exact_sum
+from ..functions.exact import cents, exact_avg, exact_sum
 from ..io import load
 from ..registry import query
 
@@ -719,4 +719,157 @@ def agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("target_day_epoch") <= F.col("max_day"))
         .groupBy(F.col("target_day_epoch").alias("day_epoch"))
         .agg(F.countDistinct("user_id").alias(f"users_{ROLL_DAYS}d"))
+    )
+
+
+# --- dataset profiling --------------------------------------------------------
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+_PROFILE_ORACLE_ONE = """
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT CAST(ROUND({c} * 100, 0) AS BIGINT)) AS BIGINT)
+             AS n_distinct,
+           CAST(MIN(CAST(ROUND({c} * 100, 0) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(MAX(CAST(ROUND({c} * 100, 0) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(SUM(CAST(ROUND({c} * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM lineitem
+"""
+
+
+@query(
+    "profile_columns",
+    oracle=" UNION ALL ".join(
+        _PROFILE_ORACLE_ONE.format(c=c) for c in PROFILE_COLS
+    ),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset PROFILING — the pipeline-ingest health check (row counts,
+    null rates, cardinalities, value ranges, exact sums per column) that
+    gates whether a freshly-landed partition is fit to train on. One row
+    per profiled column, all numerics in exact integer cents (the
+    functions/exact.py convention) so the profile is bit-identical on any
+    engine.
+
+    Scale shape: ONE scan of the fact table computes every metric — the
+    multi-column `count_distinct` family plans as a single Expand (+1
+    grouping per distinct column) with partial aggregation on every leg,
+    which is the canonical Spark multi-distinct strategy: ~4x the scan's
+    map work here, but no second read of a 100 TB table and no driver
+    loop over columns. The per-column rows come from `stack`ing the one
+    aggregated row — pure projection. (At extreme column counts you'd
+    switch n_distinct to approx_count_distinct and drop the Expand; kept
+    exact here because the oracle compares values.)"""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in PROFILE_COLS:
+        cc = cents(F.col(c))
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(cc).cast("bigint").alias(f"{c}__distinct"),
+            F.min(cc).cast("bigint").alias(f"{c}__min"),
+            F.max(cc).cast("bigint").alias(f"{c}__max"),
+            F.sum(cc).cast("bigint").alias(f"{c}__sum"),
+        ]
+    one_row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__sum"
+        for c in PROFILE_COLS
+    )
+    return one_row.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_cents, max_cents,"
+            " sum_cents)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_cents",
+        "max_cents",
+        "sum_cents",
+    )
+
+
+@query(
+    "agg_retention_cohort",
+    oracle="""
+    WITH user_weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week_epoch
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(week_epoch) AS cohort_epoch
+      FROM user_weeks GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_epoch, COUNT(*) AS cohort_size
+      FROM cohorts GROUP BY cohort_epoch
+    ), activity AS (
+      SELECT c.cohort_epoch,
+             (u.week_epoch - c.cohort_epoch) // 604800 AS week_offset,
+             COUNT(DISTINCT u.user_id) AS n_users
+      FROM user_weeks u JOIN cohorts c USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_epoch,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           CAST(a.n_users AS BIGINT) AS n_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(a.n_users * 10000 // s.cohort_size AS BIGINT) AS retention_bp
+    FROM activity a JOIN sizes s USING (cohort_epoch)
+    """,
+)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort RETENTION — the product-analytics staple: group users by
+    first-active week (their cohort), then for every later week count how
+    many of the cohort came back; retention share in exact basis points.
+    All epoch/offset arithmetic is integer (UTC week starts are exactly
+    604800 s apart; BIGINT `div`), so the matrix is engine-exact.
+
+    Scale shape: events reduce FIRST to distinct (user, week) — the
+    ~10^4x reduction every later stage rides on — then cohorts are a
+    groupBy on the SAME user key (no second wide shuffle of raw data),
+    activity joins on user_id, and the cohort-size join at the end is a
+    tiny per-cohort relation (broadcast). No windows over raw events, no
+    driver-side anything."""
+    ev = load(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("week", "ts")).alias("week_epoch"),
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week_epoch").alias("cohort_epoch")
+    )
+    sizes = cohorts.groupBy("cohort_epoch").agg(
+        F.count("*").alias("cohort_size")
+    )
+    activity = (
+        user_weeks.join(cohorts, "user_id")
+        .select(
+            "cohort_epoch",
+            F.expr("(week_epoch - cohort_epoch) div 604800").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_epoch", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return activity.join(F.broadcast(sizes), "cohort_epoch").select(
+        "cohort_epoch",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        F.expr("(n_users * 10000) div cohort_size").alias("retention_bp"),
     )

@@ -726,3 +726,150 @@ def text_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rarity_bp"),
         )
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+# Deterministic "benchmark" designation: every 37th doc_id plays the
+# held-out eval set (~2.7% of the corpus) so the operator is exactly
+# reproducible in both engines. In production this side is the actual
+# benchmark suite's text (MMLU/GSM8K/...), which is TINY relative to the
+# training corpus — the asymmetry the plan exploits.
+DECONTAM_BENCH_MOD = 37
+DECONTAM_BP = 2000  # flag docs with >= 20% of shingles seen in benchmarks
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             )) AS sh
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM shingled
+      WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ),
+    probe AS (
+      SELECT doc_id, unnest(sh) AS s FROM shingled
+      WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+    ),
+    hits AS (
+      SELECT p.doc_id, COUNT(*) AS n_hits
+      FROM probe p JOIN bench b USING (s)
+      GROUP BY p.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.sh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) * 10000 // len(s.sh) AS BIGINT)
+             AS contamination_bp,
+           COALESCE(h.n_hits, 0) * 10000 // len(s.sh) >= {DECONTAM_BP}
+             AS contaminated
+    FROM shingled s LEFT JOIN hits h USING (doc_id)
+    WHERE s.doc_id % {DECONTAM_BENCH_MOD} <> 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-pipeline step that keeps
+    eval questions out of the training set: score every training doc by
+    the share of its word 3-gram shingles that appear anywhere in the
+    benchmark set, and flag docs over the threshold for removal. (The
+    published practice: n-gram-overlap decontamination as in the GPT-3 /
+    The Pile / FineWeb reports, reduced to its exact countable core.)
+
+    Scale shape: the benchmark side is DISTINCT shingles of a tiny
+    corpus slice — broadcast it; the training side streams map-side
+    through explode -> broadcast-hash semi-ish join -> partial-agg
+    groupBy(doc_id). One shuffle (the per-doc count), no candidate pair
+    blow-up, nothing driver-side: at 100 TB the benchmark shingle set is
+    a few MB against TBs of probes. The inner-join-then-count (not a
+    per-row array_contains against a collected set) keeps the benchmark
+    side a proper relation — no driver materialization."""
+    from .dedup import _shingles
+
+    d = load(spark, sf_dir, "documents")
+    shingled = d.select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    ).withColumn("n_shingles", F.size("sh").cast("bigint"))
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    bench = (
+        shingled.where(is_bench)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    probe = shingled.where(~is_bench)
+    hits = (
+        probe.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    bp = F.floor(
+        F.coalesce(F.col("n_hits"), F.lit(0)) * 10000 / F.col("n_shingles")
+    ).cast("bigint")
+    return (
+        probe.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            bp.alias("contamination_bp"),
+            (bp >= DECONTAM_BP).alias("contaminated"),
+        )
+    )
+
+
+# --- deterministic weighted sampling -----------------------------------------
+
+SAMPLE_K = 100
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           CAST(((doc_id % 2147483648 * 1000 + 13) % 2147483648
+                 * 1103515245 + 12345) % 2147483648
+                // greatest(n_chars, 1) AS BIGINT) AS sample_key
+    FROM documents
+    ORDER BY sample_key, doc_id
+    LIMIT {SAMPLE_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sampling: each doc draws a portable
+    LCG pseudo-random priority and divides it by its weight (n_chars —
+    longer docs are proportionally more likely to win); the K smallest
+    keys are the sample. This is the priority-sampling family
+    (Duffield/Lund/Thorup) with the RNG replaced by the same portable LCG
+    the split operators use, so the drawn sample is bit-reproducible
+    across engines and re-runs — the property a training pipeline needs
+    to make "the sampled corpus" a stable artifact, not a lottery.
+    Integer arithmetic throughout (seed bounded mod 2^31 before the LCG
+    step, BIGINT `div` by the weight — the same exact-division
+    convention as graph_pagerank, no double-quotient floor hazard).
+
+    Scale shape: key computation is map-side codegen; global top-K
+    compiles to TakeOrderedAndProject (per-partition heaps + driver merge
+    of K rows, never a global sort) — the same plan at any corpus size.
+    Tie-break on doc_id makes the K-th seat deterministic."""
+    from ..sources.datagen import lcg
+
+    d = load(spark, sf_dir, "documents")
+    seed = (F.col("doc_id") % 2147483648 * 1000 + 13) % 2147483648
+    return (
+        d.select("doc_id", "n_chars", lcg(seed).alias("pri"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("pri div greatest(n_chars, 1)").alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(SAMPLE_K)
+    )

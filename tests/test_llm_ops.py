@@ -259,3 +259,46 @@ def test_bmp_codec_roundtrip_and_rejects_garbage():
     assert _decode_image_real(topdown) == (11, 3)
     with pytest.raises(ValueError):
         _decode_image_real(b"GIF89a not a bitmap at all....................")
+
+
+def test_decontaminate_excludes_benchmark_and_bounds_share(spark, sf_dir):
+    from fintech_data_lake_as_code_spark.operators.text import (
+        DECONTAM_BENCH_MOD,
+        DECONTAM_BP,
+        text_decontaminate,
+    )
+
+    rows = text_decontaminate(spark, sf_dir).collect()
+    assert rows, "decontamination must emit the non-benchmark corpus"
+    for r in rows:
+        # benchmark docs are the reference set, never scored themselves
+        assert r.doc_id % DECONTAM_BENCH_MOD != 0
+        assert 0 <= r.n_hits <= r.n_shingles
+        assert 0 <= r.contamination_bp <= 10000
+        assert r.contaminated == (r.contamination_bp >= DECONTAM_BP)
+
+
+def test_weighted_sample_is_exact_topk_of_its_priority_law(spark, sf_dir):
+    # recompute the sample definition in plain python over the corpus and
+    # assert the operator returns EXACTLY that top-K — pins determinism
+    # and the integer-arithmetic law, independent of data regeneration
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.operators.text import (
+        SAMPLE_K,
+        sample_weighted_priority,
+    )
+
+    M, A, C = 2147483648, 1103515245, 12345
+    corpus = load(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    expected = sorted(
+        (
+            ((r.doc_id % M * 1000 + 13) % M * A + C) % M // max(r.n_chars, 1),
+            r.doc_id,
+        )
+        for r in corpus
+    )[:SAMPLE_K]
+    got = [
+        (r.sample_key, r.doc_id)
+        for r in sample_weighted_priority(spark, sf_dir).collect()
+    ]
+    assert got == expected

@@ -344,3 +344,17 @@ def test_jdbc_scan_pushes_filter_to_database(spark, sf_dir):
     assert any(
         "EqualTo(transaction_type,CREDIT)" in p for p in pushed
     ), pushed
+
+
+def test_weighted_sample_compiles_to_take_ordered(spark, sf_dir):
+    plan = formatted_plan(SPECS["sample_weighted_priority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    # the benchmark shingle set is tiny vs the training corpus — the probe
+    # join must be a broadcast hash join, never a shuffle of the corpus
+    # explode against a shuffled benchmark side (and never a cartesian)
+    plan = formatted_plan(SPECS["text_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

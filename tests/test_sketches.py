@@ -118,3 +118,22 @@ def _logical_node_classes(df) -> list[str]:
         for i in range(children.length()):
             stack.append(children.apply(i))
     return names
+
+
+def test_profile_columns_is_one_scan_and_internally_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.operators.aggregates import (
+        PROFILE_COLS,
+        profile_columns,
+    )
+
+    rows = {r.column_name: r for r in profile_columns(spark, sf_dir).collect()}
+    assert set(rows) == set(PROFILE_COLS)
+    n = load(spark, sf_dir, "lineitem").count()
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_nulls <= n
+        assert 1 <= r.n_distinct <= n - r.n_nulls
+        assert r.min_cents <= r.max_cents
