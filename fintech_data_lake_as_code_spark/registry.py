@@ -169,11 +169,18 @@ _VERDICT_ROUND: dict[str, int] = {
 #   (and asserted against inside it) on both the Spark and oracle side —
 #   pandas would deliver a nullable int group as float64/NaN and the
 #   int64 cast would silently corrupt inserts
-#   (tests/test_sketches.py).
+#   (tests/test_sketches.py);
+# - dedup_ngram_jaccard / dedup_incremental: the shared shingle artifact
+#   now caches the sorted xxhash64 array, and both PPJoin stages slice
+#   and VERIFY on it (int64 intersect, ~2.2x) — the unchanged
+#   string-formulation oracles differentially certify losslessness
+#   (tests/test_llm_ops.py + driver grade).
 _STALE_REGRADE = frozenset(
     {
         "agg_sketch_cms",
         "dedup_cluster_cc",
+        "dedup_ngram_jaccard",
+        "dedup_incremental",
     }
 )
 
