@@ -1091,3 +1091,171 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_members"),
     )
+
+
+# --- asymmetric containment dedup -------------------------------------------
+
+# Containment corpus: every 7th doc gets an EXCERPT twin — its first
+# half's words — planted at doc_id + 200000. Excerpts are the case
+# symmetric Jaccard structurally misses: a fragment of a long doc shares
+# nearly all of ITS shingles with the source, but the union is dominated
+# by the source, so J = |A∩B|/|A∪B| stays far below any dedup threshold
+# while containment |A∩B|/|A| is ~1.
+_CONTAIN_SQL = """
+    SELECT doc_id, lower(text) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           array_to_string(
+             string_split(lower(text), ' ')[1:greatest(len(string_split(text, ' ')) // 2, 3)],
+             ' ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+CONTAIN_T_BP = 9000  # containment >= 0.9 of the smaller doc's shingles
+
+_CONTAIN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _containment_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n, hashes) over the excerpt-planted corpus, cached per
+    session+sf_dir like the main shingle artifact."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CONTAIN_CACHE.get(key)
+    if df is None:
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", F.lower("text").alias("text")
+        )
+        words = F.split("text", " ")
+        k = F.greatest(F.floor(F.size(words) / 2).cast("int"), F.lit(3))
+        excerpts = d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(F.slice(words, F.lit(1), k), " ").alias("text"),
+        )
+        corpus = d.unionByName(excerpts).repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        df = (
+            corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+            .withColumn("n", F.size("shingles"))
+            .withColumn(
+                "hashes",
+                F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
+            )
+            .drop("shingles")
+            .cache()
+        )
+        _CONTAIN_CACHE[key] = df
+    return df
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH corpus AS ({_CONTAIN_SQL}),
+    shingled AS ({_SHINGLED_SQL}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM shingled
+    ), shared AS (
+      SELECT a.doc_id AS id_small, b.doc_id AS id_big, COUNT(*) AS n_shared
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_small, s.id_big,
+           CAST(sa.n AS BIGINT) AS n_small,
+           CAST(sb.n AS BIGINT) AS n_big,
+           CAST(s.n_shared * 10000 // sa.n AS BIGINT) AS containment_bp
+    FROM shared s
+    JOIN sizes sa ON s.id_small = sa.doc_id
+    JOIN sizes sb ON s.id_big = sb.doc_id
+    WHERE (sb.n > sa.n OR (sb.n = sa.n AND s.id_small < s.id_big))
+      AND s.n_shared * 10000 >= {CONTAIN_T_BP} * sa.n
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup — catches excerpts, quotes and
+    subset documents that symmetric Jaccard structurally misses (a
+    fragment shares ~all of its own shingles with its source, but the
+    union is dominated by the source, so J stays low while containment
+    C(A,B) = |A∩B| / |A| is ~1; the corpus-cleaning step CCNet/Gopher-
+    style pipelines run alongside symmetric dedup). Emits every ordered
+    pair where the SMALLER doc's shingles are >= 90% contained in the
+    bigger's.
+
+    Candidate generation is the prefix-filter adapted to containment:
+    if C >= t then the pair shares one of the smaller doc's first
+    n - ceil(t*n) + 1 sorted-hash shingles (pigeonhole over ITS OWN
+    shingles only — no length-ratio constraint exists for containment,
+    the big side may be any size). So the probe side explodes only that
+    ~0.1n prefix of each doc while the index side is the full postings
+    list — an equi-join on the hash, never all-pairs — plus the
+    positional bound (a match at sorted positions (i, j) caps overlap
+    at 1 + min(na - i, nb - j) >= 0.9*na). Verification intersects the
+    cached sorted-hash arrays exactly (collision note in
+    dedup_ngram_jaccard — the string-formulation oracle certifies every
+    graded run). Scale: probe volume ~0.1 shingle-volume, postings =
+    the standard inverted index, hot buckets split by AQE skew-join."""
+    sh = _containment_shingled(spark, sf_dir)
+    prefix_len = F.col("n") - ((F.col("n") * 9 + 9) / 10).cast("long") + 1
+    pref = sh.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("hashes", F.lit(1), prefix_len)).alias(
+            "pos0", "h"
+        ),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "h")
+    post = sh.select(
+        "doc_id",
+        "n",
+        F.posexplode("hashes").alias("pos0", "h"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "h")
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (
+                (F.col("b.n") > F.col("a.n"))
+                | (
+                    (F.col("b.n") == F.col("a.n"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (overlap_ub * 10000 >= CONTAIN_T_BP * F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_small"),
+            F.col("b.doc_id").alias("id_big"),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("id_small"),
+        F.col("hashes").alias("h_a"),
+        F.col("n").alias("n_small"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("id_big"),
+        F.col("hashes").alias("h_b"),
+        F.col("n").alias("n_big"),
+    )
+    o = F.size(F.array_intersect("h_a", "h_b"))
+    return (
+        cand.join(sa, "id_small")
+        .join(sb, "id_big")
+        .withColumn("o", o)
+        .where(F.col("o") * 10000 >= CONTAIN_T_BP * F.col("n_small"))
+        .select(
+            "id_small",
+            "id_big",
+            F.col("n_small").cast("bigint").alias("n_small"),
+            F.col("n_big").cast("bigint").alias("n_big"),
+            F.expr("(o * 10000) div n_small").alias("containment_bp"),
+        )
+    )

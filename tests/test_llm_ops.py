@@ -302,3 +302,27 @@ def test_weighted_sample_is_exact_topk_of_its_priority_law(spark, sf_dir):
         for r in sample_weighted_priority(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_containment_finds_every_planted_excerpt(spark, sf_dir):
+    # every 7th doc has an excerpt twin (its first half, id + 200000);
+    # the excerpt's shingles are a subset of the source's, so containment
+    # must be exactly 100% with the excerpt on the small side — the case
+    # symmetric Jaccard structurally misses
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        dedup_containment,
+    )
+
+    pairs = {
+        (r.id_small, r.id_big): r.containment_bp
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    planted = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+        if r.doc_id % 7 == 0
+    ]
+    assert planted
+    for doc_id in planted:
+        assert pairs.get((doc_id + 200000, doc_id)) == 10000, doc_id

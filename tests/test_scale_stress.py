@@ -42,6 +42,7 @@ HEAVY_KEYS = [
     "dedup_near_minhash",
     "dedup_incremental",
     "dedup_cluster_cc",
+    "dedup_containment",
     "sim_topk_lsh",
 ]
 
