@@ -155,6 +155,33 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Extras: operators added after the headline set froze, timed the same
+    # way but reported OUTSIDE the headline total so round-over-round
+    # totals stay comparable to BASELINE.md.
+    EXTRAS = [
+        "text_decontaminate",
+        "dedup_containment",
+        "agg_retention_cohort",
+        "profile_columns",
+        "sample_weighted_priority",
+    ]
+    extras: dict[str, float] = {}
+    for key in EXTRAS:
+        fn = queries.get(key)
+        if fn is None:
+            continue
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        extras[key] = round(sorted(runs)[len(runs) // 2], 3)
+        print(
+            f"# extra {key}: median {extras[key]:.3f}s of "
+            + "/".join(f"{r:.3f}" for r in runs),
+            file=sys.stderr,
+        )
+
     sf_name = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf = float(sf_name)
@@ -178,6 +205,7 @@ def main() -> None:
                     k: round(v / cal_ratio, 3) for k, v in timings.items()
                 },
                 "value_normalized": round(total / cal_ratio, 3),
+                "extras": extras,
             }
         )
     )
