@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import cents, exact_avg, exact_sum
+from ..functions.exact import exact_avg, exact_sum
 from ..io import load
 from ..registry import query
 
@@ -757,48 +757,42 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/exact.py convention) so the profile is bit-identical on any
     engine.
 
-    Scale shape: ONE scan of the fact table computes every metric — the
-    multi-column `count_distinct` family plans as a single Expand (+1
-    grouping per distinct column) with partial aggregation on every leg,
-    which is the canonical Spark multi-distinct strategy: ~4x the scan's
-    map work here, but no second read of a 100 TB table and no driver
-    loop over columns. The per-column rows come from `stack`ing the one
-    aggregated row — pure projection. (At extreme column counts you'd
-    switch n_distinct to approx_count_distinct and drop the Expand; kept
-    exact here because the oracle compares values.)"""
+    Scale shape: ONE scan, no Expand. The naive multi-column exact
+    count_distinct plans as an Expand (one duplicated scan leg per
+    distinct column — 4x the map bytes at 100 TB), so instead the scan
+    `stack`s each row into (column_name, cents) — map-side, narrow —
+    and a first partial-aggregated groupBy(column, value) collapses to
+    the per-column VALUE HISTOGRAM (tiny: bounded by distinct values,
+    not rows). Every profile metric is then an aggregate OF the
+    histogram: n_distinct = count of non-null values, n_rows = sum of
+    counts, n_nulls = the null value's count, min/max over values,
+    sum = sum(value * count). Two cascaded aggregations, both partial
+    map-side, shuffling only histogram entries — the same cascade shape
+    as agg_time_rollup."""
     li = load(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c in PROFILE_COLS:
-        cc = cents(F.col(c))
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"{c}__nulls"),
-            F.countDistinct(cc).cast("bigint").alias(f"{c}__distinct"),
-            F.min(cc).cast("bigint").alias(f"{c}__min"),
-            F.max(cc).cast("bigint").alias(f"{c}__max"),
-            F.sum(cc).cast("bigint").alias(f"{c}__sum"),
-        ]
-    one_row = li.agg(*aggs)
+    # SQL-text twin of functions.exact.cents() — embedded in the stack
     stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__sum"
-        for c in PROFILE_COLS
+        f"'{c}', CAST(ROUND({c} * 100, 0) AS BIGINT)" for c in PROFILE_COLS
     )
-    return one_row.select(
+    stacked = li.select(
         F.expr(
-            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
-            "(column_name, n_nulls, n_distinct, min_cents, max_cents,"
-            " sum_cents)"
-        ),
-        "n_rows",
-    ).select(
-        "column_name",
-        "n_rows",
-        "n_nulls",
-        "n_distinct",
-        "min_cents",
-        "max_cents",
-        "sum_cents",
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS (column_name, v)"
+        )
+    )
+    hist = stacked.groupBy("column_name", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return hist.groupBy("column_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count("v").cast("bigint").alias("n_distinct"),
+        F.min("v").cast("bigint").alias("min_cents"),
+        F.max("v").cast("bigint").alias("max_cents"),
+        F.sum(F.col("v") * F.col("cnt")).cast("bigint").alias("sum_cents"),
     )
 
 
