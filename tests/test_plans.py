@@ -358,3 +358,31 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     plan = formatted_plan(SPECS["text_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_nearest_asof_is_one_window_pass(spark, sf_dir):
+    # both directional candidates (backward last + forward first) must
+    # ride ONE shuffle: a Window node, no range-join pair explosion
+    df = SPECS["join_asof_nearest"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # semantic invariant: the signed delta's magnitude is the true
+    # nearest — no row may have a better candidate on the other side,
+    # which the oracle already proves; here pin the cheap local half:
+    # a NULL match only for users with no purchase at all
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import load
+
+    ev = load(spark, sf_dir, "events")
+    users_with_purchase = {
+        r.user_id
+        for r in ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    for r in df.where(F.col("nearest_purchase_id").isNull()).collect():
+        assert r.user_id not in users_with_purchase, r
