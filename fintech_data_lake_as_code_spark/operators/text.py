@@ -875,3 +875,98 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(SAMPLE_K)
     )
+
+
+# --- binary-file directory ingest --------------------------------------------
+
+
+def _bmp_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a directory of REAL .bmp files (one per sampled doc, written
+    executor-side over Arrow batches) — the 'image lake landed on disk'
+    precondition for the binaryFile scan, marker-guarded like the Derby
+    and bucketed-layout seeds. Filenames carry the doc_id so the scan's
+    output is differentiable against the documents table."""
+    import os
+
+    from ..io import scratch_dir
+
+    out = scratch_dir(sf_dir, "bmp_files")
+    marker = os.path.join(out, "_SEEDED")
+    if not os.path.exists(marker):
+        d = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 6 == 0)
+            .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        )
+
+        def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import os as _os
+
+            for pdf in batches:
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    p = bytes(payload)
+                    bmp = _encode_bmp(p, len(p) % 640 + 1, (len(p) * 7) % 480 + 1)
+                    path = _os.path.join(out, f"doc_{int(doc_id)}.bmp")
+                    with open(path, "wb") as fh:
+                        fh.write(bmp)
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        d.mapInPandas(write_files, "n int").agg(F.sum("n")).collect()
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return out
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT 'doc_' || doc_id || '.bmp' AS file_name,
+           CAST(octet_length(encode(text)) + 54 AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height
+    FROM documents WHERE doc_id % 6 = 0
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file DIRECTORY ingest — the real-world multimodal shape the
+    inline-bytes decode (`multimodal_decode`) doesn't cover: a directory
+    of image files lands on the lake, `spark.read.format("binaryFile")`
+    lists and partitions them across tasks (pathGlobFilter prunes the
+    listing server-side), and the same real BMP header parser recovers
+    dimensions from the bytes READ BACK OFF DISK. The oracle recomputes
+    every field from the documents table and the codec's layout math, so
+    the grade proves the bytes round-tripped through the filesystem —
+    writer, file scan, and parser all agree.
+
+    Scale shape: binaryFile splits the file listing across tasks and
+    caps partition payload via spark.sql.files.maxPartitionBytes (small
+    files group, huge files isolate); decode is per-item Python inside
+    Arrow batches — the shape a PIL/ffmpeg codec runs in — partition-
+    parallel with no shuffle at all."""
+    src = _bmp_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(src)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            "content",
+        )
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_image_real(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "file_name": pdf["file_name"],
+                    "n_bytes": pdf["n_bytes"].astype("int64"),
+                    "width": pd.Series([w for w, _ in dims], dtype="int32"),
+                    "height": pd.Series([h for _, h in dims], dtype="int32"),
+                }
+            )
+
+    return files.mapInPandas(
+        decode, "file_name string, n_bytes bigint, width int, height int"
+    )
