@@ -104,6 +104,13 @@ def main() -> None:
     from fintech_data_lake_as_code_spark.operators.dedup import _shingled_corpus
 
     _shingled_corpus(spark, sf_dir).selectExpr("sum(n)").collect()
+    # One untimed pass of the iterative CC query: its first invocation
+    # pays whole-stage-codegen compilation for the per-round loop plans
+    # and the localCheckpoint machinery (observed 2x the steady-state
+    # median); the timed reps then measure the recurring cost.
+    queries["dedup_cluster_cc"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     # Noise calibration: a fixed, IO-free, pure-codegen probe timed before
     # the headline loop. Its runtime depends only on the box's available
