@@ -181,8 +181,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (ref B9 high-value cutoff,
-    setupTables.py:43). approx_percentile is the 100 TB variant (see
-    agg_approx_distinct note)."""
+    setupTables.py:43). `agg_approx_percentile` is the registered
+    100 TB variant."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
@@ -866,4 +866,41 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "cohort_size",
         F.expr("(n_users * 10000) div cohort_size").alias("retention_bp"),
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+             AS exact_p50,
+           COUNT(*) AS n_rows,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch approximate percentile — the actual 100 TB path
+    `agg_percentile` points at: exact percentiles buffer every value per
+    group, the sketch streams with bounded memory and a DETERMINISTIC
+    rank-error guarantee (<= 1/accuracy regardless of partitioning or
+    merge order). Engine-portable contract as in agg_approx_distinct:
+    the graded output carries the exact p50 plus `within_bound` — the
+    approx estimate (rank error <= 1e-4 at accuracy 10000) must land
+    inside the exact [p49.9, p50.1] value band, a 10x-slack envelope
+    that any conforming sketch satisfies — so the oracle's literal TRUE
+    fails the hash the moment the sketch drifts out of its guarantee.
+    The estimate itself stays out of the output (sketch values are
+    engine-specific); at 100 TB you keep only the approx."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    approx = F.percentile_approx(price, F.lit(0.5), F.lit(10000))
+    lo = F.percentile(price, F.lit(0.499))
+    hi = F.percentile(price, F.lit(0.501))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(price, F.lit(0.5)), 4).alias("exact_p50"),
+        F.count("*").alias("n_rows"),
+        ((approx >= lo) & (approx <= hi)).alias("within_bound"),
     )
