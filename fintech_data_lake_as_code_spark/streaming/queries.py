@@ -44,7 +44,15 @@ EVENTS_SCHEMA = T.StructType(
 
 def _events_json_dir(spark: SparkSession, sf_dir: str) -> str:
     """Land events as JSON lines once per sf (the Firehose-style bronze
-    landing zone the stream reads from)."""
+    landing zone the stream reads from).
+
+    The UTC pin below is load()'s contract re-applied HERE because the
+    seeding write is marker-skipped on re-runs: if the landed files
+    already exist, no load() executes before the stream parses them, and
+    a streaming query graded FIRST in a fresh non-UTC session would
+    misread the UTC-naive timestamp strings in the caller's timezone
+    (observed as a 5.5 h epoch skew under an Asia/Kolkata session)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = scratch_dir(sf_dir, "stream_src_events")
     import os
 
@@ -834,3 +842,191 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         F.unix_timestamp("ts").alias("last_ts_epoch"),
     )
+
+
+# --- TWS ListState: running top-k membership ---------------------------------
+
+TWS_TOPK = 3
+
+TWS_TOPK_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS event_epoch,
+           CAST(LEAST(COALESCE(SUM(CASE WHEN p.cents > e.cents
+                                          OR (p.cents = e.cents
+                                              AND p.event_id < e.event_id)
+                                        THEN 1 ELSE 0 END), 0),
+                      {TWS_TOPK}) AS BIGINT)
+             AS n_better_before,
+           COALESCE(SUM(CASE WHEN p.cents > e.cents
+                               OR (p.cents = e.cents
+                                   AND p.event_id < e.event_id)
+                             THEN 1 ELSE 0 END), 0) < {TWS_TOPK}
+             AS made_topk
+    FROM ev e LEFT JOIN ev p
+      ON p.user_id = e.user_id
+     AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+    GROUP BY e.event_id, e.user_id, e.ts, e.cents
+"""
+
+_TWS_TOPK_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_epoch", T.LongType()),
+        T.StructField("n_better_before", T.LongType()),
+        T.StructField("made_topk", T.BooleanType()),
+    ]
+)
+_TWS_TOPK_STATE = T.StructType(
+    [
+        T.StructField("cents", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+
+def _topk_step(state_rows, pdf):
+    """Shared per-key transition (pure python, unit-testable without any
+    state server): fold this batch's rows in (te, event_id) order through
+    the running top-K, emitting each event's rank-at-arrival. `te` is the
+    epoch computed JVM-side (unix_timestamp) BEFORE the stateful operator
+    — a naive pandas timestamp rendered in the session timezone would
+    skew `.timestamp()` by the tz offset on non-UTC driver sessions.
+    `state_rows` is the list of (cents, event_id) currently in the
+    top-K; returns (out_rows, new_state_rows)."""
+    state = list(state_rows)
+    out = []
+    for r in pdf.sort_values(["te", "event_id"]).itertuples(index=False):
+        cents = int(round(r.value * 100))
+        n_better = sum(
+            1
+            for (sc, sid) in state
+            if sc > cents or (sc == cents and sid < r.event_id)
+        )
+        out.append(
+            (
+                int(r.event_id),
+                int(r.user_id),
+                int(r.te),
+                n_better,
+                n_better < TWS_TOPK,
+            )
+        )
+        state.append((cents, int(r.event_id)))
+        state.sort(key=lambda t: (-t[0], t[1]))
+        del state[TWS_TOPK:]
+    return out, state
+
+
+def make_topk_processor():
+    """StatefulProcessor exercising TWS **ListState**: the per-user top-K
+    (cents, event_id) list survives micro-batch boundaries in a list
+    handle (appendList/clear), not a single value — the API surface a
+    leaderboard / best-offer / fraud-threshold stream actually needs."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._topk = handle.getListState("topk", _TWS_TOPK_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            state = [(r.cents, r.event_id) for r in self._topk.get()]
+            pdf = pd.concat(list(rows))
+            out, state = _topk_step(state, pdf)
+            self._topk.clear()
+            if state:
+                self._topk.appendList(state)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_id",
+                    "user_id",
+                    "event_epoch",
+                    "n_better_before",
+                    "made_topk",
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTopK()
+
+
+def _with_epoch(stream: DataFrame) -> DataFrame:
+    return stream.withColumn("te", F.unix_timestamp("ts"))
+
+
+def _topk_tws(stream: DataFrame) -> DataFrame:
+    return _with_epoch(stream).groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_topk_processor(),
+        outputStructType=_TWS_TOPK_OUT,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def _topk_apiws(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState twin (tuple-of-lists state) for
+    environments without the protobuf state server."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def topk_fn(key, pdf_iter, state: GroupState):
+        cents_l, ids_l = state.get if state.exists else ((), ())
+        st = list(zip(cents_l, ids_l))
+        out = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            out, st = _topk_step(st, pd.concat(chunks))
+        state.update(
+            (tuple(c for c, _ in st), tuple(i for _, i in st))
+        )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_id",
+                "user_id",
+                "event_epoch",
+                "n_better_before",
+                "made_topk",
+            ],
+        )
+
+    return _with_epoch(stream).groupBy("user_id").applyInPandasWithState(
+        topk_fn,
+        _TWS_TOPK_OUT,
+        T.StructType(
+            [
+                T.StructField("cents", T.ArrayType(T.LongType())),
+                T.StructField("ids", T.ArrayType(T.LongType())),
+            ]
+        ),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+@query("stream_tws_topk_state", oracle=TWS_TOPK_ORACLE)
+def stream_tws_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running top-K membership as arbitrary stateful streaming — each
+    event is emitted with its rank among the SAME user's prior events
+    (by value, cents-exact) and whether it entered the running top-3:
+    the leaderboard / largest-transaction-alert shape.
+    `n_better_before` counts better events IN THE RETAINED top-K state
+    — i.e. min(true better-count, K), which is all a bounded-state
+    stream can know and exactly what the capped oracle grades. Unlike
+    the running-totals key this exercises TWS **ListState** (a bounded
+    list per key surviving micro-batches); identical semantics on the
+    applyInPandasWithState twin where no protobuf runtime is reachable.
+    Rank-at-arrival is batching-invariant (the per-batch fold processes
+    rows in (ts, event_id) order, and state holds all prior events'
+    top-K), so the exact batch self-join oracle grades it."""
+    src = _events_json_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    impl = _topk_tws if tws_supported(spark) else _topk_apiws
+    return _drain(impl(stream), "stream_tws_topk_state", "append")

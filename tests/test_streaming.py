@@ -247,3 +247,76 @@ def test_tws_real_path_matches_twin(spark, sf_dir):
     twin = run(SQ._running_totals_apiws, "tws_twin_probe")
     assert len(tws) > 0
     assert tws == twin
+
+
+def test_tws_topk_real_path_matches_twin(spark, sf_dir):
+    """The ListState TWS query must produce exactly the rows of its
+    applyInPandasWithState twin (same fold, different state API)."""
+    import pytest
+
+    from fintech_data_lake_as_code_spark.compat import tws_supported
+    from fintech_data_lake_as_code_spark.streaming import queries as SQ
+
+    if not tws_supported(spark):
+        pytest.skip("no protobuf runtime reachable by the Python workers")
+
+    src = SQ._events_json_dir(spark, sf_dir)
+
+    def run(impl, key):
+        stream = spark.readStream.schema(SQ.EVENTS_SCHEMA).json(src)
+        return sorted(
+            tuple(r) for r in SQ._drain(impl(stream), key, "append").collect()
+        )
+
+    tws = run(SQ._topk_tws, "tws_topk_real_probe")
+    twin = run(SQ._topk_apiws, "tws_topk_twin_probe")
+    assert len(tws) > 0
+    assert tws == twin
+
+
+def test_topk_step_bounds_state_and_ranks_at_arrival():
+    """Pure-python pin of the shared top-K transition: state stays
+    bounded at K, rank-at-arrival counts only RETAINED better entries,
+    and value ties break by event_id."""
+    import pandas as pd
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        TWS_TOPK,
+        _topk_step,
+    )
+
+    # batch 1: values 5, 3, 9 (te order) -> ranks 0, 1, 0
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "te": [10, 20, 30],
+            "value": [0.05, 0.03, 0.09],
+        }
+    )
+    out1, st1 = _topk_step([], b1)
+    assert [(o[0], o[3], o[4]) for o in out1] == [
+        (1, 0, True),
+        (2, 1, True),
+        (3, 0, True),
+    ]
+    assert st1 == [(9, 3), (5, 1), (3, 2)]
+
+    # batch 2: a low value ranks below the FULL retained top-3 (saturated
+    # at K) and does not enter; an equal-to-max value loses the tie to
+    # the earlier event_id
+    b2 = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            "user_id": [7, 7],
+            "te": [40, 50],
+            "value": [0.01, 0.09],
+        }
+    )
+    out2, st2 = _topk_step(st1, b2)
+    assert [(o[0], o[3], o[4]) for o in out2] == [
+        (4, TWS_TOPK, False),
+        (5, 1, True),
+    ]
+    assert len(st2) == TWS_TOPK
+    assert st2 == [(9, 3), (9, 5), (5, 1)]
