@@ -176,3 +176,43 @@ def set_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tag")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "set_bag_ops",
+    oracle="""
+    SELECT tag, COUNT(*) AS n_rows FROM (
+      SELECT 'intersect_all' AS tag, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+      UNION ALL
+      SELECT 'except_all' AS tag, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+    ) GROUP BY tag
+    """,
+)
+def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set algebra — `INTERSECT ALL` / `EXCEPT ALL` keep
+    MULTIPLICITY (min / truncated-difference of per-value counts), which
+    the distinct variants in `set_distinct_ops` destroy: 'how many click
+    events does each user have beyond their purchase count' is a bag
+    question. Spark's intersectAll/exceptAll plan as a single
+    count-compare aggregate per side — one shuffle on the value, no
+    row-pairing — the same shape at any scale."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    ia = clicks.intersectAll(buys).select(
+        F.lit("intersect_all").alias("tag"), "user_id"
+    )
+    ea = clicks.exceptAll(buys).select(
+        F.lit("except_all").alias("tag"), "user_id"
+    )
+    return (
+        ia.unionByName(ea).groupBy("tag").agg(F.count("*").alias("n_rows"))
+    )
