@@ -904,3 +904,66 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         ((approx >= lo) & (approx <= hi)).alias("within_bound"),
     )
+
+
+# Histogram bounds: fixed literals (a data-derived min/max would cost a
+# second pass); cents-exact integer bucket arithmetic, identical in any
+# engine. l_extendedprice spans ~[900, 105000] in TPC-H-ish data;
+# out-of-range rows land in sentinel buckets -1 / N_BINS.
+HIST_LO_CENTS = 0
+HIST_HI_CENTS = 11_000_000
+HIST_BINS = 22
+
+
+@query(
+    "agg_histogram_bins",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT CAST(CASE WHEN cents < {HIST_LO_CENTS} THEN -1
+                WHEN cents >= {HIST_HI_CENTS} THEN {HIST_BINS}
+                ELSE (cents - {HIST_LO_CENTS}) * {HIST_BINS}
+                     // ({HIST_HI_CENTS} - {HIST_LO_CENTS}) END AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM c GROUP BY 1
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin numeric HISTOGRAM — the distribution companion to
+    `profile_columns` (a profile says min/max/mean; the histogram says
+    where the mass sits — the data-quality view that catches a bimodal
+    price column or a spike at a sentinel value). Bucket index is exact
+    integer arithmetic on cents over fixed literal bounds (no
+    data-derived bounds -> single pass; out-of-range rows land in
+    sentinel buckets instead of vanishing). One partial-aggregated
+    groupBy on a derived int — the cheapest shuffle there is; at 100 TB
+    the result is N_BINS+2 rows regardless of input size."""
+    li = load(spark, sf_dir, "lineitem")
+    cents_col = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    span = HIST_HI_CENTS - HIST_LO_CENTS
+    bucket = (
+        F.when(F.col("cents") < HIST_LO_CENTS, F.lit(-1))
+        .when(F.col("cents") >= HIST_HI_CENTS, F.lit(HIST_BINS))
+        .otherwise(
+            F.expr(
+                f"(cents - {HIST_LO_CENTS}) * {HIST_BINS} div {span}"
+            )
+        )
+        .cast("bigint")
+    )
+    return (
+        li.select(cents_col.alias("cents"))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )

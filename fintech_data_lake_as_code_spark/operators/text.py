@@ -970,3 +970,48 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.mapInPandas(
         decode, "file_name string, n_bytes bigint, width int, height int"
     )
+
+
+NGRAM_TOP_K = 50
+
+
+@query(
+    "text_ngram_freq",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             )) AS sh
+      FROM documents
+    ), exploded AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM shingled
+    )
+    SELECT shingle, COUNT(*) AS doc_freq
+    FROM exploded GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle
+    LIMIT {NGRAM_TOP_K}
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram FREQUENCY table — the vocabulary-analysis staple
+    (stop-phrase discovery, boilerplate detection, the document-frequency
+    side of IDF): top-{NGRAM_TOP_K} word 3-grams by document frequency
+    (each doc counts a shingle once — shingle sets are distinct), ties
+    broken lexicographically for a deterministic tail seat.
+
+    Scale shape: explode -> partial-aggregated groupBy(shingle) -> global
+    top-K via TakeOrderedAndProject (per-partition heaps, driver merges K
+    rows). The aggregate output is bounded by vocabulary (~Heaps' law),
+    not corpus size; no sort of the full frequency table ever happens."""
+    d = load(spark, sf_dir, "documents")
+    from .dedup import _shingles
+
+    return (
+        d.select(F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(NGRAM_TOP_K)
+    )
