@@ -1015,3 +1015,67 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), "shingle")
         .limit(NGRAM_TOP_K)
     )
+
+
+BOOT_REPS = 10
+BOOT_DRAWS = 1000
+
+
+@query(
+    "sample_bootstrap_means",
+    oracle=f"""
+    WITH m AS (SELECT MAX(doc_id) + 1 AS mod FROM documents),
+    draws AS (
+      SELECT i // {BOOT_DRAWS} AS rep,
+             ((i % 2147483648) * 1103515245 + 12345) % 2147483648
+               % (SELECT mod FROM m) AS doc_id
+      FROM generate_series(0, {BOOT_REPS * BOOT_DRAWS - 1}) AS t(i)
+    )
+    SELECT d.rep,
+           COUNT(*) AS n_draws,
+           CAST(SUM(doc.n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc.n_chars) * 100 // COUNT(*) AS BIGINT)
+             AS mean_chars_x100
+    FROM draws d JOIN documents doc USING (doc_id)
+    GROUP BY d.rep
+    """,
+)
+def sample_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BOOTSTRAP resampling — {BOOT_REPS} replicates of
+    {BOOT_DRAWS} draws WITH replacement, each reporting the resampled
+    mean doc length (x100, integer): the spread across replicates is the
+    bootstrap confidence interval for the corpus statistic — the
+    resampling-based error bar a data-quality dashboard puts next to
+    every metric. Draw i targets doc_id = LCG(i) mod (max_id + 1) — the
+    same portable LCG as the split/sampling family, so every replicate
+    is bit-reproducible in any engine; ids that don't exist simply drop
+    on both sides identically (no density assumption).
+
+    Scale shape: the draw table is REPS x DRAWS rows built from
+    `spark.range` — tiny and data-independent — and BROADCASTS into the
+    corpus join (the corpus never reshuffles); the modulus comes from a
+    broadcast 1-row aggregate, not a driver collect. Per-replicate sums
+    partial-aggregate map-side. At 100 TB: same plan, same draw table."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mod = d.agg((F.max("doc_id") + 1).alias("mod"))
+    from ..sources.datagen import lcg
+
+    draws = (
+        spark.range(BOOT_REPS * BOOT_DRAWS)
+        .join(F.broadcast(mod))
+        .select(
+            F.expr(f"id div {BOOT_DRAWS}").alias("rep"),
+            (lcg(F.col("id") % 2147483648) % F.col("mod")).alias("doc_id"),
+        )
+    )
+    return (
+        d.join(F.broadcast(draws), "doc_id")
+        .groupBy("rep")
+        .agg(
+            F.count("*").alias("n_draws"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.expr("(sum(n_chars) * 100) div count(*)")
+            .cast("bigint")
+            .alias("mean_chars_x100"),
+        )
+    )
