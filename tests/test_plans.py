@@ -110,10 +110,11 @@ _NESTED_LOOP_OK = {
     # theta join against a 3-row broadcast band table: NLJ IS the plan
     "join_theta_range",
     # conditionless join against a broadcast SINGLE-ROW aggregate (the
-    # merged-sketch total / the max-day clip bound): a 1xN broadcast is
-    # O(N) work, not a pairwise blowup
+    # merged-sketch total / the max-day clip bound / the bootstrap draw
+    # modulus): a 1xN broadcast is O(N) work, not a pairwise blowup
     "agg_sketch_hll",
     "agg_rolling_distinct",
+    "sample_bootstrap_means",
 }
 
 # Streaming keys run a real stream to completion inside fn(); their final
