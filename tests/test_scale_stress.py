@@ -44,6 +44,7 @@ HEAVY_KEYS = [
     "dedup_cluster_cc",
     "dedup_containment",
     "sim_topk_lsh",
+    "text_decontaminate",
 ]
 
 
