@@ -80,34 +80,13 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r05.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r06.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
 # the oldest-verdict keys, newest last.
 _VERDICT_ROUND: dict[str, int] = {
-    # round 3 greens — oldest surviving verdicts, due for a refresh
-    **dict.fromkeys(
-        [
-            "agg_rolling_distinct", "agg_sketch_hll", "dedup_incremental",
-            "dedup_keep_best", "dedup_near_minhash", "dedup_ngram_jaccard",
-            "dedup_simhash", "join_asof_forward", "join_bucketed_colocated",
-            "join_skew_salted", "sample_split_leakage_safe", "scan_csv",
-            "scan_json_corrupt", "scan_json_lines", "scan_orc",
-            "scan_parquet", "scan_partition_pruned",
-            "scan_schema_evolution", "scan_text", "scan_xml",
-            "sink_compacted", "sink_partitioned", "sink_sorted_lake",
-            "sink_zorder_lake", "sql_pricing_summary",
-            "stream_backfill_availablenow", "stream_bronze_ingest",
-            "stream_dedupe", "stream_foreachbatch_merge",
-            "stream_join_static", "stream_rate_sim", "stream_session",
-            "stream_sliding", "stream_stateful_freeze",
-            "stream_stream_join", "stream_tumbling",
-            "stream_watermark_late",
-        ],
-        3,
-    ),
-    # round 4 greens
+    # round 4 greens — oldest surviving verdicts, due for a refresh
     **dict.fromkeys(
         [
             "agg_distinct", "agg_global", "agg_groupby", "agg_having",
@@ -130,23 +109,24 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         4,
     ),
-    # round 5 greens — freshest, grade last
+    # round 5 greens
     **dict.fromkeys(
         [
-            "agg_approx_distinct", "agg_sketch_cms", "cdc_gdpr_erasure",
+            "agg_approx_distinct", "cdc_gdpr_erasure",
             "datagen_account_sample", "datagen_customeractivity",
-            "dedup_cluster_cc", "fn_array", "fn_bitwise", "fn_hash",
-            "fn_json", "fn_map_struct", "graph_pagerank", "limit_topk",
+            "fn_array", "fn_bitwise", "fn_hash", "fn_json",
+            "fn_map_struct", "graph_pagerank", "limit_topk",
             "multimodal_cols", "multimodal_decode",
             "multimodal_framesample", "rule_b10_cross_sell",
             "rule_b9_large_investor", "sample_stratified_split",
-            "scan_jdbc", "scan_python_datasource", "set_distinct_ops",
-            "set_union_all", "sim_topk_cosine", "sim_topk_ivf",
-            "sim_topk_lsh", "sort_multi", "text_chunk", "text_fingerprint",
-            "text_idf_rarity", "text_langid", "text_pack_sequences",
-            "text_quality", "text_redact_pii", "text_stats",
-            "token_count_bpe", "topk_per_group", "udf_cogrouped",
-            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
+            "scan_jdbc", "scan_python_datasource",
+            "set_distinct_ops", "set_union_all", "sim_topk_cosine",
+            "sim_topk_ivf", "sim_topk_lsh", "sort_multi",
+            "text_chunk", "text_fingerprint", "text_idf_rarity",
+            "text_langid", "text_pack_sequences", "text_quality",
+            "text_redact_pii", "text_stats", "token_count_bpe",
+            "topk_per_group", "udf_cogrouped", "udf_scalar_python",
+            "udf_vectorized_agg", "udtf_expand",
             "win_asof_gap_fill", "win_distribution",
             "win_funnel_conversion", "win_islands_consecutive",
             "win_lag_lead", "win_range_interval", "win_ranking",
@@ -154,33 +134,53 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         5,
     ),
+    # round 6 greens — freshest, grade last
+    **dict.fromkeys(
+        [
+            "agg_approx_percentile", "agg_histogram_bins",
+            "agg_retention_cohort", "agg_rolling_distinct",
+            "agg_sketch_cms", "agg_sketch_hll", "dedup_cluster_cc",
+            "dedup_containment", "dedup_incremental",
+            "dedup_near_minhash", "dedup_ngram_jaccard",
+            "dedup_simhash", "join_asof_nearest",
+            "join_bucketed_colocated", "join_skew_salted",
+            "profile_columns", "sample_bootstrap_means",
+            "sample_split_leakage_safe", "sample_weighted_priority",
+            "scan_binaryfile", "scan_csv", "scan_json_corrupt",
+            "scan_json_lines", "scan_orc", "scan_parquet",
+            "scan_partition_pruned", "scan_schema_evolution",
+            "scan_text", "scan_xml", "set_bag_ops",
+            "sink_compacted", "sink_partitioned",
+            "sink_sorted_lake", "sink_zorder_lake",
+            "sql_pricing_summary", "stream_backfill_availablenow",
+            "stream_bronze_ingest", "stream_dedupe",
+            "stream_foreachbatch_merge", "stream_join_static",
+            "stream_rate_sim", "stream_session", "stream_sliding",
+            "stream_stateful_freeze", "stream_stream_join",
+            "stream_tumbling", "stream_tws_topk_state",
+            "stream_watermark_late", "text_decontaminate",
+            "text_ngram_freq",
+        ],
+        6,
+    ),
 }
 
-# Keys whose Spark/oracle code materially changed in ROUND 6, after their
-# last green verdict — the old verdict no longer covers the code that
-# ships, so they grade with the never-graded keys. The round-6 changes
-# (each pinned by a regression test):
-# - dedup_cluster_cc: the pointer-jumping contraction is now CONDITIONAL —
-#   it engages only once propagation's per-round label-sum delta stalls
-#   (near-clique clusters converge propagation-only; chains still close in
-#   O(log diameter), tests/test_llm_ops.py::
-#   test_cc_chain_converges_logarithmically);
-# - agg_sketch_cms: NULL user_ids are filtered before the sketch build
-#   (and asserted against inside it) on both the Spark and oracle side —
-#   pandas would deliver a nullable int group as float64/NaN and the
-#   int64 cast would silently corrupt inserts
-#   (tests/test_sketches.py);
-# - dedup_ngram_jaccard / dedup_incremental: the shared shingle artifact
-#   now caches the sorted xxhash64 array, and both PPJoin stages slice
-#   and VERIFY on it (int64 intersect, ~2.2x) — the unchanged
-#   string-formulation oracles differentially certify losslessness
-#   (tests/test_llm_ops.py + driver grade).
+# Keys whose latest green verdict predates code they depend on — the old
+# verdict no longer covers the code that ships, so they grade with the
+# never-graded keys. After round 6 the only two are the r3-vintage pair
+# the judge called out (VERDICT r6 "What's wrong" #1):
+# - dedup_keep_best (operators/dedup.py): last oracle-graded r3, but the
+#   shared cached sorted-hash shingle artifact it elects survivors over
+#   was rewritten in r4–r6 (commits 440f1ce, 0ce0a06, 42e4670);
+# - join_asof_forward (operators/joins.py): last oracle-graded r3, and
+#   the as-of family was refactored when join_asof_nearest landed
+#   (cc22d2e).
+# Their pytest differential coverage is green; this ordering just makes
+# the driver's 50-key r7 prefix re-certify them first.
 _STALE_REGRADE = frozenset(
     {
-        "agg_sketch_cms",
-        "dedup_cluster_cc",
-        "dedup_ngram_jaccard",
-        "dedup_incremental",
+        "dedup_keep_best",
+        "join_asof_forward",
     }
 )
 
