@@ -92,7 +92,10 @@ def ensure_protobuf() -> bool:
     return False
 
 
-_worker_probe_cache: dict[int, bool] = {}
+# Keyed by applicationId (same convention as dedup's _SHINGLED_CACHE):
+# id(sparkContext) could be reused by CPython after the old context is
+# garbage-collected, silently handing a new session a stale verdict.
+_worker_probe_cache: dict[str, bool] = {}
 
 
 def tws_supported(spark) -> bool:
@@ -112,7 +115,7 @@ def tws_supported(spark) -> bool:
         return False
     if not ensure_protobuf():
         return False
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId
     if key not in _worker_probe_cache:
 
         def probe(batches):

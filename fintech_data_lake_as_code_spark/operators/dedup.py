@@ -627,7 +627,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- duplicate-cluster resolution (connected components) --------------------
 
-CC_MAX_ITERS = 10
+# 15 rounds covers a ~2^12-diameter chain once pointer jumping engages
+# (forced by round 3 at the latest, see connected_components): the
+# budget is deliberately NOT edge-tight against the 200-node chain test
+# — regenerated data with a modestly longer accidental chain must not
+# turn a 1-round slip into a RuntimeError.
+CC_MAX_ITERS = 15
 
 
 # Shared recursive-CTE fragment: exact-jaccard pair edges + transitive
@@ -693,14 +698,16 @@ def connected_components(
     2-3) converge in 2-3 propagation-only rounds, and the hop join's
     key (label == hop_node) is maximally skewed by component size — all
     members of a component probe one hot key. So each round's hop
-    engages only after propagation's progress stalls: the per-round
+    engages after propagation's progress stalls: the per-round
     sum(label) delta not at least halving (delta_r * 2 > delta_{r-1})
     is the chain signature — cliques' deltas crash to zero, a path's
-    stay constant. Once engaged it stays on (a stalled front never
-    re-accelerates under propagation alone). Measured at sf0.1 this
-    removed the contraction entirely (real dup clusters are
-    near-cliques) and returned the query to propagation-only cost; the
-    chain test still closes in 9 rounds (2 propagation + 7 hop).
+    stay constant — and unconditionally from round 3, so a mixed graph
+    (cliques masking a chain's constant delta) cannot delay contraction
+    and burn the iteration budget. Once engaged it stays on (a stalled
+    front never re-accelerates under propagation alone). Measured at
+    sf0.1 this keeps real dup clusters (near-cliques, converged by
+    round 3) at propagation-only cost while chains still close in
+    O(log diameter).
 
     localCheckpoint each round severs lineage (otherwise the plan — and
     analysis ambiguity — grows with every iteration); eager=False lets
@@ -727,10 +734,15 @@ def connected_components(
     hop_engaged = False
     for _ in range(max_iters):
         rounds += 1
-        if (
-            not hop_engaged
-            and len(deltas) >= 2
-            and deltas[-1] * 2 > deltas[-2]
+        # Engage contraction on the stall signature — or unconditionally
+        # from round 3: in mixed graphs (big near-clique clusters plus a
+        # chain) early deltas are dominated by clique convergence and the
+        # stall test can lag several rounds, eroding the iteration
+        # budget. Cliques are done by round 3 anyway, so forcing the hop
+        # then costs the common case nothing.
+        if not hop_engaged and (
+            rounds >= 3
+            or (len(deltas) >= 2 and deltas[-1] * 2 > deltas[-2])
         ):
             hop_engaged = True
         neighbor_min = (

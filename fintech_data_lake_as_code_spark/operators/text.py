@@ -883,16 +883,26 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bmp_dir(spark: SparkSession, sf_dir: str) -> str:
     """Seed a directory of REAL .bmp files (one per sampled doc, written
     executor-side over Arrow batches) — the 'image lake landed on disk'
-    precondition for the binaryFile scan, marker-guarded like the Derby
-    and bucketed-layout seeds. Filenames carry the doc_id so the scan's
-    output is differentiable against the documents table."""
+    precondition for the binaryFile scan. Filenames carry the doc_id so
+    the scan's output is differentiable against the documents table.
+
+    Publication is ATOMIC: files are written into a pid-unique temp
+    sibling and `os.rename`d into place, so a concurrent session's
+    binaryFile listing can never observe a half-seeded directory (two
+    sessions — background bench plus pytest — both passing a plain
+    marker check was a real race). POSIX rename onto the empty
+    `scratch_dir`-created target succeeds; losing a publish race fails
+    ENOTEMPTY, and the winner's marker makes that loss benign."""
     import os
+    import shutil
 
     from ..io import scratch_dir
 
     out = scratch_dir(sf_dir, "bmp_files")
     marker = os.path.join(out, "_SEEDED")
     if not os.path.exists(marker):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         d = (
             load(spark, sf_dir, "documents")
             .where(F.col("doc_id") % 6 == 0)
@@ -906,14 +916,25 @@ def _bmp_dir(spark: SparkSession, sf_dir: str) -> str:
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     p = bytes(payload)
                     bmp = _encode_bmp(p, len(p) % 640 + 1, (len(p) * 7) % 480 + 1)
-                    path = _os.path.join(out, f"doc_{int(doc_id)}.bmp")
+                    path = _os.path.join(tmp, f"doc_{int(doc_id)}.bmp")
                     with open(path, "wb") as fh:
                         fh.write(bmp)
                 yield pd.DataFrame({"n": [len(pdf)]})
 
         d.mapInPandas(write_files, "n int").agg(F.sum("n")).collect()
-        with open(marker, "w") as fh:
+        with open(os.path.join(tmp, "_SEEDED"), "w") as fh:
             fh.write("ok\n")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(marker):
+                # a concurrent seeder published first; writes are
+                # deterministic, so defer to the winner
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # stale partial (crashed pre-atomic seeding): replace it
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(tmp, out)
     return out
 
 

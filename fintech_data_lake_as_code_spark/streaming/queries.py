@@ -892,16 +892,21 @@ _TWS_TOPK_STATE = T.StructType(
 
 def _topk_step(state_rows, pdf):
     """Shared per-key transition (pure python, unit-testable without any
-    state server): fold this batch's rows in (te, event_id) order through
-    the running top-K, emitting each event's rank-at-arrival. `te` is the
-    epoch computed JVM-side (unix_timestamp) BEFORE the stateful operator
-    — a naive pandas timestamp rendered in the session timezone would
-    skew `.timestamp()` by the tz offset on non-UTC driver sessions.
-    `state_rows` is the list of (cents, event_id) currently in the
-    top-K; returns (out_rows, new_state_rows)."""
+    state server): fold this batch's rows in (ts, event_id) order through
+    the running top-K, emitting each event's rank-at-arrival. The fold
+    MUST order by the full-precision `ts` — the oracle defines "prior" by
+    `p.ts < e.ts`, and sorting by the second-truncated `te` would fold
+    two same-second events whose event_id order disagrees with ts order
+    in a different order than the oracle grades. `te` (the epoch computed
+    JVM-side via unix_timestamp BEFORE the stateful operator — a naive
+    pandas timestamp rendered in the session timezone would skew
+    `.timestamp()` by the tz offset on non-UTC driver sessions) is kept
+    only for the emitted epoch column. `state_rows` is the list of
+    (cents, event_id) currently in the top-K; returns
+    (out_rows, new_state_rows)."""
     state = list(state_rows)
     out = []
-    for r in pdf.sort_values(["te", "event_id"]).itertuples(index=False):
+    for r in pdf.sort_values(["ts", "event_id"]).itertuples(index=False):
         cents = int(round(r.value * 100))
         n_better = sum(
             1

