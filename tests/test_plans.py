@@ -106,6 +106,9 @@ _NESTED_LOOP_OK = {
     "sim_topk_cosine",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    # recall contract embeds the brute-force exact side + a 1x1-row
+    # stats combine
+    "sim_topk_ivf_kmeans",
     "join_cross_topk",
     # theta join against a 3-row broadcast band table: NLJ IS the plan
     "join_theta_range",
