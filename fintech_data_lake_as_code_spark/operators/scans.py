@@ -243,6 +243,66 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text, two engines: the whole point of the key is that the
+# subqueries are written AS subqueries (not hand-decorrelated) and
+# Catalyst's rewrite rules produce join plans. Exact-integer cross-
+# multiply replaces `price > AVG(price)` so row membership can't flip on
+# a float boundary between engines.
+_SUBQUERY_SQL = """
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+           (SELECT COUNT(*) FROM {lineitem} l2
+             WHERE l2.l_orderkey = o.o_orderkey) AS n_items,
+           NOT EXISTS (SELECT 1 FROM {lineitem} l3
+                        WHERE l3.l_orderkey = o.o_orderkey
+                          AND l3.l_returnflag = 'R') AS no_returns
+    FROM {orders} o
+    WHERE CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+            * (SELECT COUNT(*) FROM {orders} o2)
+          > (SELECT SUM(CAST(ROUND(o3.o_totalprice * 100, 0) AS BIGINT))
+               FROM {orders} o3)
+      AND o.o_custkey IN (SELECT c_custkey FROM {customer}
+                           WHERE c_mktsegment = 'BUILDING')
+      AND EXISTS (SELECT 1 FROM {lineitem} l
+                   WHERE l.l_orderkey = o.o_orderkey
+                     AND l.l_discount >= 0.05)
+"""
+
+
+@query(
+    "subquery_family",
+    oracle=_SUBQUERY_SQL.format(
+        orders="orders", lineitem="lineitem", customer="customer"
+    ),
+)
+def subquery_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI subquery surface, written AS SUBQUERIES and left to
+    Catalyst to decorrelate — all five shapes in one statement:
+    uncorrelated scalar (global order count + cents sum, integer
+    cross-multiplied so `price > average` is float-boundary-proof),
+    correlated scalar in SELECT (per-order lineitem count — the COUNT
+    shape that must coalesce to 0 on empty groups), correlated EXISTS,
+    correlated NOT EXISTS, and uncorrelated IN.
+
+    Scale shape: Catalyst rewrites these to the plans you'd hand-write —
+    scalar subqueries execute once and inject as literals
+    (ReusedSubquery), IN/EXISTS become semi joins, NOT EXISTS an anti
+    join, and the correlated COUNT a pre-aggregated outer join
+    (RewriteCorrelatedScalarSubquery) — every one a key-partitioned
+    hash join, no per-row re-execution. tests/test_plans.py pins the
+    no-nested-loop property; the identical SQL text is the DuckDB
+    oracle."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        _SUBQUERY_SQL.format(
+            orders="orders_v", lineitem="lineitem_v", customer="customer_v"
+        )
+    )
+
+
 @query(
     "scan_partition_pruned",
     oracle="""

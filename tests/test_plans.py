@@ -140,6 +140,25 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
     assert not bad, f"plans degraded to pairwise joins: {bad}"
 
 
+def test_subquery_family_decorrelates_to_hash_joins(spark, sf_dir):
+    # the key's whole claim: subqueries written AS subqueries must come
+    # out of Catalyst as key joins + one-shot scalar plans, never
+    # per-row re-execution or a nested-loop fallback
+    plan = formatted_plan(SPECS["subquery_family"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, "IN / EXISTS must become semi joins"
+    assert "ExistenceJoin" in plan, (
+        "projected NOT EXISTS must become an existence join"
+    )
+    assert "LeftOuter" in plan, (
+        "correlated scalar COUNT must become a pre-aggregated outer join"
+    )
+    assert "Subquery" in plan, (
+        "uncorrelated scalars must run as one-shot subquery plans"
+    )
+
+
 def test_sorted_lake_files_have_disjoint_time_ranges(spark, sf_dir):
     # repartitionByRange + sortWithinPartitions must yield parquet files
     # whose [min(ts), max(ts)] ranges do not overlap — the property that
