@@ -1271,3 +1271,112 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(o * 10000) div n_small").alias("containment_bp"),
         )
     )
+
+
+# --- paragraph-granularity dedup ---------------------------------------------
+
+# Non-overlapping word-window "paragraphs" (the corpus is single-line
+# word streams, so a fixed window is the paragraph proxy; on real data
+# you'd split on \n\n first and window only oversized blocks).
+PARA_WORDS = 25
+
+
+def paragraph_dedup(d: DataFrame) -> DataFrame:
+    """Core of `dedup_paragraph` over any (doc_id, text) frame: segment
+    each doc into consecutive PARA_WORDS-word paragraphs, drop every
+    paragraph whose text occurs in >= 2 DISTINCT docs (all instances
+    drop, CCNet-style — symmetric, no canonical-copy election needed),
+    and emit the per-doc rewrite manifest: paragraph counts plus the md5
+    of the kept text so the grade proves the reconstruction, not just
+    the counts."""
+    words = F.split(F.col("text"), " ")
+    n_paras = (F.size(words) + (PARA_WORDS - 1)) / F.lit(PARA_WORDS)
+    paras = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras.cast("int") - 1),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("idx"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(words, i * PARA_WORDS + 1, PARA_WORDS),
+                    ).alias("para"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.idx", "p.para")
+    freq = paras.groupBy("para").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    kept_struct = F.when(
+        F.col("ndocs") < 2, F.struct(F.col("idx"), F.col("para"))
+    )
+    return (
+        paras.join(freq, "para")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("n_dup_paras"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["para"],
+                    ),
+                )
+            ).alias("kept_fingerprint"),
+        )
+    )
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH corpus AS ({_PERTURB_SQL}),
+    seg AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, (len(string_split(text, ' ')) + {PARA_WORDS - 1})
+                             // {PARA_WORDS})) AS idx
+      FROM corpus
+    ), paras AS (
+      SELECT doc_id, idx,
+             array_to_string(list_slice(string_split(text, ' '),
+                                        idx * {PARA_WORDS} + 1,
+                                        idx * {PARA_WORDS} + {PARA_WORDS}),
+                             ' ') AS para
+      FROM seg
+    ), freq AS (
+      SELECT para, COUNT(DISTINCT doc_id) AS ndocs FROM paras GROUP BY para
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_paras,
+           COUNT(*) FILTER (WHERE f.ndocs >= 2) AS n_dup_paras,
+           md5(COALESCE(string_agg(p.para, ' ' ORDER BY p.idx)
+                          FILTER (WHERE f.ndocs < 2), '')) AS kept_fingerprint
+    FROM paras p JOIN freq f USING (para)
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity dedup — the RefinedWeb/FineWeb step the
+    doc-level family doesn't cover: boilerplate paragraphs (headers,
+    license blocks, navigation) repeat across otherwise-distinct
+    documents, and doc-level Jaccard never fires on them. Runs over the
+    planted-twin corpus, segments each doc into non-overlapping
+    {PARA_WORDS}-word paragraphs, and removes every paragraph occurring
+    in >= 2 distinct docs; output is the per-doc manifest (total /
+    dropped paragraph counts + md5 of the kept reconstruction in
+    original order — the fingerprint grades the rewrite itself).
+
+    Scale shape: segmentation is a map-side explode (~size/{PARA_WORDS}
+    rows per doc), frequency is ONE partial-agg groupBy on the paragraph
+    text, membership rejoins on the same key (no second shuffle shape),
+    and the manifest regroups by doc_id. No pairwise step exists at all
+    — paragraph dedup is structurally a counting problem, which is why
+    production pipelines run it at full corpus scale where pairwise
+    dedup needs LSH. At 100 TB you'd group on xxhash64(para) (8-byte
+    shuffle keys) and let AQE split the boilerplate hot keys; the
+    string-keyed formulation here keeps the DuckDB oracle exact."""
+    return paragraph_dedup(_corpus(spark, sf_dir))

@@ -326,3 +326,55 @@ def test_containment_finds_every_planted_excerpt(spark, sf_dir):
     assert planted
     for doc_id in planted:
         assert pairs.get((doc_id + 200000, doc_id)) == 10000, doc_id
+
+
+def test_paragraph_dedup_drops_planted_cross_doc_paragraphs(spark):
+    # a paragraph shared by two otherwise-distinct docs must drop from
+    # BOTH; unique paragraphs survive; a within-doc repeat (present in
+    # only one doc) is NOT a cross-doc dup and must be kept twice
+    import hashlib
+
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        PARA_WORDS,
+        paragraph_dedup,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(PARA_WORDS))
+    ua = " ".join(f"a{i}" for i in range(PARA_WORDS))
+    ub = " ".join(f"b{i}" for i in range(PARA_WORDS))
+    uc = " ".join(f"c{i}" for i in range(PARA_WORDS))
+    d = spark.createDataFrame(
+        [
+            (1, f"{shared} {ua}"),
+            (2, f"{shared} {ub}"),
+            (3, uc),
+            (4, f"{ub} {ub}"),  # ub now spans docs 2 and 4 -> dup too
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(d).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (got[1].n_paras, got[1].n_dup_paras) == (2, 1)
+    assert got[1].kept_fingerprint == md5(ua)
+    assert (got[2].n_paras, got[2].n_dup_paras) == (2, 2)
+    assert got[2].kept_fingerprint == md5("")
+    assert (got[3].n_paras, got[3].n_dup_paras) == (1, 0)
+    assert got[3].kept_fingerprint == md5(uc)
+    assert (got[4].n_paras, got[4].n_dup_paras) == (2, 2)
+
+
+def test_paragraph_dedup_flags_planted_twin_paragraphs(spark, sf_dir):
+    # a planted twin appends ' zqx' at the END, so every paragraph but
+    # the last is byte-identical to its original's: any pair whose
+    # original spans >= 2 paragraphs must report dropped paragraphs on
+    # BOTH sides (single-paragraph docs differ wholesale — no claim)
+    planted = _planted_doc_pairs(spark, sf_dir)
+    rows = {r.doc_id: r for r in SPECS["dedup_paragraph"].fn(spark, sf_dir).collect()}
+    checked = 0
+    for orig, twin in sorted(planted):
+        if rows[orig].n_paras < 2:
+            continue
+        assert rows[orig].n_dup_paras >= 1, (orig, rows[orig])
+        assert rows[twin].n_dup_paras >= 1, (twin, rows[twin])
+        checked += 1
+    assert checked > 0, "corpus had no multi-paragraph planted twins"
