@@ -171,6 +171,9 @@ def main() -> None:
         "agg_retention_cohort",
         "profile_columns",
         "sample_weighted_priority",
+        "dedup_paragraph",
+        "subquery_family",
+        "sim_topk_ivf_kmeans",
     ]
     extras: dict[str, float] = {}
     for key in EXTRAS:

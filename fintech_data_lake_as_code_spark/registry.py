@@ -181,6 +181,18 @@ _STALE_REGRADE = frozenset(
     {
         "dedup_keep_best",
         "join_asof_forward",
+        # round-7 code changes after their r6 green (each pinned by a
+        # regression test; listed here so the driver re-certifies them):
+        # - stream_tws_topk_state: fold now orders by full-precision ts;
+        # - dedup_cluster_cc: pointer-jump engagement forced by round 3,
+        #   CC_MAX_ITERS 10 -> 15;
+        # - stream_foreachbatch_merge: merge target rewritten as the
+        #   idempotent disk-recovering SnapshotMerger;
+        # - scan_binaryfile: BMP seeding now atomically published.
+        "stream_tws_topk_state",
+        "dedup_cluster_cc",
+        "stream_foreachbatch_merge",
+        "scan_binaryfile",
     }
 )
 

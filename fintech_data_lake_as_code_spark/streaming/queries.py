@@ -747,6 +747,87 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(impl(stream), "stream_transform_with_state", "append")
 
 
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    # one definition serves both the batch-side reduce and the
+    # cross-batch merge — the tie-break (ts, event_id) must be the
+    # SAME in both or redelivered/tied rows diverge from the oracle
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_type", "value", "ts", "event_id"),
+                F.struct("ts", "event_id"),
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "s.event_type",
+            "s.value",
+            "s.ts",
+            F.col("s.event_id").alias("event_id"),
+        )
+    )
+
+
+class SnapshotMerger:
+    """foreachBatch merge target with EXACTLY-ONCE effects on top of
+    Spark's at-least-once batch delivery. Two properties make replay
+    (epoch re-delivery: the same batch_id arrives again after a crash
+    between the sink write and the checkpoint commit) a no-op:
+
+    - version directories are keyed by batch_id and considered committed
+      only once parquet's `_SUCCESS` marker exists — Spark guarantees a
+      redelivered batch carries the SAME batch_id, so a committed
+      version short-circuits and a half-written one (no marker) is
+      simply rewritten from the same inputs;
+    - the previous snapshot is recovered from DISK (the newest committed
+      version below this batch_id), never from driver memory, so a
+      RESTARTED query resumes from the surviving snapshot instead of
+      silently re-merging against nothing.
+
+    tests/test_streaming.py replays a batch through both a live merger
+    and a fresh post-"crash" instance and asserts the snapshot bytes'
+    content is unchanged."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _committed(self) -> list[tuple[int, str]]:
+        import os
+
+        out = []
+        if os.path.isdir(self.root):
+            for name in os.listdir(self.root):
+                if name.startswith("v") and name[1:].isdigit() and os.path.exists(
+                    os.path.join(self.root, name, "_SUCCESS")
+                ):
+                    out.append((int(name[1:]), os.path.join(self.root, name)))
+        return sorted(out)
+
+    def latest_dir(self, below: int | None = None) -> str | None:
+        cands = [
+            (bid, d)
+            for bid, d in self._committed()
+            if below is None or bid < below
+        ]
+        return cands[-1][1] if cands else None
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        new_dir = f"{self.root}/v{batch_id}"
+        if os.path.exists(os.path.join(new_dir, "_SUCCESS")):
+            return  # replayed batch: effects already committed
+        b = _latest_per_user(batch_df)
+        prev_dir = self.latest_dir(below=batch_id)
+        if prev_dir is not None:
+            prev = batch_df.sparkSession.read.parquet(prev_dir)
+            merged = _latest_per_user(prev.unionByName(b))
+        else:
+            merged = b
+        merged.write.mode("overwrite").parquet(new_dir)
+
+
 @query(
     "stream_foreachbatch_merge",
     oracle="""
@@ -770,13 +851,15 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OLTP table's current state, setupTables.py:57-58, but receive an
     event stream). Each micro-batch is first reduced to its latest row
     per key (so at-least-once redelivery collapses batch-side), then
-    merged with the previous snapshot via union + max_by — and the result
-    is written to a NEW versioned directory, never over the one being
-    read: the reader of version N is immutable while N+1 commits, the
-    poor-man's form of the snapshot-isolation commit a table format
-    provides. Per-batch work scales with batch + snapshot, never with
-    stream history. The oracle is the batch latest-state over the whole
-    event log — the merged snapshot must equal it exactly."""
+    merged with the previous DISK-committed snapshot via union + max_by
+    — and the result is written to a NEW versioned directory, never over
+    the one being read: the reader of version N is immutable while N+1
+    commits, the poor-man's form of the snapshot-isolation commit a
+    table format provides, and `SnapshotMerger` makes a replayed
+    micro-batch (epoch re-delivery) a committed-marker no-op. Per-batch
+    work scales with batch + snapshot, never with stream history. The
+    oracle is the batch latest-state over the whole event log — the
+    merged snapshot must equal it exactly."""
     import shutil
 
     src = _events_json_dir(spark, sf_dir)
@@ -785,47 +868,14 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
 
-    current: dict[str, str] = {}
-
-    def latest_per_user(df: DataFrame) -> DataFrame:
-        # one definition serves both the batch-side reduce and the
-        # cross-batch merge — the tie-break (ts, event_id) must be the
-        # SAME in both or redelivered/tied rows diverge from the oracle
-        return (
-            df.groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct("event_type", "value", "ts", "event_id"),
-                    F.struct("ts", "event_id"),
-                ).alias("s")
-            )
-            .select(
-                "user_id",
-                "s.event_type",
-                "s.value",
-                "s.ts",
-                F.col("s.event_id").alias("event_id"),
-            )
-        )
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        b = latest_per_user(batch_df)
-        if "dir" in current:
-            prev = batch_df.sparkSession.read.parquet(current["dir"])
-            merged = latest_per_user(prev.unionByName(b))
-        else:
-            merged = b
-        new_dir = f"{root}/v{batch_id}"
-        merged.write.mode("overwrite").parquet(new_dir)
-        current["dir"] = new_dir
-
+    merger = SnapshotMerger(root)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .json(src)
     )
     q = (
-        stream.writeStream.foreachBatch(merge_batch)
+        stream.writeStream.foreachBatch(merger.merge)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -835,7 +885,7 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "foreachBatch merge stream did not drain within 300s"
         )
-    snap = spark.read.parquet(current["dir"])
+    snap = spark.read.parquet(merger.latest_dir())
     return snap.select(
         "user_id",
         F.col("event_type").alias("last_type"),

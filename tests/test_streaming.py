@@ -350,3 +350,68 @@ def test_topk_step_orders_by_full_precision_ts_within_a_second():
     out, st = _topk_step([], b)
     assert [(o[0], o[3]) for o in out] == [(9, 0), (2, 1)]
     assert st == [(8, 9), (5, 2)]
+
+
+def test_foreachbatch_merge_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once audit: re-delivering a micro-batch (same batch_id —
+    what Spark does when it crashes between sink write and checkpoint
+    commit) must leave the merged snapshot unchanged, both on the live
+    merger and through a fresh post-crash instance; a half-written
+    version (no _SUCCESS marker) must be rewritten, not trusted."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        SnapshotMerger,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, ts timestamp",
+        )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    root = str(tmp_path / "versions")
+    m = SnapshotMerger(root)
+
+    def snap(merger):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(merger.latest_dir()).collect()
+        )
+
+    b0 = mk([(1, 7, "view", 1.0, t0), (2, 8, "click", 2.0, t0 + sec)])
+    b1 = mk([(3, 7, "purchase", 9.99, t0 + 2 * sec)])
+    m.merge(b0, 0)
+    m.merge(b1, 1)
+    before = snap(m)
+
+    # redelivery on the live merger: committed marker short-circuits
+    m.merge(b1, 1)
+    assert snap(m) == before
+
+    # crash-restart: a FRESH merger over the same root replays batch 1 —
+    # state must come off disk, and the snapshot must not change
+    m2 = SnapshotMerger(root)
+    m2.merge(b1, 1)
+    assert snap(m2) == before
+
+    # a half-written version (crash mid-write, no _SUCCESS) is rewritten
+    b2 = mk([(4, 8, "view", 5.0, t0 + 3 * sec)])
+    torn = os.path.join(root, "v2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    m2.merge(b2, 2)
+    assert os.path.exists(os.path.join(torn, "_SUCCESS"))
+    latest = {
+        r.user_id: r.event_id
+        for r in spark.read.parquet(m2.latest_dir()).collect()
+    }
+    # user 7's purchase (batch 1) survived the restart; user 8 advanced
+    assert latest == {7: 3, 8: 4}
+    shutil.rmtree(root, ignore_errors=True)
