@@ -136,3 +136,35 @@ def tws_supported(spark) -> bool:
         )
         _worker_probe_cache[key] = bool(row and row.ok == 1)
     return _worker_probe_cache[key]
+
+
+_avro_probe_cache: dict[str, bool] = {}
+
+
+def avro_supported(spark) -> bool:
+    """Whether the `avro` datasource (the external spark-avro module —
+    built-in format but NOT bundled in pyspark's jars) is loadable in
+    THIS session. The engine's one mainstream lake format behind an
+    environment gate: with no network and no pip, a sandbox can't fetch
+    org.apache.spark:spark-avro, so `operators.scale.scan_avro` stays an
+    UNREGISTERED operator (registered keys must grade identically in
+    every environment) and raises a documented error where the module is
+    absent; clusters launched with --packages / vendored jars get the
+    real round-trip. Probed by an actual 1-row write+read — the only
+    check that covers both the DataSource lookup and the reader path —
+    and cached per applicationId."""
+    import shutil
+    import tempfile
+
+    key = spark.sparkContext.applicationId
+    if key not in _avro_probe_cache:
+        tmp = tempfile.mkdtemp(prefix="avro_probe_")
+        try:
+            spark.range(1).write.mode("overwrite").format("avro").save(tmp)
+            ok = spark.read.format("avro").load(tmp).count() == 1
+        except Exception:
+            ok = False
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        _avro_probe_cache[key] = ok
+    return _avro_probe_cache[key]

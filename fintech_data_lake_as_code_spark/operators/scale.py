@@ -94,6 +94,39 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink round-trip — UNREGISTERED, environment-gated (the
+    one mainstream lake format whose datasource is an external module:
+    pyspark bundles avro-*.jar but not spark-avro, and a no-network
+    sandbox can't fetch it, see compat.avro_supported). Registered keys
+    must grade identically in every environment, so this operator ships
+    callable-but-ungraded: where the module is present (clusters with
+    --packages org.apache.spark:spark-avro_2.13 or a vendored jar) it is
+    the row-oriented round-trip sibling of scan_csv/scan_orc; where it
+    is absent it raises a loud, documented error instead of a misleading
+    datasource-lookup failure. tests/test_plans.py exercises whichever
+    branch this environment provides."""
+    from ..compat import avro_supported
+
+    if not avro_supported(spark):
+        raise RuntimeError(
+            "the 'avro' datasource is not loadable in this session: the "
+            "external spark-avro module is not on the classpath (launch "
+            "with --packages org.apache.spark:spark-avro_2.13:<spark "
+            "version> or vendor the jar); see compat.avro_supported"
+        )
+    out = scratch_dir(sf_dir, "scan_avro")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").format("avro").save(out)
+    back = spark.read.format("avro").load(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
 N_BUCKETS = 8
 
 

@@ -332,9 +332,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells and the full pipeline is oracle-checked. Production would train
     k-means on a sample instead (same everything downstream):
     `sim_topk_ivf_kmeans` below, recall-verified in pytest."""
-    vecs = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
-    )
+    vecs = _fresh_vecs(spark, sf_dir)
     seeds = (
         vecs.where(
             (F.col("vec_id") >= N_QUERIES)
@@ -358,10 +356,19 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vecs = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
+    vecs = _fresh_vecs(spark, sf_dir)
+    # Train the quantizer on a bounded DETERMINISTIC sample, exactly as
+    # production IVF does (FAISS trains coarse quantizers on ~39*K
+    # vectors; centroid quality saturates long before the corpus ends) —
+    # k-means cost is O(sample * K * iters) and must not grow with the
+    # lake. xxhash64 ranking makes the sample seed-stable across runs
+    # and partitionings.
+    sample_n = 64 * K_CELLS
+    train = (
+        vecs.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_n)
+        .select(array_to_vector("v").alias("features"))
     )
-    train = vecs.select(array_to_vector("v").alias("features"))
     model = KMeans(k=K_CELLS, seed=42, maxIter=10).fit(train)
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return _ivf_flat(vecs, centroids, N_PROBE)
@@ -430,14 +437,48 @@ def sim_topk_ivf_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fresh_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+
+
 def _ivf_flat(
-    vecs: DataFrame, centroid_values: list[list[float]], n_probe: int
+    vecs: DataFrame,
+    centroid_values: list[list[float]],
+    n_probe: int,
 ) -> DataFrame:
     """IVF-flat core shared by both quantizers: K_CELLS x dim centroid
-    literals (tiny — keeps cell assignment inside whole-stage codegen
-    instead of behind a join), argmin assignment with first-min (lowest
-    cell id) tiebreak, N_PROBE nearest cells per query, equi-join on
-    cell_id, exact rerank of the probed candidates."""
+    literals on the CANDIDATE side (tiny — keeps cell assignment inside
+    whole-stage codegen instead of behind a join), argmin assignment
+    with first-min (lowest cell id) tiebreak; the QUERY side — a fixed
+    N_QUERIES-row batch, driver-resident by design, exactly like the
+    centroids themselves — has its probe cells computed in plain Python
+    and ships as a literal broadcast relation (query_id, qv, nq,
+    probe_cell). Candidate generation is the equi-join probe_cell ==
+    cell_id, then exact rerank of the probed candidates.
+
+    The join is on plain `query_id`, never on the cell expression. The
+    obvious alternative — alias the argmin-assignment expression as
+    `cell_id` and equi-join probe cells against it — is a landmine in
+    current Spark: constraint inference expands the alias back to the
+    higher-order-function expression (it even survives localCheckpoint
+    via LogicalRDD's originConstraints), miscomputes that expression's
+    references (the HOF lambda variables), and pushes an invalid filter
+    referencing `v` onto the probe side of the join — failing at runtime
+    with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND depending on exprId
+    numbering. Inverting the probe pairs into a literal cell→queries
+    MAP looked up inside the explode keeps the assignment expression out
+    of every join constraint: Generate produces no equality constraints,
+    so nothing cross-side ever references the HOF tree.
+
+    Float parity with the DuckDB oracle holds because Python, Spark and
+    DuckDB all evaluate the same left-to-right IEEE-double sums
+    (squared-L2 over dims; sqrt of the self-dot)."""
+    import math
+    from collections import defaultdict
+
+    spark = vecs.sparkSession
     centroids = F.array(
         *[
             F.array(*[F.lit(float(x)) for x in center])
@@ -450,46 +491,55 @@ def _ivf_flat(
         lambda acc, x: acc + x,
     )
     dists = F.transform(centroids, lambda c: l2(F.col("v"), c))
-    assigned = vecs.select(
+    cell_expr = F.array_position(dists, F.array_min(dists)) - 1
+    # bounded designed collect: the N_QUERIES query vectors (same class
+    # of artifact as the medoid seeds / IVF centroids themselves);
+    # probe-cell selection for a driver-resident query batch is plain
+    # Python over the driver-held centroid table — the production shape.
+    q_rows = (
+        vecs.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    )
+    q_lit = []
+    cell_qs: dict[int, list[int]] = defaultdict(list)
+    for r in q_rows:
+        qv = [float(x) for x in r.v]
+        nq = 0.0
+        for x in qv:
+            nq += x * x
+        nq = math.sqrt(nq)
+        q_lit.append((int(r.vec_id), qv, nq))
+        cell_d2 = []
+        for cell, center in enumerate(centroid_values):
+            d2 = 0.0
+            for x, c in zip(qv, center):
+                d2 += (x - c) * (x - c)
+            cell_d2.append((d2, cell))
+        for _, cell in sorted(cell_d2)[:n_probe]:
+            cell_qs[cell].append(int(r.vec_id))
+    # literal cell -> [query ids probing it]; candidates in unprobed
+    # cells explode to zero rows and die map-side, before any join
+    probe_map = F.create_map(
+        *[
+            x
+            for cell in sorted(cell_qs)
+            for x in (
+                F.lit(cell).cast("bigint"),
+                F.array(*[F.lit(q).cast("bigint") for q in cell_qs[cell]]),
+            )
+        ]
+    )
+    probed = vecs.select(
         "vec_id",
         "v",
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
-        (F.array_position(dists, F.array_min(dists)) - 1).alias("cell_id"),
+        F.explode(F.element_at(probe_map, cell_expr)).alias("query_id"),
     )
-    # queries probe their N_PROBE nearest cells: sort (dist, cell) structs,
-    # slice, explode -> one (query, probe_cell) row per probe
-    probe_cells = F.slice(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(centroid_values) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
-            )
-        ),
-        1,
-        n_probe,
-    )
-    queries = (
-        vecs.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nq"),
-            F.explode(probe_cells).alias("probe"),
-        )
-        .select(
-            "query_id",
-            "qv",
-            "nq",
-            F.col("probe.cell").cast("long").alias("cell_id"),
-        )
+    queries = spark.createDataFrame(
+        q_lit, "query_id bigint, qv array<double>, nq double"
     )
     scored = (
-        assigned.join(
-            F.broadcast(queries),
-            (queries.cell_id == assigned.cell_id)
-            & (F.col("query_id") != F.col("vec_id")),
-        )
+        probed.join(F.broadcast(queries), "query_id")
+        .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",

@@ -188,7 +188,11 @@ _STALE_REGRADE = frozenset(
         #   CC_MAX_ITERS 10 -> 15;
         # - stream_foreachbatch_merge: merge target rewritten as the
         #   idempotent disk-recovering SnapshotMerger;
-        # - scan_binaryfile: BMP seeding now atomically published.
+        # - scan_binaryfile: BMP seeding now atomically published;
+        # - sim_topk_ivf: probe-cell selection moved driver-side and the
+        #   cell equi-join became a literal-map explode + query_id join
+        #   (the HOF-in-join-constraint landmine fix).
+        "sim_topk_ivf",
         "stream_tws_topk_state",
         "dedup_cluster_cc",
         "stream_foreachbatch_merge",
