@@ -43,6 +43,7 @@ HEAVY_KEYS = [
     "dedup_incremental",
     "dedup_cluster_cc",
     "dedup_containment",
+    "dedup_paragraph",
     "sim_topk_lsh",
     "text_decontaminate",
 ]
