@@ -20,6 +20,18 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def executed_plan(df: DataFrame) -> str:
+    """The executed physical plan's plain tree string. Unlike the
+    formatted explain, this rendering prefixes INVALID nodes with `!`
+    (TreeNode marks nodes whose expressions reference attributes missing
+    from their children) — the signature of an optimizer mis-rewrite
+    that analysis accepted but whole-stage codegen will crash on at
+    runtime (seen once: constraint inference pushing a filter that
+    referenced the other join side, INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    tests/test_plans.py sweeps every registered key for it."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def has(df: DataFrame, *needles: str) -> dict[str, bool]:
     plan = formatted_plan(df)
     return {n: (n in plan) for n in needles}

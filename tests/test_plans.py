@@ -6,6 +6,7 @@ top-k, and no cartesian product anywhere a key join was intended."""
 from __future__ import annotations
 
 from fintech_data_lake_as_code_spark.plans.explain import (
+    executed_plan,
     formatted_plan,
     pushed_filters,
     read_schema,
@@ -132,12 +133,30 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
     for key, spec in sorted(SPECS.items()):
         if key.startswith(_PLAN_EXEMPT_PREFIXES):
             continue
-        plan = formatted_plan(spec.fn(spark, sf_dir))
+        df = spec.fn(spark, sf_dir)
+        plan = formatted_plan(df)
         if "CartesianProduct" in plan:
             bad[key] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and key not in _NESTED_LOOP_OK:
             bad[key] = "BroadcastNestedLoopJoin"
-    assert not bad, f"plans degraded to pairwise joins: {bad}"
+        # invalid (!-marked) physical nodes: an optimizer mis-rewrite
+        # that analysis accepted but will crash codegen binding at
+        # runtime (the constraint-inference-over-HOF landmine _ivf_flat
+        # once hit). The plain tree string marks them; formatted doesn't.
+        # Pandas-aggregate nodes (ArrowAggregatePython / AggregateInPandas)
+        # are always !-marked — they list their own intermediate agg
+        # attributes as missing input; cosmetic, the node executes fine.
+        else:
+            marked = [
+                line.strip()[:120]
+                for line in executed_plan(df).splitlines()
+                if "- !" in line
+                and "AggregatePython" not in line
+                and "AggregateInPandas" not in line
+            ]
+            if marked:
+                bad[key] = f"invalid (!) physical node: {marked[0]}"
+    assert not bad, f"degraded or invalid physical plans: {bad}"
 
 
 def test_subquery_family_decorrelates_to_hash_joins(spark, sf_dir):
