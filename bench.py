@@ -174,6 +174,8 @@ def main() -> None:
         "dedup_paragraph",
         "subquery_family",
         "sim_topk_ivf_kmeans",
+        "sample_temperature_mix",
+        "win_anomaly_zscore",
     ]
     extras: dict[str, float] = {}
     for key in EXTRAS:

@@ -1100,3 +1100,90 @@ def sample_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_chars_x100"),
         )
     )
+
+
+# --- temperature-scaled corpus mixing ----------------------------------------
+
+# Targets ∝ sqrt(n_s) — temperature T=2 flattening (alpha = 1/T = 0.5).
+# sqrt is the one power IEEE 754 requires correctly rounded, so both
+# engines derive bit-identical targets; pow(n, 0.7)-style alphas are NOT
+# correctly rounded and could flip a floor() at a boundary.
+TEMP_MIX_C = 3
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), targets AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * {TEMP_MIX_C}) AS BIGINT)
+               AS target_n
+      FROM counts
+    ), ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 2147483648 * 1000 + 29) % 2147483648
+                         * 1103515245 + 12345) % 2147483648, doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.source,
+           t.n_docs,
+           LEAST(t.target_n, t.n_docs) AS target_n,
+           COUNT(*) AS n_kept,
+           CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+    FROM ranked r JOIN targets t USING (source)
+    WHERE r.rn <= t.target_n
+    GROUP BY r.source, t.n_docs, t.target_n
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the GPT-3/Llama data-mixing
+    step: per-source sampling targets ∝ n_s^(1/T) so low-resource
+    sources are up-weighted relative to their share (T=2 here, i.e.
+    targets ∝ sqrt(n_s)). Selection is EXACT-COUNT and bit-reproducible:
+    docs rank within their source by a portable-LCG priority and the
+    top target_n survive — no Bernoulli coin flips, so the mixed corpus
+    is a stable artifact (the same property `sample_weighted_priority`
+    pins for weighted sampling). The emitted manifest carries per-source
+    kept counts plus the kept-id checksum, so the grade proves WHICH
+    docs were chosen, not just how many.
+
+    Scale shape: counts are one partial-agg groupBy(source); ranking is
+    one window over the same key (the shuffle is reused); the final
+    manifest regroups on it again. The targets relation is sources-sized
+    (tiny) and broadcast into the rank filter. At 100 TB the only thing
+    that grows is the ranked scan — the classic per-group top-K shape,
+    WindowGroupLimit-prunable since the rank bound is a per-source
+    constant."""
+    from ..sources.datagen import lcg
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    targets = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * TEMP_MIX_C)
+        .cast("bigint")
+        .alias("target_n"),
+    )
+    seed = (F.col("doc_id") % 2147483648 * 1000 + 29) % 2147483648
+    w = Window.partitionBy("source").orderBy(lcg(seed), "doc_id")
+    ranked = d.select(
+        "source", "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .where(F.col("rn") <= F.col("target_n"))
+        .groupBy(
+            "source",
+            "n_docs",
+            F.least("target_n", "n_docs").alias("target_n"),
+        )
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+    )

@@ -458,3 +458,87 @@ def win_asof_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").isNotNull().alias("is_observed"),
         )
     )
+
+
+# --- rolling anomaly detection -----------------------------------------------
+
+Z_WIN = 20       # trailing history window (rows), current row excluded
+Z_MIN_PRIOR = 5  # no verdict on thin history
+Z_SIGMA_SQ = 9   # flag beyond 3 sigma (compared as z^2 > 9, exactly)
+
+
+@query(
+    "win_anomaly_zscore",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ), m AS (
+      SELECT event_id, user_id, cents,
+             COUNT(*) OVER w AS n_prior,
+             SUM(cents) OVER w AS s1,
+             SUM(cents * cents) OVER w AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {Z_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, cents, CAST(n_prior AS BIGINT) AS n_prior
+    FROM m
+    WHERE n_prior >= {Z_MIN_PRIOR}
+      AND (n_prior * cents - s1) * (n_prior * cents - s1)
+          > {Z_SIGMA_SQ} * (n_prior * s2 - s1 * s1)
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the velocity-anomaly shape
+    behind the reference's investigation rules (ref B3/B5 family,
+    setupTables.py:33-37): flag any event whose amount deviates more
+    than 3 sigma from the SAME user's trailing 20-event history
+    (current row excluded — the verdict must not contaminate its own
+    baseline; no verdict under 5 prior events).
+
+    The test is evaluated in EXACT INTEGERS: with trailing count n and
+    cent sums s1 = Σx, s2 = Σx², `|x-μ| > 3σ` is algebraically
+    `(n·x - s1)² > 9·(n·s2 - s1²)` — no division, no float, no sqrt, so
+    the flag is bit-identical in any engine (the same moments-not-floats
+    convention as agg_stats_corr). Bounds: cents ~ 10^5, n <= 20
+    keeps every term far inside int64.
+
+    Scale shape: one shuffle on user_id, one sort per partition, three
+    running aggregates over the same frame — the plan cost is the
+    sessionize/lag family's; emitted rows are only the anomalies."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-Z_WIN, -1)
+    )
+    m = c.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count("*").over(w).alias("n_prior"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    dev = F.col("n_prior") * F.col("cents") - F.col("s1")
+    var_n2 = F.col("n_prior") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        m.where(
+            (F.col("n_prior") >= Z_MIN_PRIOR)
+            & (dev * dev > Z_SIGMA_SQ * var_n2)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            F.col("n_prior").cast("bigint").alias("n_prior"),
+        )
+    )
