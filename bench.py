@@ -176,6 +176,7 @@ def main() -> None:
         "sim_topk_ivf_kmeans",
         "sample_temperature_mix",
         "win_anomaly_zscore",
+        "text_repetition_gopher",
     ]
     extras: dict[str, float] = {}
     for key in EXTRAS:

@@ -1187,3 +1187,80 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
         )
     )
+
+
+# --- within-document repetition (Gopher filters) ------------------------------
+
+REP_BP = 3000  # flag docs whose duplicated-3-gram share exceeds 30%
+
+
+@query(
+    "text_repetition_gopher",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[i:i+2], ' ') AS g
+      FROM documents,
+           UNNEST(generate_series(1,
+             greatest(len(string_split(text, ' ')) - 2, 1))) AS t(i)
+    ), counts AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_occ,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000
+                // SUM(c) AS BIGINT) AS dup_bp,
+           CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS top_bp,
+           SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000
+             >= {REP_BP} * SUM(c) AS repetitive
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def repetition_stats(d: DataFrame) -> DataFrame:
+    """Core of `text_repetition_gopher` over any (doc_id, text) frame;
+    see the registered query's docstring for semantics."""
+    words = F.split("text", " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    dup_occ = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+    total = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_grams"),
+        dup_occ.cast("bigint").alias("n_dup_occ"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000"
+            " div SUM(c) AS BIGINT)"
+        ).alias("dup_bp"),
+        F.expr("CAST(MAX(c) * 10000 div SUM(c) AS BIGINT)").alias("top_bp"),
+        (dup_occ * 10000 >= F.lit(REP_BP) * total).alias("repetitive"),
+    )
+
+
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition filters (the Gopher/MassiveText rule
+    family: "fraction of characters in duplicate n-grams" /"fraction in
+    most common n-gram", reduced to the exact countable word-3-gram
+    core): per doc, the share of 3-gram OCCURRENCES whose text repeats
+    inside the same document, and the share claimed by the single most
+    frequent 3-gram — both in integer basis points — plus the >=30%
+    repetitive verdict. Complements the CROSS-document dedup family: a
+    boilerplate-looped document has no twin to pair with, but its
+    internal n-gram histogram gives it away.
+
+    Scale shape: gram explode is map-side; one partial-agg groupBy on
+    (doc_id, gram); the per-doc reduce regroups on the doc_id prefix of
+    the same key. All-integer arithmetic end to end."""
+    return repetition_stats(load(spark, sf_dir, "documents"))

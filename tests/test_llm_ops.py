@@ -378,3 +378,24 @@ def test_paragraph_dedup_flags_planted_twin_paragraphs(spark, sf_dir):
         assert rows[twin].n_dup_paras >= 1, (twin, rows[twin])
         checked += 1
     assert checked > 0, "corpus had no multi-paragraph planted twins"
+
+
+def test_repetition_stats_flags_planted_loop(spark):
+    # a looped phrase must be fully duplicated-gram; a unique doc must
+    # score zero and stay unflagged
+    from fintech_data_lake_as_code_spark.operators.text import (
+        repetition_stats,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # every 3-gram occurs >= 2x
+            (2, "p q r s t u v w x"),   # all 3-grams unique
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(d).collect()}
+    assert got[1].n_grams == 7 and got[1].dup_bp == 10000
+    assert got[1].top_bp == 3 * 10000 // 7 and got[1].repetitive
+    assert got[2].n_dup_occ == 0 and got[2].dup_bp == 0
+    assert not got[2].repetitive
