@@ -415,3 +415,53 @@ def test_foreachbatch_merge_replay_is_idempotent(spark, tmp_path):
     # user 7's purchase (batch 1) survived the restart; user 8 advanced
     assert latest == {7: 3, 8: 4}
     shutil.rmtree(root, ignore_errors=True)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n_batches", [1, 2, 4])
+def test_foreachbatch_merge_is_batching_invariant(spark, tmp_path, n_batches):
+    """The merged snapshot must equal the batch latest-state REGARDLESS
+    of how the stream was cut into micro-batches, including replays of
+    every batch along the way — the composed exactly-once property
+    (batch-side reduce + disk-recovering merge + committed-marker
+    short-circuit) in one assertion."""
+    import datetime as dt
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        SnapshotMerger,
+    )
+
+    t0 = dt.datetime(2026, 2, 1, 9, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    # 12 events, 3 users, includes a same-(ts) tie broken by event_id
+    events = [
+        (i, 7 + (i % 3), ["view", "click", "purchase"][i % 3],
+         float(i % 5) + 0.25, t0 + (i // 2) * sec)
+        for i in range(12)
+    ]
+    # expected latest per user: max by (ts, event_id)
+    expected = {}
+    for eid, uid, etype, val, ts in events:
+        cur = expected.get(uid)
+        if cur is None or (ts, eid) > (cur[1], cur[0]):
+            expected[uid] = (eid, ts, etype, val)
+
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, ts timestamp"
+    )
+    root = str(tmp_path / f"versions_{n_batches}")
+    m = SnapshotMerger(root)
+    size = len(events) // n_batches
+    for b in range(n_batches):
+        chunk = events[b * size : (b + 1) * size] or events[-size:]
+        bdf = spark.createDataFrame(chunk, schema)
+        m.merge(bdf, b)
+        m.merge(bdf, b)  # immediate redelivery of every batch
+    got = {
+        r.user_id: (r.event_id, r.ts, r.event_type, r.value)
+        for r in spark.read.parquet(m.latest_dir()).collect()
+    }
+    assert got == expected, (n_batches, got, expected)
