@@ -363,3 +363,54 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_distinct_kinds"),
         )
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS amt_cents,
+           event_type AS tag0,
+           'OBJECT<k: BIGINT>' AS props_schema
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured type (Spark 4): ingest the raw JSON
+    props column as a variant, extract a TYPED path, and round-trip a
+    nested document (struct + array built from relational columns →
+    JSON → variant → typed path extraction) — the open-schema
+    ingestion shape that replaces rigid from_json structs when the
+    payload evolves. The extraction contract is exact: every value
+    pulled back out of the variant must equal the relational column it
+    was built from, and `schema_of_variant` must report the stable
+    inferred shape (pinned as a literal by the oracle — DuckDB has no
+    variant, so the oracle recomputes the VALUES from the base columns
+    and the schema string from the known payload shape).
+
+    Scale shape: variant parse/extract are codegen expressions — no
+    UDF, no shuffle; at 100 TB variant beats string-JSON scans because
+    the binary encoding skips re-tokenizing on every path access."""
+    ev = load(spark, sf_dir, "events")
+    doc = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.round(F.col("value") * 100, 0)
+                .cast("bigint")
+                .alias("amt"),
+                F.array("event_type").alias("tags"),
+            )
+        )
+    )
+    return ev.withColumn("doc", doc).select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "k_typed"
+        ),
+        F.expr("variant_get(doc, '$.amt', 'bigint')").alias("amt_cents"),
+        F.expr("variant_get(doc, '$.tags[0]', 'string')").alias("tag0"),
+        F.expr("schema_of_variant(parse_json(props))").alias(
+            "props_schema"
+        ),
+    )

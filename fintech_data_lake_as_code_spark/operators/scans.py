@@ -444,3 +444,89 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents"),
         )
     )
+
+
+# One text, two engines (same discipline as _SUBQUERY_SQL): ancestor
+# walk over the implicit binary-id hierarchy. CAST(FLOOR(node / 2) AS
+# BIGINT), never a bare double->int cast: Spark truncates that cast,
+# DuckDB ROUNDS it (3/2 -> 2), silently forking the walk. FLOOR is
+# identical everywhere and the division is exact below 2^53.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk(custkey, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM {customer}
+      UNION ALL
+      SELECT custkey, CAST(FLOOR(node / 2) AS BIGINT), depth + 1
+      FROM walk WHERE node > 1
+    )
+    SELECT custkey,
+           CAST(MAX(depth) AS BIGINT) AS depth,
+           CAST(SUM(node) AS BIGINT) AS path_sum
+    FROM walk
+    GROUP BY custkey
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL.format(customer="customer"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): the hierarchy-walk /
+    transitive-closure SQL surface — every customer id walks its
+    binary-ancestor chain (node -> node div 2) to the root, emitting
+    walk depth and the path-sum checksum. This is the query family
+    (org charts, bill-of-materials, graph closure) that previously
+    required the hand-rolled iterative-join loop `connected_components`
+    implements; the declarative form now runs inside one statement on
+    both engines, and the identical text IS the oracle.
+
+    Scale shape: each recursion level is one self-union + filter over
+    the frontier — Catalyst executes level-by-level with the frontier
+    shrinking geometrically (depth <= log2(max id) ~ 20 here); the
+    recursion-depth guard (spark.sql.cteRecursionLevelLimit) bounds
+    runaway closures the same way CC_MAX_ITERS does for the manual
+    loop."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(_RECURSIVE_SQL.format(customer="customer_v"))
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           t.o_orderkey,
+           t.cents
+    FROM {customer} c, LATERAL (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM {orders} o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+"""
+
+
+@query(
+    "join_lateral",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the per-row top-N idiom written
+    the way an analyst writes it (each customer's 2 largest orders via
+    a correlated ORDER BY ... LIMIT subquery) instead of the window
+    formulation `topk_per_group` uses. The point of the key is what
+    Catalyst does with it: DecorrelateInnerQuery rewrites the per-row
+    subquery into ONE windowed rank over orders plus a hash join —
+    verified by the plan test (Window + BroadcastHashJoin, no
+    nested-loop re-execution per customer row). Identical text runs on
+    DuckDB as the oracle.
+
+    Scale shape: after decorrelation the cost is exactly
+    `topk_per_group`'s — one shuffle on the correlation key, rank
+    within partitions, join back. A naive engine would re-run the
+    subquery per outer row; the plan pin is the proof we don't."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        _LATERAL_SQL.format(customer="customer_v", orders="orders_v")
+    )

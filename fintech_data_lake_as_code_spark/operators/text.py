@@ -1194,31 +1194,6 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 REP_BP = 3000  # flag docs whose duplicated-3-gram share exceeds 30%
 
 
-@query(
-    "text_repetition_gopher",
-    oracle=f"""
-    WITH grams AS (
-      SELECT doc_id,
-             array_to_string(string_split(text, ' ')[i:i+2], ' ') AS g
-      FROM documents,
-           UNNEST(generate_series(1,
-             greatest(len(string_split(text, ' ')) - 2, 1))) AS t(i)
-    ), counts AS (
-      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
-    )
-    SELECT doc_id,
-           CAST(SUM(c) AS BIGINT) AS n_grams,
-           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
-             AS n_dup_occ,
-           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000
-                // SUM(c) AS BIGINT) AS dup_bp,
-           CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS top_bp,
-           SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000
-             >= {REP_BP} * SUM(c) AS repetitive
-    FROM counts
-    GROUP BY doc_id
-    """,
-)
 def repetition_stats(d: DataFrame) -> DataFrame:
     """Core of `text_repetition_gopher` over any (doc_id, text) frame;
     see the registered query's docstring for semantics."""
@@ -1249,6 +1224,34 @@ def repetition_stats(d: DataFrame) -> DataFrame:
     )
 
 
+
+
+
+@query(
+    "text_repetition_gopher",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[i:i+2], ' ') AS g
+      FROM documents,
+           UNNEST(generate_series(1,
+             greatest(len(string_split(text, ' ')) - 2, 1))) AS t(i)
+    ), counts AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_occ,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000
+                // SUM(c) AS BIGINT) AS dup_bp,
+           CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS top_bp,
+           SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000
+             >= {REP_BP} * SUM(c) AS repetitive
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
 def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition filters (the Gopher/MassiveText rule
     family: "fraction of characters in duplicate n-grams" /"fraction in

@@ -178,6 +178,15 @@ def test_subquery_family_decorrelates_to_hash_joins(spark, sf_dir):
     )
 
 
+def test_lateral_join_decorrelates_to_window_not_per_row_rerun(spark, sf_dir):
+    # the correlated ORDER BY/LIMIT subquery must come out as one
+    # windowed rank + hash join, not a per-outer-row re-execution
+    plan = formatted_plan(SPECS["join_lateral"].fn(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_sorted_lake_files_have_disjoint_time_ranges(spark, sf_dir):
     # repartitionByRange + sortWithinPartitions must yield parquet files
     # whose [min(ts), max(ts)] ranges do not overlap — the property that
