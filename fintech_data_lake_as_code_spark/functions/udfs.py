@@ -214,3 +214,59 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(od.groupBy("user_id"))
         .applyInPandas(reconcile, out_schema)
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT event_id,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+           upper(event_type) AS type_uc,
+           CAST(ROUND(value * 100, 0) AS BIGINT) % 97 AS cents_mod
+    FROM events
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-Arrow UDF surface: `mapInArrow` hands the Python worker
+    pyarrow RecordBatches directly — no pandas conversion layer — and
+    the transformation runs as Arrow compute kernels (C++-vectorized,
+    zero-copy). This is the lane for columnar-native Python libraries
+    (polars, vectorized codecs, Arrow-backed feature stores) where the
+    pandas bridge would cost a copy per batch. Row-wise semantics only,
+    so batch boundaries cannot affect the result — the exact SQL oracle
+    certifies the entire Arrow round-trip (values in, kernel math,
+    values out).
+
+    Scale shape: partition-parallel map with no shuffle; Arrow batch
+    size (spark.sql.execution.arrow.maxRecordsPerBatch) bounds worker
+    memory at any scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()
+            )
+            # no pc.mod kernel: x % 97 == x - (x // 97) * 97 (cents >= 0;
+            # pyarrow integer divide IS integer division)
+            mod97 = pc.subtract(
+                cents, pc.multiply(pc.divide(cents, 97), 97)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_id"),
+                    cents,
+                    pc.utf8_upper(b.column("event_type")),
+                    mod97,
+                ],
+                ["event_id", "cents", "type_uc", "cents_mod"],
+            )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    return ev.mapInArrow(
+        kernel,
+        "event_id bigint, cents bigint, type_uc string, cents_mod bigint",
+    )

@@ -519,3 +519,109 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_rows_erased", F.lit(0)).alias("n_rows_erased"),
         F.coalesce("n_users_erased", F.lit(0)).alias("n_users_erased"),
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS mn,
+             CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS mx
+      FROM events
+    ), old AS (
+      SELECT user_id, event_id, cents FROM (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+              <= (SELECT (mn + mx) // 2 FROM bounds)
+      ) WHERE rn = 1
+    ), new AS (
+      SELECT user_id, event_id, cents FROM (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'inserted'
+                WHEN o.event_id = n.event_id THEN 'unchanged'
+                ELSE 'updated' END AS change_kind,
+           o.event_id AS old_event_id,
+           n.event_id AS new_event_id,
+           COALESCE(n.cents, 0) - COALESCE(o.cents, 0) AS cents_delta
+    FROM old o FULL JOIN new n ON o.user_id = n.user_id
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME-TRAVEL diff — the audit query a versioned CDC lake
+    serves ("what changed since the mid-period snapshot?"): materialize
+    latest-state as of the midpoint cut and as of now, full-outer join
+    on the key, and classify every user as inserted / updated /
+    unchanged with the exact cents delta. This is the consumer-facing
+    form of what `stream_foreachbatch_merge`'s versioned directories
+    store physically — diffing two snapshot VERSIONS compiles to
+    exactly this plan when both sides are snapshot reads. (Append-only
+    changelog, so 'deleted' cannot occur here; `cdc_gdpr_erasure`
+    covers the physical-delete path.)
+
+    The cut is a bounded metadata scalar (min/max event time), the same
+    designed artifact as `scan_partition_pruned`'s partition floor.
+    Scale shape: two max_by-style reduces + one full-outer join, all on
+    user_id — one shuffle key end to end; the old-side scan prunes to
+    `ts <= cut` via pushdown."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    b = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx"),
+    ).first()
+    cut = (b.mn + b.mx) // 2
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_id", "cents"), F.struct("ts", "event_id")
+                ).alias("s")
+            )
+            .select("user_id", "s.event_id", "s.cents")
+        )
+
+    old = latest(ev.where(F.unix_timestamp("ts") <= F.lit(cut))).select(
+        F.col("user_id").alias("o_user"),
+        F.col("event_id").alias("old_event_id"),
+        F.col("cents").alias("o_cents"),
+    )
+    new = latest(ev).select(
+        F.col("user_id").alias("n_user"),
+        F.col("event_id").alias("new_event_id"),
+        F.col("cents").alias("n_cents"),
+    )
+    kind = (
+        F.when(F.col("o_user").isNull(), "inserted")
+        .when(F.col("old_event_id") == F.col("new_event_id"), "unchanged")
+        .otherwise("updated")
+    )
+    return (
+        old.join(new, old.o_user == new.n_user, "full")
+        .select(
+            F.coalesce("o_user", "n_user").alias("user_id"),
+            kind.alias("change_kind"),
+            "old_event_id",
+            "new_event_id",
+            (
+                F.coalesce("n_cents", F.lit(0))
+                - F.coalesce("o_cents", F.lit(0))
+            ).alias("cents_delta"),
+        )
+    )
