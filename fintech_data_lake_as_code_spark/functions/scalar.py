@@ -414,3 +414,130 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props_schema"
         ),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang || '/'
+               || doc_id || '?utm_source=feed&ref=' || (doc_id % 7)
+               || '#s' || (doc_id % 3) AS url
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)
+             || regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+             AS canonical
+    FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: `parse_url` component extraction (PROTOCOL /
+    HOST / PATH / QUERY / named QUERY param / REF fragment) plus the
+    URL-CANONICALIZATION a web-corpus pipeline dedupes on — host+path
+    with tracking query params and fragments stripped (the Common Crawl
+    url-dedup normalization). URLs are synthesized deterministically
+    from document metadata so both engines see identical inputs; the
+    oracle re-derives every component with anchored regexes, certifying
+    Spark's java.net.URI-based parser against a second implementation.
+
+    Scale shape: all codegen string expressions — no UDF, no shuffle;
+    the canonical column is exactly what `dedup_exact`'s hash-groupBy
+    would key on at 100 TB."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("#s"), (F.col("doc_id") % 3).cast("string"),
+    )
+    return d.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+        F.concat(
+            F.parse_url("url", F.lit("HOST")),
+            F.parse_url("url", F.lit("PATH")),
+        ).alias("canonical"),
+    )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                  WHEN doc_id % 3 = 1 THEN source
+                  ELSE concat(upper(substr(source, 1, 1)), substr(source, 2))
+             END AS s
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_case_sensitive,
+           CAST(COUNT(DISTINCT lower(s)) AS BIGINT) AS n_case_insensitive,
+           CAST(SUM(CASE WHEN lower(s) = 'web' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_web_ci,
+           CAST(SUM(CASE WHEN lower(s) >= 'n' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge_n_ci
+    FROM mixed
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATION (Spark 4): the same source tag deterministically
+    re-cased three ways, then counted under the session-default binary
+    collation vs `UTF8_LCASE` — distinct counts, equality against a
+    literal, and an ordering comparison all evaluated collation-aware
+    (`collate()` propagates through =, >=, and DISTINCT). The oracle has
+    no collation engine, so it certifies via the lower() equivalence —
+    exactly the rewrite collations obsolete.
+
+    Scale shape: collation comparison is a codegen expression (ICU/UTF8
+    binary compare JVM-side); the case-insensitive DISTINCT aggregates
+    on the collated key directly, one partial-agg shuffle — no
+    lower() copy of the column materialized at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    s = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.col("source"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("source", 1, 1)),
+                F.expr("substr(source, 2)"),
+            )
+        )
+    )
+    sc = F.collate(F.col("s"), "UTF8_LCASE")
+    return (
+        d.select("doc_id", "lang", s.alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.col("s")).alias("n_case_sensitive"),
+            F.count_distinct(sc).alias("n_case_insensitive"),
+            F.sum(
+                F.when(sc == F.lit("web"), 1).otherwise(0)
+            ).alias("n_web_ci"),
+            F.sum(
+                F.when(sc >= F.lit("n"), 1).otherwise(0)
+            ).alias("n_ge_n_ci"),
+        )
+        .orderBy("lang")
+    )

@@ -542,3 +542,74 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_prior").cast("bigint").alias("n_prior"),
         )
     )
+
+
+EWMA_LAGS = 8  # geometric weights 2^7..2^0 over the trailing 8 events
+
+_EWMA_ORACLE = """
+WITH cents AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), lagged AS (
+  SELECT event_id, user_id, c,
+         LAG(c, 1) OVER w AS c1, LAG(c, 2) OVER w AS c2,
+         LAG(c, 3) OVER w AS c3, LAG(c, 4) OVER w AS c4,
+         LAG(c, 5) OVER w AS c5, LAG(c, 6) OVER w AS c6,
+         LAG(c, 7) OVER w AS c7,
+         ROW_NUMBER() OVER w AS rn
+  FROM cents
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, c AS amount_cents,
+       CAST((128 * c + 64 * c1 + 32 * c2 + 16 * c3 + 8 * c4
+             + 4 * c5 + 2 * c6 + 1 * c7) // 255 AS BIGINT) AS ewma_cents,
+       CAST((128 * c + 64 * c1 + 32 * c2 + 16 * c3 + 8 * c4
+             + 4 * c5 + 2 * c6 + 1 * c7) // 255 - c AS BIGINT) AS ewma_gap
+FROM lagged
+WHERE rn >= 8
+"""
+
+
+@query("win_ewma", oracle=_EWMA_ORACLE)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of per-user spend — the
+    classic online-feature smoother (alpha = 1/2 truncated at 8 taps,
+    which bounds the dropped tail below one part in 256). Weights are
+    POWERS OF TWO over integer cents, so the weighted sum and its
+    floor-divide by 255 are bit-exact in any engine — no float
+    recurrence, no reduction-order sensitivity. Rows before the 8th
+    event are withheld (the warm-up a production feature store would
+    backfill).
+
+    Scale shape: one user_id shuffle; all eight lags share ONE window
+    frame (WindowExec evaluates them in a single pass over each sorted
+    partition); everything downstream is codegen arithmetic. The
+    recurrence form s_t = a*x_t + (1-a)*s_{t-1} is inherently
+    sequential — the truncated-tap form is what makes EWMA a
+    single-window-pass operator at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    base = ev.select("event_id", "user_id", "ts", c.alias("c"))
+    lags = [F.col("c")] + [
+        F.lag("c", i).over(w) for i in range(1, EWMA_LAGS)
+    ]
+    weighted = sum(
+        (lag * F.lit(2 ** (EWMA_LAGS - 1 - i)) for i, lag in enumerate(lags)),
+        start=F.lit(0),
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("wsum", weighted)
+        .where(F.col("rn") >= EWMA_LAGS)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c").alias("amount_cents"),
+            F.expr("wsum div 255").cast("bigint").alias("ewma_cents"),
+            (F.expr("wsum div 255") - F.col("c"))
+            .cast("bigint")
+            .alias("ewma_gap"),
+        )
+    )
