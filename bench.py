@@ -177,6 +177,9 @@ def main() -> None:
         "sample_temperature_mix",
         "win_anomaly_zscore",
         "text_repetition_gopher",
+        "graph_triangle_count",
+        "win_ewma",
+        "dedup_semantic_cluster",
     ]
     extras: dict[str, float] = {}
     for key in EXTRAS:

@@ -562,6 +562,27 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twin-augmented embedding corpus shared by the embedding-dedup
+    family: every 10th vector gets a planted near-duplicate (first
+    component +0.01) under vec_id+100000. The per-vector norm is hoisted
+    here — computed once per ROW, not once per pair, and with one
+    expression shape so both consumers are float-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label", _dvec("embedding").alias("v"))
+    twins = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + 0.01),
+            F.expr("transform(slice(embedding, 2, size(embedding) - 1), x -> cast(x as double))"),
+        ).alias("v"),
+    )
+    return base.unionByName(twins).withColumn(
+        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""
@@ -589,21 +610,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocking key — candidate pairs only within a block, as an IVF-style
     coarse quantizer would give at scale). Planted twins (first component
     +0.01) are the expected hits. Full DuckDB oracle."""
-    e = load(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "label", _dvec("embedding").alias("v"))
-    twins = e.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        "label",
-        F.concat(
-            F.array(F.element_at("embedding", 1).cast("double") + 0.01),
-            F.expr("transform(slice(embedding, 2, size(embedding) - 1), x -> cast(x as double))"),
-        ).alias("v"),
-    )
-    # per-vector norm hoisted out of the pair join (computed once per row,
-    # not once per pair; same expression shape => float-identical)
-    corpus = base.unionByName(twins).withColumn(
-        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    corpus = _emb_corpus(spark, sf_dir)
     a = corpus.alias("a")
     b = corpus.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
@@ -1380,3 +1387,120 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys) and let AQE split the boilerplate hot keys; the
     string-keyed formulation here keeps the DuckDB oracle exact."""
     return paragraph_dedup(_corpus(spark, sf_dir))
+
+
+# --- semantic dedup (SemDeDup) ----------------------------------------------
+
+SEMDEDUP_K = 16  # k-means cells; SemDeDup prunes within-cell only
+# Recall floor of cluster-blocked dedup vs the label-blocked exact pair
+# set, compared in integers (found * DEN >= true * NUM).
+SEMDEDUP_RECALL_NUM = 9
+SEMDEDUP_RECALL_DEN = 10
+
+
+def semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al., 2023): cluster the corpus
+    with a trained k-means coarse quantizer, then exact-cosine verify
+    WITHIN each cluster only — clustering replaces dedup_embedding_
+    cosine's label blocking, which production corpora don't have.
+
+    Scale shape: k-means trains on a bounded deterministic sample
+    (centroid quality saturates at ~tens of vectors per cell — FAISS
+    practice); assignment is MAP-SIDE argmin over centroid literals
+    (no join, no shuffle — the same plan shape as sim_topk_ivf); pair
+    generation is an equi-join on cluster_id, so candidate count is
+    sum-of-squares over cluster sizes, not corpus^2. The returned pairs
+    are exact-cosine-verified, never estimated."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _emb_corpus(spark, sf_dir)
+    sample_n = 64 * SEMDEDUP_K
+    train = (
+        corpus.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_n)
+        .select(array_to_vector("v").alias("features"))
+    )
+    model = KMeans(k=SEMDEDUP_K, seed=42, maxIter=10).fit(train)
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    assigned = corpus.withColumn(
+        "cluster_id",
+        F.array_position(dists, F.array_min(dists)).cast("int"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("_cos"),
+        )
+        .where(F.col("_cos") >= 0.99)
+        .select("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_semantic_cluster",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label,
+             list_prepend(embedding[1]::DOUBLE + 0.01,
+                          list_transform(embedding[2:], x -> x::DOUBLE))
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), truth AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+    FROM truth
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades SemDeDup through the engine-portable RECALL CONTRACT (the
+    `sim_topk_ivf_kmeans` pattern): trained float centroids aren't
+    reproducible cross-engine, but the claim about them is — cluster-
+    blocked exact-cosine dedup must recover >= 90% of the label-blocked
+    exact pair set (integer compare, so the boolean can't flip on a
+    float boundary). The oracle recomputes the exact truth count and
+    emits the same deterministic row; a hash match therefore requires
+    the trained clustering to actually co-locate near-duplicates on this
+    round's data. At 100 TB this is exactly how you'd audit SemDeDup:
+    exact recall on a sampled slice, cluster-pruned path in production."""
+    truth = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    found = semantic_cluster_pairs(spark, sf_dir)
+    found_true = truth.join(found, ["id_a", "id_b"]).select("id_a")
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
+    n_hit = found_true.agg(F.count("*").alias("n_found_true"))
+    return n_true.crossJoin(n_hit).select(
+        "n_true_pairs",
+        (
+            F.col("n_found_true") * SEMDEDUP_RECALL_DEN
+            >= F.col("n_true_pairs") * SEMDEDUP_RECALL_NUM
+        ).alias("recall_ok"),
+    )

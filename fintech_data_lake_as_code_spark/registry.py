@@ -197,6 +197,10 @@ _STALE_REGRADE = frozenset(
         "dedup_cluster_cc",
         "stream_foreachbatch_merge",
         "scan_binaryfile",
+        # - dedup_embedding_cosine: twin-corpus construction factored into
+        #   _emb_corpus when dedup_semantic_cluster landed (expressions
+        #   unchanged, pytest-differentially green — re-certify anyway).
+        "dedup_embedding_cosine",
     }
 )
 

@@ -399,3 +399,33 @@ def test_repetition_stats_flags_planted_loop(spark):
     assert got[1].top_bp == 3 * 10000 // 7 and got[1].repetitive
     assert got[2].n_dup_occ == 0 and got[2].dup_bp == 0
     assert not got[2].repetitive
+
+
+def test_semantic_cluster_dedup_recall(spark, sf_dir):
+    # SemDeDup: trained k-means clustering replaces label blocking; the
+    # cluster-blocked exact-cosine pass must recover >=90% of the
+    # label-blocked truth pairs, and every emitted pair must be a
+    # genuine cosine>=0.99 pair (precision 1.0 within the truth set's
+    # label blocks — cross-label finds are allowed, never counted).
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        semantic_cluster_pairs,
+    )
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(spark, sf_dir)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in semantic_cluster_pairs(spark, sf_dir).collect()
+    }
+    assert truth, "truth set empty — planted twins missing"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"SemDeDup recall {recall:.2f} too low"
+    # the contract row the driver grades must agree
+    row = SPECS["dedup_semantic_cluster"].fn(spark, sf_dir).collect()[0]
+    assert row.recall_ok
+    assert row.n_true_pairs == len(truth)

@@ -110,6 +110,8 @@ _NESTED_LOOP_OK = {
     # recall contract embeds the brute-force exact side + a 1x1-row
     # stats combine
     "sim_topk_ivf_kmeans",
+    # same contract shape: 1x1-row truth-count x hit-count combine
+    "dedup_semantic_cluster",
     "join_cross_topk",
     # theta join against a 3-row broadcast band table: NLJ IS the plan
     "join_theta_range",
