@@ -613,3 +613,127 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ewma_gap"),
         )
     )
+
+
+RESAMPLE_STEP_S = 21600  # 6-hour grid
+
+_RESAMPLE_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS e,
+         MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(e) AS emin, MAX(e) AS emax FROM ev GROUP BY 1
+), grid AS (
+  SELECT user_id,
+         emin + {RESAMPLE_STEP_S} * unnest(generate_series(
+           0, CAST((emax - emin) // {RESAMPLE_STEP_S} AS BIGINT))) AS ge
+  FROM span
+), pts AS (
+  SELECT user_id, e, 0 AS is_grid, v FROM ev
+  UNION ALL
+  SELECT user_id, ge, 1, NULL FROM grid
+), filled AS (
+  SELECT user_id, e, is_grid,
+         last_value(v IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+           OVER w_prev AS pe,
+         first_value(v IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+           OVER w_next AS ne
+  FROM pts
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY e, is_grid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY user_id ORDER BY e, is_grid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, e AS grid_epoch,
+       CAST((pv * (ne - e) + nv * (e - pe)) // (ne - pe) AS BIGINT)
+         AS interp_cents
+FROM filled
+WHERE is_grid = 1 AND pv IS NOT NULL AND nv IS NOT NULL AND ne > pe
+"""
+
+
+@query("win_resample_interp", oracle=_RESAMPLE_ORACLE)
+def win_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLING onto a regular per-user grid with LINEAR
+    interpolation between the surrounding observations — the hypertable
+    operation `win_asof_gap_fill`'s LOCF can't express (Timescale's
+    `time_bucket_gapfill` + `interpolate`, Pandas' `resample().
+    interpolate()`). Each user gets a {RESAMPLE_STEP_S}-second grid over
+    their own observation span; every grid point takes the
+    distance-weighted average of its neighbors, evaluated ALL-INTEGER:
+    cents x nonnegative second-weights summed then floor-divided (every
+    operand nonnegative, so Spark's truncating `div` and DuckDB's
+    flooring `//` agree exactly).
+
+    Scale shape: the grid explodes from ONE tiny per-user span row
+    (sequence() map-side — never a driver loop); events collapse to one
+    row per (user, second) with a partial-agg groupBy; both neighbor
+    lookups are IGNORE-NULLS frames over a single user_id
+    shuffle+sort — two window passes, zero joins. At 100 TB this is the
+    resample shape that beats the naive grid x events as-of join by the
+    grid's fan-out factor."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("e"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        )
+        .groupBy("user_id", "e")
+        .agg(F.max("v").alias("v"))
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("e").alias("emin"), F.max("e").alias("emax")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"(emax - emin) div {RESAMPLE_STEP_S}"),
+            )
+        ).alias("i"),
+        "emin",
+    ).select(
+        "user_id",
+        (F.col("emin") + F.lit(RESAMPLE_STEP_S) * F.col("i")).alias("e"),
+    )
+    pts = ev.select(
+        "user_id", "e", F.lit(0).alias("is_grid"), "v"
+    ).unionByName(
+        grid.select(
+            "user_id", "e", F.lit(1).alias("is_grid"),
+            F.lit(None).cast("bigint").alias("v"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy("e", "is_grid")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e_obs = F.when(F.col("v").isNotNull(), F.col("e"))
+    filled = pts.select(
+        "user_id",
+        "e",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(e_obs, ignorenulls=True).over(w_prev).alias("pe"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(e_obs, ignorenulls=True).over(w_next).alias("ne"),
+    )
+    return (
+        filled.where(
+            (F.col("is_grid") == 1)
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("ne") > F.col("pe"))
+        )
+        .select(
+            "user_id",
+            F.col("e").alias("grid_epoch"),
+            F.expr("(pv * (ne - e) + nv * (e - pe)) div (ne - pe)")
+            .cast("bigint")
+            .alias("interp_cents"),
+        )
+    )
