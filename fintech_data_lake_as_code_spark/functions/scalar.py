@@ -541,3 +541,51 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "fn_crypto",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           base64(encode(substr(text, 1, 24))) AS head_b64,
+           decode(from_base64(base64(encode(substr(text, 1, 24)))))
+             AS head_roundtrip,
+           TRUE AS aes_roundtrip_ok
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+)
+def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto/digest function family: md5 + sha2-256 content digests
+    (the fingerprints a lake keys manifests on), base64 round-trip, and
+    an AES-128 encrypt->decrypt round-trip in deterministic ECB mode —
+    the at-rest column-encryption shape (GCM is what production uses;
+    its random IV is deliberately avoided here so the query stays a
+    pure function). DuckDB has no AES, so the oracle pins the CLAIM:
+    the decrypted text must equal the source exactly (emitted as a
+    boolean the Spark side computes from the real cipher round-trip and
+    the oracle emits as TRUE).
+
+    Scale shape: every function is a codegen expression over the scan —
+    no UDF, no shuffle; digests at 100 TB are embarrassingly parallel
+    map work."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+    # 16-byte AES-128 demo key; a real lake feeds this from a KMS column
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.base64(F.substring("text", 1, 24).cast("binary")).alias("head_b64"),
+        F.unbase64(
+            F.base64(F.substring("text", 1, 24).cast("binary"))
+        ).cast("string").alias("head_roundtrip"),
+        (
+            F.expr(
+                "cast(aes_decrypt(aes_encrypt(cast(text as binary),"
+                " '0123456789abcdef', 'ECB'), '0123456789abcdef', 'ECB')"
+                " as string)"
+            )
+            == F.col("text")
+        ).alias("aes_roundtrip_ok"),
+    )

@@ -967,3 +967,89 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+# --- data-quality expectations ----------------------------------------------
+
+# Declarative expectation suite over the events feed (the Deequ /
+# Great Expectations shape): each rule is a row-level predicate whose
+# violation count the engine aggregates in ONE scan. Thresholds are in
+# basis points of the table (0 = hard expectation).
+DQ_RULES = [
+    # (rule_id, violation predicate SQL, allowed violation bp)
+    ("value_positive", "value <= 0", 0),
+    ("value_below_cap", "value > 400", 500),
+    ("user_id_present", "user_id IS NULL", 0),
+    ("type_in_domain",
+     "event_type NOT IN ('view','click','purchase','signup','error')", 0),
+    ("ts_in_2024", "ts < TIMESTAMP '2024-01-01 00:00:00' "
+     "OR ts >= TIMESTAMP '2025-01-01 00:00:00'", 0),
+    ("props_has_k", "get_json_object(props, '$.k') IS NULL", 0),
+]
+
+
+def _dq_oracle() -> str:
+    arms = []
+    for rule_id, pred, bp in DQ_RULES:
+        duck_pred = pred.replace(
+            "get_json_object(props, '$.k') IS NULL",
+            "json_extract(props, '$.k') IS NULL",
+        )
+        arms.append(f"""
+    SELECT '{rule_id}' AS rule_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {duck_pred} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           SUM(CASE WHEN {duck_pred} THEN 1 ELSE 0 END) * 10000
+             <= COUNT(*) * {bp} AS passed
+    FROM events""")
+    return "\nUNION ALL".join(arms) + "\nORDER BY rule_id"
+
+
+@query("dq_expectations", oracle=_dq_oracle())
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DATA-QUALITY expectation suite (the Deequ / Great
+    Expectations shape): six row-level rules — positivity, cap,
+    non-null, enum domain, timestamp range, JSON-path presence — each
+    with an allowed-violation budget in basis points, evaluated and
+    verdicted per rule. This is the contract a lake enforces at the
+    bronze->silver boundary; the reference declares exactly such rules
+    as comments it never executes (setupTables.py:29-44).
+
+    Scale shape: ALL rules compile into one conditional-aggregate pass —
+    a single scan, a single partial-agg reduce to one row, then a
+    map-side posexplode to per-rule rows: rule count never multiplies
+    scan cost (the Deequ analyzer-batching trick). The verdict compares
+    integers (violations x 10000 <= rows x budget_bp), never a float
+    rate."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.sum(
+            F.when(F.expr(pred), 1).otherwise(0)
+        ).alias(f"v_{i}")
+        for i, (_, pred, _) in enumerate(DQ_RULES)
+    ]
+    one = ev.agg(*aggs)
+    arms = ", ".join(
+        f"'{rule_id}', cast(v_{i} as bigint), {bp}"
+        for i, (rule_id, _, bp) in enumerate(DQ_RULES)
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(DQ_RULES)}, {arms})"
+                " as (rule_id, n_violations, bp)"
+            ),
+        )
+        .select(
+            "rule_id",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "n_violations",
+            (
+                F.col("n_violations") * 10000
+                <= F.col("n_rows") * F.col("bp")
+            ).alias("passed"),
+        )
+        .orderBy("rule_id")
+    )
