@@ -1053,3 +1053,53 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule_id")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'purchase|signup', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable BITMAPS (the Spark 3.5
+    bitmap aggregate family): user ids bucket into 32K-bit bitmap
+    segments (`bitmap_bucket_number`/`bitmap_bit_position`), each
+    (group, bucket) partial-aggregates to one bitmap
+    (`bitmap_construct_agg`), and distinct = sum of per-bucket
+    `bitmap_count`s. Bitmaps are also UNIONED across groups with
+    `bitmap_or_agg` — the purchase-or-signup audience row — without
+    ever re-touching raw ids.
+
+    Scale shape: this is the warehouse accelerator for exact distinct —
+    raw ids reduce map-side to fixed-size bitmap segments, so the
+    shuffle carries O(groups x buckets) bitmaps instead of O(rows) ids,
+    and bitmaps MERGE (unlike a plain count-distinct, which must see
+    every id at one reducer). Precomputed per-partition bitmaps are
+    exactly how BI engines serve exact-distinct rollups at 100 TB;
+    `agg_approx_distinct`'s HLL trades exactness for even less state."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    seg = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    per_type = seg.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )
+    audience = (
+        seg.where(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"))
+        .select(F.lit("purchase|signup").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(audience).orderBy("event_type")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.exact import exact_sum
 from ..io import load
@@ -660,4 +661,96 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("f_te") - F.col("te"))
         .cast("long")
         .alias("secs_to_purchase"),
+    )
+
+
+_SCD2_PIT_ORACLE = """
+WITH dim AS (
+  SELECT user_id,
+         event_type AS profile_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS profile_cents,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from,
+         COALESCE(
+           CAST(FLOOR(EPOCH(LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))) AS BIGINT),
+           9223372036854775807) AS valid_to
+  FROM events WHERE event_type <> 'purchase'
+), fact AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.t AS fact_epoch,
+       d.valid_from, d.profile_type, d.profile_cents
+FROM fact f JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.t AND f.t < d.valid_to
+"""
+
+
+@query("join_scd2_pointintime", oracle=_SCD2_PIT_ORACLE)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension lookup against SCD Type-2 history: each
+    purchase fact joins the profile version (non-purchase changelog
+    rows versioned by [valid_from, valid_to) as in cdc_scd2_intervals)
+    that was valid AT the fact's timestamp — the `FOR SYSTEM_TIME AS
+    OF` of a temporal warehouse, and the join every feature store runs
+    to avoid training-serving skew.
+
+    Scale shape: the naive formulation is a range join (key equality
+    plus interval containment — quadratic within hot keys, and what
+    the oracle runs). The engine instead UNION-TAGS version starts and
+    facts and backward-fills version attributes with one
+    last(ignorenulls) frame over a single (user_id) shuffle+sort — the
+    same one-pass shape as join_asof_backward, linear in rows per key.
+    Ties at one epoch resolve dim-row-first then event_id, which
+    reproduces exactly the half-open [valid_from, valid_to) semantics
+    (an empty same-epoch version matches nothing)."""
+    ev = load(spark, sf_dir, "events")
+    dim = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.lit(0).alias("is_fact"),
+        "event_id",
+        F.col("event_type").alias("profile_type"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("profile_cents"),
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.lit(1).alias("is_fact"),
+        "event_id",
+        F.lit(None).cast("string").alias("profile_type"),
+        F.lit(None).cast("bigint").alias("profile_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_fact", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = dim.unionByName(fact).select(
+        "user_id",
+        "t",
+        "is_fact",
+        "event_id",
+        F.last("profile_type", ignorenulls=True).over(w).alias("profile_type"),
+        F.last("profile_cents", ignorenulls=True).over(w).alias(
+            "profile_cents"
+        ),
+        F.last(
+            F.when(F.col("is_fact") == 0, F.col("t")), ignorenulls=True
+        )
+        .over(w)
+        .alias("valid_from"),
+    )
+    return (
+        filled.where((F.col("is_fact") == 1) & F.col("valid_from").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("fact_epoch"),
+            "valid_from",
+            "profile_type",
+            "profile_cents",
+        )
     )
