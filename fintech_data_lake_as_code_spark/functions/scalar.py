@@ -589,3 +589,50 @@ def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("text")
         ).alias("aes_roundtrip_ok"),
     )
+
+
+@query(
+    "fn_try_ansi",
+    oracle="""
+    SELECT event_id,
+           round(CAST(ROUND(value * 100, 0) AS BIGINT)
+                 / nullif(user_id % 5, 0), 4) AS safe_div,
+           TRY_CAST(event_type AS INTEGER) AS type_as_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_num,
+           string_split(event_type, '')[100] AS char100,
+           user_id <> 0 AS ovf_null
+    FROM events WHERE event_id % 13 = 0
+    """,
+)
+def fn_try_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic (Spark 4 runs ANSI SQL by
+    default, where overflow/bad-cast/div-by-zero THROW): the `try_`
+    family converts each error class to NULL — try_divide on a zero
+    divisor, try_cast on a non-numeric enum, try_cast on a JSON-path
+    extract, try_element_at past the end, and try_add at int64 max
+    (NULL exactly when the addend is nonzero — the oracle certifies the
+    overflow contract as that boolean). This is the surface that lets a
+    pipeline keep ANSI's correctness guarantees without a quarantine
+    branch per expression.
+
+    Scale shape: all codegen expressions, no UDF/shuffle; identical
+    cost to the unguarded forms."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0)
+    return ev.select(
+        "event_id",
+        F.round(
+            F.expr(
+                "try_divide(cast(round(value * 100, 0) as bigint),"
+                " user_id % 5)"
+            ),
+            4,
+        ).alias("safe_div"),
+        F.expr("try_cast(event_type as int)").alias("type_as_int"),
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') as int)"
+        ).alias("k_num"),
+        F.expr("try_element_at(split(event_type, ''), 100)").alias("char100"),
+        F.isnull(
+            F.expr("try_add(9223372036854775807L, user_id)")
+        ).alias("ovf_null"),
+    )

@@ -471,3 +471,41 @@ def test_avro_gate_is_honest(spark, sf_dir):
     else:
         with pytest.raises(RuntimeError, match="spark-avro"):
             scan_avro(spark, sf_dir)
+
+
+def test_scd2_pointintime_is_window_only(spark, sf_dir):
+    # the operator's whole scale claim: the point-in-time lookup must
+    # compile to ONE window pass over the union — never a join (the
+    # naive range-join formulation is quadratic within hot keys)
+    plan = formatted_plan(SPECS["join_scd2_pointintime"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    # exactly one shuffle: the single user_id exchange under the window
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1, plan
+
+
+def test_resample_interp_is_window_only(spark, sf_dir):
+    # grid + both neighbor lookups must stay join-free: one union, one
+    # user_id shuffle, window frames only
+    plan = formatted_plan(SPECS["win_resample_interp"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+
+
+def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
+    # bitmap_construct_agg must partial-aggregate map-side (the whole
+    # point: the shuffle carries bitmap segments, not raw ids)
+    plan = formatted_plan(SPECS["agg_bitmap_distinct"].fn(spark, sf_dir))
+    assert "bitmap_construct_agg" in plan, plan
+    assert "partial_bitmap_construct_agg" in plan.lower().replace(
+        "partial bitmap_construct_agg", "partial_bitmap_construct_agg"
+    ) or "Partial" in plan, plan
+
+
+def test_triangle_edges_are_support_thresholded(spark, sf_dir):
+    # densification control: the edge relation must carry the support
+    # floor (a Filter on the co-occurrence count) before any wedge join
+    from fintech_data_lake_as_code_spark.operators.graph import (
+        TRI_MIN_SUPPORT,
+    )
+
+    plan = formatted_plan(SPECS["graph_triangle_count"].fn(spark, sf_dir))
+    assert f">= {TRI_MIN_SUPPORT}" in plan, plan
