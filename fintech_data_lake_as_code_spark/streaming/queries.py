@@ -1085,3 +1085,134 @@ def stream_tws_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
     impl = _topk_tws if tws_supported(spark) else _topk_apiws
     return _drain(impl(stream), "stream_tws_topk_state", "append")
+
+
+# --- streaming SCD-2 maintenance --------------------------------------------
+
+
+def _scd2_rows(events: DataFrame) -> DataFrame:
+    """Raw event rows -> SCD-2 version rows (full-precision ts kept so
+    incremental recompute reproduces the exact version order; epoch
+    bounds derived for serving). Same interval semantics as
+    cdc_scd2_intervals."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_timestamp("ts")).over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("valid_from_epoch"),
+        F.coalesce(nxt, F.lit(9223372036854775807)).alias("valid_to_epoch"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+class Scd2Merger(SnapshotMerger):
+    """foreachBatch target that maintains an SCD-2 DIMENSION incrementally
+    under OUT-OF-ORDER batches. The landing files carry no time order, so
+    append-only interval maintenance (close the open version, append the
+    new one) would corrupt history whenever a batch delivers an event
+    EARLIER than an already-applied one — the late-arriving-dimension
+    problem. The correct incremental shape, and what this merger does:
+    per batch, recompute version intervals ONLY for the affected keys
+    (union of their previously applied rows and the batch rows), pass
+    every other key's rows through untouched. Versioning/commit/replay
+    discipline is inherited from SnapshotMerger (batch_id-keyed
+    directories + _SUCCESS markers make epoch re-delivery a no-op);
+    event_id dedupe makes even a pathological double-application
+    harmless. Per-batch cost: affected keys' history + passthrough
+    rewrite — a table format with file-level pruning (or a key-bucketed
+    layout, see join_bucketed_colocated) limits the rewrite to affected
+    buckets at 100 TB."""
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        new_dir = f"{self.root}/v{batch_id}"
+        if os.path.exists(os.path.join(new_dir, "_SUCCESS")):
+            return  # replayed batch: effects already committed
+        raw_cols = ["user_id", "event_id", "ts", "event_type", "value"]
+        batch = batch_df.select(*raw_cols)
+        prev_dir = self.latest_dir(below=batch_id)
+        if prev_dir is None:
+            merged = _scd2_rows(batch)
+        else:
+            prev = batch_df.sparkSession.read.parquet(prev_dir)
+            affected = batch.select("user_id").distinct()
+            untouched = prev.join(affected, "user_id", "left_anti")
+            touched_raw = (
+                prev.join(affected, "user_id", "left_semi")
+                .select(*raw_cols)
+                .unionByName(batch)
+                .dropDuplicates(["event_id"])
+            )
+            merged = untouched.unionByName(_scd2_rows(touched_raw))
+        merged.write.mode("overwrite").parquet(new_dir)
+
+
+@query(
+    "stream_scd2_apply",
+    oracle="""
+    SELECT user_id, event_id,
+           event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from_epoch,
+           COALESCE(
+             CAST(FLOOR(EPOCH(LEAD(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)))
+               AS BIGINT),
+             9223372036854775807) AS valid_to_epoch,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD-2 dimension maintenance: the changelog stream is
+    applied micro-batch by micro-batch into a versioned dimension table
+    whose every row carries a [valid_from, valid_to) interval — the
+    streaming form of cdc_scd2_intervals, robust to OUT-OF-ORDER
+    delivery via per-affected-key incremental recompute (see
+    Scd2Merger). The oracle is the batch SCD-2 over the whole event
+    log: after the stream drains, the incrementally maintained
+    dimension must equal the from-scratch computation exactly — the
+    strongest possible check that late-arriving changes were spliced
+    into history correctly."""
+    import shutil
+
+    src = _events_json_dir(spark, sf_dir)
+    root = scratch_dir(sf_dir, "stream_scd2_versions")
+    ckpt = scratch_dir(sf_dir, "stream_scd2_ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    merger = Scd2Merger(root)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merger.merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("SCD-2 apply stream did not drain within 300s")
+    snap = spark.read.parquet(merger.latest_dir())
+    return snap.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+        "valid_from_epoch",
+        "valid_to_epoch",
+        "is_current",
+    )

@@ -465,3 +465,67 @@ def test_foreachbatch_merge_is_batching_invariant(spark, tmp_path, n_batches):
         for r in spark.read.parquet(m.latest_dir()).collect()
     }
     assert got == expected, (n_batches, got, expected)
+
+
+def test_scd2_apply_out_of_order_and_replay(spark, tmp_path):
+    """The streaming SCD-2 merger must splice a LATE batch (events
+    earlier than already-applied ones) into history correctly — the
+    final dimension must equal the from-scratch SCD-2 over all events —
+    and inherit the replay discipline (re-delivered batch is a no-op,
+    including through a fresh post-crash instance)."""
+    import datetime as dt
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        Scd2Merger,
+        _scd2_rows,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, ts timestamp",
+        )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    root = str(tmp_path / "scd2_versions")
+    mg = Scd2Merger(root)
+
+    # batch 0 delivers the LATER events; batch 1 delivers an EARLIER one
+    # for user 7 (late-arriving dimension change) plus a new user
+    b0 = mk([(3, 7, "click", 3.0, t0 + 2 * m), (5, 8, "view", 5.0, t0)])
+    b1 = mk([(1, 7, "signup", 1.0, t0), (6, 9, "view", 6.0, t0 + m)])
+    mg.merge(b0, 0)
+    mg.merge(b1, 1)
+
+    def snap(merger):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(merger.latest_dir())
+            .select("user_id", "event_id", "valid_from_epoch",
+                    "valid_to_epoch", "is_current")
+            .collect()
+        )
+
+    got = snap(mg)
+    truth = sorted(
+        tuple(r)
+        for r in _scd2_rows(b0.unionByName(b1))
+        .select("user_id", "event_id", "valid_from_epoch",
+                "valid_to_epoch", "is_current")
+        .collect()
+    )
+    assert got == truth
+    # the late event must have OPENED user 7's history: event 1 closed
+    # by event 3, event 3 current
+    by_eid = {t[1]: t for t in got if t[0] == 7}
+    assert by_eid[1][4] == 0 and by_eid[1][3] == by_eid[3][2]
+    assert by_eid[3][4] == 1
+
+    # replay on the live merger and through a fresh instance: no change
+    mg.merge(b1, 1)
+    assert snap(mg) == got
+    mg2 = Scd2Merger(root)
+    mg2.merge(b1, 1)
+    assert snap(mg2) == got
