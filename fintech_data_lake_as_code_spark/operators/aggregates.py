@@ -1103,3 +1103,83 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("purchase|signup").alias("event_type"), "n_users")
     )
     return per_type.unionByName(audience).orderBy("event_type")
+
+
+KANON_K = 50  # minimum group size for release
+
+_KANON_ORACLE = f"""
+WITH day_g AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH(date_trunc('day', ts))) AS BIGINT) AS day_e,
+         CAST(FLOOR(EPOCH(date_trunc('week', ts))) AS BIGINT) AS week_e,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
+), pass_day AS (
+  SELECT 'day' AS level, event_type, day_e AS period_epoch,
+         CAST(c AS BIGINT) AS n_rows
+  FROM day_g WHERE c >= {KANON_K}
+), week_g AS (
+  SELECT event_type, week_e, SUM(c) AS c
+  FROM day_g WHERE c < {KANON_K} GROUP BY 1, 2
+), pass_week AS (
+  SELECT 'week' AS level, event_type, week_e AS period_epoch,
+         CAST(c AS BIGINT) AS n_rows
+  FROM week_g WHERE c >= {KANON_K}
+), supp AS (
+  SELECT 'suppressed' AS level, '*' AS event_type,
+         CAST(0 AS BIGINT) AS period_epoch,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows
+  FROM week_g WHERE c < {KANON_K}
+)
+SELECT * FROM pass_day
+UNION ALL SELECT * FROM pass_week
+UNION ALL SELECT * FROM supp
+"""
+
+
+@query("agg_kanonymity", oracle=_KANON_ORACLE)
+def agg_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMOUS release with a generalization hierarchy: quasi-
+    identifier groups (event_type x day) publish only at size >=
+    {KANON_K}; under-k groups GENERALIZE up the time hierarchy to
+    (event_type x week), and what still misses k lands in one
+    suppressed remainder row — the privacy-preserving aggregate-release
+    discipline (k-anonymity, Sweeney 2002) that complements row-level
+    erasure (cdc_gdpr_erasure) and masking (text_redact_pii).
+
+    Scale shape: ONE scan partial-aggregates to (type, day) — the
+    generalization ladder then operates on group counts, never re-
+    touching rows (week counts are exact sums of their under-k day
+    counts); everything after the first groupBy is metadata-sized."""
+    ev = load(spark, sf_dir, "events")
+    day_g = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_e"),
+        F.unix_timestamp(F.date_trunc("week", "ts")).alias("week_e"),
+    ).agg(F.count("*").alias("c"))
+    pass_day = day_g.where(F.col("c") >= KANON_K).select(
+        F.lit("day").alias("level"),
+        "event_type",
+        F.col("day_e").alias("period_epoch"),
+        F.col("c").cast("bigint").alias("n_rows"),
+    )
+    week_g = (
+        day_g.where(F.col("c") < KANON_K)
+        .groupBy("event_type", "week_e")
+        .agg(F.sum("c").alias("c"))
+    )
+    pass_week = week_g.where(F.col("c") >= KANON_K).select(
+        F.lit("week").alias("level"),
+        "event_type",
+        F.col("week_e").alias("period_epoch"),
+        F.col("c").cast("bigint").alias("n_rows"),
+    )
+    supp = week_g.where(F.col("c") < KANON_K).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_rows")
+    ).select(
+        F.lit("suppressed").alias("level"),
+        F.lit("*").alias("event_type"),
+        F.lit(0).cast("bigint").alias("period_epoch"),
+        "n_rows",
+    )
+    return pass_day.unionByName(pass_week).unionByName(supp)

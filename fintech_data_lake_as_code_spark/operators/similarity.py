@@ -621,3 +621,102 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("v").cast("bigint").alias("n_dims"),
         (max_err * 10000 <= absmax * QUANT_ERR_BP).alias("within_bound"),
     )
+
+
+# --- multi-vector late interaction (MaxSim) ---------------------------------
+
+MAXSIM_SCALE = 10000  # per-term basis points; summed exactly as BIGINT
+
+_MAXSIM_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS x
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, x, sqrt(list_dot_product(x, x)) AS nx FROM v
+), term AS (
+  SELECT q.label AS q_label, d.label AS d_label, q.vec_id,
+         CAST(ROUND(MAX(list_dot_product(q.x, d.x) / (q.nx * d.nx))
+                    * {MAXSIM_SCALE}, 0) AS BIGINT) AS t
+  FROM n q JOIN n d ON q.label <> d.label
+  GROUP BY 1, 2, q.vec_id
+)
+SELECT q_label, d_label,
+       CAST(SUM(t) AS BIGINT) AS maxsim_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM term GROUP BY q_label, d_label
+"""
+
+
+@query("sim_maxsim_multivector", oracle=_MAXSIM_ORACLE)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR late-interaction scoring (the ColBERT MaxSim family):
+    each label plays a multi-vector document (its member embeddings are
+    the token vectors), and doc-pair relevance = sum over query vectors
+    of the MAX cosine against any document vector. This is the scoring
+    shape of modern late-interaction retrievers, which single-vector
+    top-k (`sim_topk_*`) cannot express. Per-term maxes are scaled to
+    integer basis points BEFORE summing, so the reduce is an exact
+    BIGINT sum — no float reduction-order hazard across engines.
+
+    Scale shape: the label-pair relation is built DRIVER-SIDE from the
+    collected distinct labels (bounded metadata, the same pattern as
+    the IVF centroid seeds) and broadcast, so vector pairing is a chain
+    of equi-joins — no inequality/nested-loop join anywhere. At 100 TB
+    the pair relation comes from a candidate generator (the ANN paths
+    here) instead of all label pairs; the MaxSim verify stage is
+    unchanged."""
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("x")
+    )
+    norms = vecs.withColumn(
+        "nx",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("x"), F.col("x"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
+        ),
+    )
+    labels = sorted(
+        r.label for r in vecs.select("label").distinct().collect()
+    )
+    pairs = F.broadcast(
+        vecs.sparkSession.createDataFrame(
+            [(a, b) for a in labels for b in labels if a != b],
+            "q_label long, d_label long",
+        )
+    )
+    q = norms.select(
+        F.col("label").alias("q_label"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("x").alias("qx"),
+        F.col("nx").alias("qn"),
+    )
+    d = norms.select(
+        F.col("label").alias("d_label"),
+        F.col("x").alias("dx"),
+        F.col("nx").alias("dn"),
+    )
+    cos = (
+        F.aggregate(
+            F.zip_with(F.col("qx"), F.col("dx"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        / (F.col("qn") * F.col("dn"))
+    )
+    term = (
+        q.join(pairs, "q_label")
+        .join(d, "d_label")
+        .groupBy("q_label", "d_label", "q_vec")
+        .agg(
+            F.round(F.max(cos) * MAXSIM_SCALE, 0)
+            .cast("bigint")
+            .alias("t")
+        )
+    )
+    return term.groupBy("q_label", "d_label").agg(
+        F.sum("t").cast("bigint").alias("maxsim_bp"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    )
