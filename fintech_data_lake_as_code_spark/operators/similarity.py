@@ -637,7 +637,7 @@ WITH v AS (
   SELECT q.label AS q_label, d.label AS d_label, q.vec_id,
          CAST(ROUND(MAX(list_dot_product(q.x, d.x) / (q.nx * d.nx))
                     * {MAXSIM_SCALE}, 0) AS BIGINT) AS t
-  FROM n q JOIN n d ON q.label <> d.label
+  FROM n q JOIN n d ON q.label % 2 = 0 AND d.label % 2 = 1
   GROUP BY 1, 2, q.vec_id
 )
 SELECT q_label, d_label,
@@ -651,7 +651,8 @@ FROM term GROUP BY q_label, d_label
 def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-VECTOR late-interaction scoring (the ColBERT MaxSim family):
     each label plays a multi-vector document (its member embeddings are
-    the token vectors), and doc-pair relevance = sum over query vectors
+    the token vectors); even labels form the QUERY workload, odd labels
+    the candidate CORPUS, and pair relevance = sum over query vectors
     of the MAX cosine against any document vector. This is the scoring
     shape of modern late-interaction retrievers, which single-vector
     top-k (`sim_topk_*`) cannot express. Per-term maxes are scaled to
@@ -681,9 +682,17 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = sorted(
         r.label for r in vecs.select("label").distinct().collect()
     )
+    # query side = even labels, corpus side = odd labels (the retrieval
+    # split: a bounded query workload scored against candidate docs)
     pairs = F.broadcast(
         vecs.sparkSession.createDataFrame(
-            [(a, b) for a in labels for b in labels if a != b],
+            [
+                (a, b)
+                for a in labels
+                if a % 2 == 0
+                for b in labels
+                if b % 2 == 1
+            ],
             "q_label long, d_label long",
         )
     )
