@@ -754,3 +754,86 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "profile_cents",
         )
     )
+
+
+SPATIAL_R2 = 25  # radius^2: pairs within distance 5 on the integer plane
+SPATIAL_CELL = 5  # grid cell edge = radius, so candidates live in 9 cells
+
+_SPATIAL_ORACLE = f"""
+WITH pts AS (
+  SELECT DISTINCT user_id,
+         user_id % 37 AS x,
+         (user_id * 7) % 41 AS y
+  FROM events
+)
+SELECT a.user_id AS id_a, b.user_id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a JOIN pts b ON a.user_id < b.user_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SPATIAL_R2}
+"""
+
+
+@query("join_spatial_grid", oracle=_SPATIAL_ORACLE)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL radius self-join via grid-cell blocking (the geohash /
+    uber-H3 candidate-generation shape): every entity gets a
+    deterministic integer point, and close pairs (squared distance <=
+    {SPATIAL_R2}) are found by hashing points into radius-sized grid
+    cells, exploding ONE side into its 3x3 cell neighborhood, and
+    equi-joining on cell id — the exact-distance verify then runs only
+    on co-located candidates. All-integer arithmetic end to end.
+
+    Scale shape: the naive formulation (and the oracle) is an all-pairs
+    quadratic self-join; grid blocking reduces candidates to points
+    sharing a neighborhood cell — linear in points for bounded density,
+    the same bucket-then-verify discipline as every dedup/LSH operator
+    here. The neighborhood explode is on the smaller probe side and is
+    a fixed 9x fan-out; dedupe is by id ordering inside one cell pairing
+    (each true pair is emitted once because cell(b) is unique and only
+    a's neighborhood covers it)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (F.col("user_id") % 37).alias("x"),
+        ((F.col("user_id") * 7) % 41).alias("y"),
+    ).distinct()
+    cell = lambda c: F.expr(f"{c} div {SPATIAL_CELL}")  # noqa: E731
+    # b side sits in its home cell; a side probes its 9-cell neighborhood
+    b = pts.select(
+        F.col("user_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+    )
+    offs = F.expr(
+        "explode(array(-1, 0, 1))"
+    )
+    a = (
+        pts.select(
+            F.col("user_id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            cell("x").alias("cxa"),
+            cell("y").alias("cya"),
+        )
+        .withColumn("dx", offs)
+        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            "id_a",
+            "xa",
+            "ya",
+            (F.col("cxa") + F.col("dx")).alias("cx"),
+            (F.col("cya") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(d2 <= SPATIAL_R2)
+        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+    )
