@@ -737,3 +737,66 @@ def win_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("interp_cents"),
         )
     )
+
+
+_MATCH_ORACLE = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'v[cse]*p')) AS BIGINT)
+         AS n_funnels,
+       CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+         AS n_error_bursts
+FROM seqs
+"""
+
+
+@query("win_match_recognize", oracle=_MATCH_ORACLE)
+def win_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PATTERN MATCHING over ordered event streams — the
+    MATCH_RECOGNIZE / funnel-regex surface (each user's history becomes
+    a string of event-type initials; patterns are regexes over it):
+    `v[cse]*p` counts view-to-purchase funnels with no intervening
+    purchase, `ee+` counts error bursts. Non-overlapping leftmost
+    matching in both engines, so counts are exact.
+
+    Scale shape: ONE groupBy(user) builds each sequence —
+    sort_array(collect_list(struct(ts, event_id, initial))) makes the
+    concatenation order deterministic regardless of partitioning (a
+    bare collect_list is arrival-ordered and would be flaky); the regex
+    then runs once per USER, not per event. Per-user history strings
+    are bounded by retention in a real lake; at 100 TB the same shape
+    runs per (user, day) to cap state."""
+    ev = load(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("ini"),
+                        )
+                    )
+                ),
+                lambda s: s.ini,
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.size(F.expr("regexp_extract_all(seq, 'v[cse]*p', 0)"))
+        .cast("bigint")
+        .alias("n_funnels"),
+        F.size(F.expr("regexp_extract_all(seq, 'ee+', 0)"))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+    )
