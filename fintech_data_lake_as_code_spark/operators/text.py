@@ -1267,3 +1267,130 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, gram); the per-doc reduce regroups on the doc_id prefix of
     the same key. All-integer arithmetic end to end."""
     return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+# --- BPE tokenizer-merge induction ------------------------------------------
+
+BPE_VOCAB = 200  # train on the top-N word-frequency table (standard BPE)
+BPE_MERGES = 3  # learned merge rules emitted
+
+
+def _bpe_round_ctes(r: int) -> str:
+    prev = f"seg{r - 1}"
+    return f"""
+, p{r} AS (
+  SELECT s.sa, s.sb, SUM(s.cnt) AS w FROM (
+    SELECT syms[i] AS sa, syms[i + 1] AS sb, cnt
+    FROM (
+      SELECT cnt, string_split(trim(seg), ' ') AS syms,
+             unnest(generate_series(1, len(string_split(trim(seg), ' ')) - 1)) AS i
+      FROM {prev}
+    )
+  ) s GROUP BY s.sa, s.sb
+), t{r} AS (
+  SELECT sa, sb, w FROM p{r} ORDER BY w DESC, sa, sb LIMIT 1
+), seg{r} AS (
+  SELECT word, cnt,
+         replace(seg,
+                 ' ' || (SELECT sa FROM t{r}) || ' ' || (SELECT sb FROM t{r}) || ' ',
+                 ' ' || (SELECT sa FROM t{r}) || (SELECT sb FROM t{r}) || ' ') AS seg
+  FROM {prev}
+)"""
+
+
+_BPE_ORACLE = (
+    f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+  ORDER BY cnt DESC, word LIMIT {BPE_VOCAB}
+), seg0 AS (
+  SELECT word, cnt,
+         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seg
+  FROM words
+)"""
+    + "".join(_bpe_round_ctes(r) for r in range(1, BPE_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, sa, sb, sa || sb AS merged,"
+        f" CAST(w AS BIGINT) AS pair_weight FROM t{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+)
+
+
+@query("text_bpe_train", oracle=_BPE_ORACLE)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER-MERGE INDUCTION (Sennrich et al. 2016 — the training
+    step behind every GPT/Llama tokenizer): starting from characters,
+    repeatedly count adjacent symbol pairs over the word-frequency
+    table and merge the most frequent pair, emitting the learned merge
+    rules with their weights. Greedy left-to-right merge semantics are
+    encoded as a delimited-string replace (' a b ' -> ' ab '), which
+    both engines scan identically, and ties break lexicographically so
+    the rule sequence is a pure function of the corpus.
+
+    Scale shape: BPE trains on the WORD-FREQUENCY table, not the
+    corpus — one corpus scan builds the weighted vocab ({BPE_VOCAB}
+    rows here; bounded in production by frequency truncation), and each
+    merge round is a pair-count aggregate over that table plus a
+    driver-side top-1 (bounded metadata, the IVF-seed pattern). Corpus
+    size only affects the initial scan; rounds cost O(vocab)."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(BPE_VOCAB)
+    )
+    seg = words.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+        ).alias("seg"),
+    ).cache()
+    merges = []
+    for r in range(1, BPE_MERGES + 1):
+        pairs = (
+            seg.select(
+                "cnt", F.split(F.trim("seg"), " ").alias("syms")
+            )
+            .select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(syms, 1, size(syms) - 1)"),
+                        F.expr("slice(syms, 2, size(syms) - 1)"),
+                    )
+                ).alias("pr"),
+            )
+            .select(
+                F.col("pr").getField("0").alias("sa"),
+                F.col("pr").getField("1").alias("sb"),
+                "cnt",
+            )
+            .groupBy("sa", "sb")
+            .agg(F.sum("cnt").alias("w"))
+        )
+        top = pairs.orderBy(F.desc("w"), "sa", "sb").limit(1).collect()[0]
+        merges.append((r, top.sa, top.sb, top.sa + top.sb, int(top.w)))
+        old = f" {top.sa} {top.sb} "
+        new = f" {top.sa}{top.sb} "
+        seg = seg.select(
+            "word",
+            "cnt",
+            F.expr(
+                "replace(seg, '{}', '{}')".format(
+                    old.replace("'", "''"), new.replace("'", "''")
+                )
+            ).alias("seg"),
+        ).cache()
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, sa string, sb string, merged string,"
+        " pair_weight bigint",
+    )
