@@ -1183,3 +1183,75 @@ def agg_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return pass_day.unionByName(pass_week).unionByName(supp)
+
+
+_OLS_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+          - CAST(FLOOR(EPOCH(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT))
+           // 3600 AS x,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       CAST((10000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+         AS slope_bp_per_hour,
+       CAST((sy - (((10000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx))
+                   * sx) // 10000) // n AS BIGINT) AS intercept_cents
+FROM s
+"""
+
+
+@query("agg_regression_ols", oracle=_OLS_ORACLE)
+def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per group (the SQL REGR_SLOPE / REGR_INTERCEPT
+    surface): spend-vs-time trend per event type from the five
+    classical sums, evaluated in INTEGER moments — x in hours since the
+    corpus epoch, y in cents, slope in basis points via truncating
+    integer division (Spark `div` and DuckDB BIGINT `//` truncate
+    identically, negative trends included) — so the fit is bit-identical
+    across engines (float
+    regr_* aggregates are reduction-order-sensitive; integer sums are
+    associative). Operand bounds keep every product under 2^62.
+
+    Scale shape: ONE scan, one partial-agg groupBy computing all five
+    sums together; the fit itself is per-group scalar arithmetic. This
+    is how a 100 TB trend fit actually runs — sufficient statistics
+    map-side, closed form at the end — not gradient descent."""
+    ev = load(spark, sf_dir, "events")
+    epoch0 = F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    pts = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_timestamp(ts) - unix_timestamp("
+            "timestamp '2024-01-01 00:00:00')) div 3600"
+        ).alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # On BIGINT operands Spark's `div` and DuckDB's `//` both truncate
+    # toward zero — including negative numerators (a downward trend) —
+    # so the identical expression text is exact in both engines. (The
+    # oracle must cast FLOOR(EPOCH(..)) to BIGINT before dividing:
+    # DuckDB's `//` on DOUBLEs does NOT floor, and a later CAST rounds.)
+    slope_sql = "(10000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+    intercept_sql = f"(sy - (({slope_sql}) * sx) div 10000) div n"
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.expr(slope_sql).cast("bigint").alias("slope_bp_per_hour"),
+        F.expr(intercept_sql).cast("bigint").alias("intercept_cents"),
+    )

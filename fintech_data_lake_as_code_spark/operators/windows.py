@@ -800,3 +800,73 @@ def win_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_error_bursts"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH flows AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN -CAST(ROUND(value * 100, 0) AS BIGINT)
+              ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END AS flow
+  FROM events
+), running AS (
+  SELECT user_id, ts, event_id,
+         SUM(flow) OVER w AS balance
+  FROM flows
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), bal AS (
+  SELECT user_id, balance,
+         MAX(balance) OVER w AS peak
+  FROM running
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       CAST(MAX(peak) AS BIGINT) AS peak_cents,
+       CAST(MAX(peak - balance) AS BIGINT) AS max_drawdown_cents
+FROM bal GROUP BY user_id
+"""
+
+
+@query("win_drawdown", oracle=_DRAWDOWN_ORACLE)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per account — the canonical fintech risk metric
+    (largest peak-to-trough drop of the running balance, purchases as
+    outflows): a running integer-cents balance, its running peak, and
+    the max gap, all exact by integer arithmetic.
+
+    Scale shape: one user_id shuffle serves both chained window stages
+    (running sum, then running max over it — same partitioning and sort,
+    so no second exchange or sort) and the final groupBy. The
+    sequential-looking metric is windowable because peak is itself a
+    running aggregate — no iteration, no UDF."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    flow = F.when(
+        F.col("event_type") == "purchase", -cents
+    ).otherwise(cents)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = ev.select(
+        "user_id", "ts", "event_id", flow.alias("flow")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("flow").over(w).alias("balance"),
+    )
+    bal = running.select(
+        "user_id",
+        "balance",
+        F.max("balance").over(w).alias("peak"),
+    )
+    return bal.groupBy("user_id").agg(
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("balance"))
+        .cast("bigint")
+        .alias("max_drawdown_cents"),
+    )
