@@ -530,3 +530,100 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _LATERAL_SQL.format(customer="customer_v", orders="orders_v")
     )
+
+
+# --- write-audit-publish ----------------------------------------------------
+
+WAP_CAP_CENTS = 30000  # strict audit: no staged row may exceed 300.00
+
+_WAP_ORACLE = f"""
+WITH staged AS (
+  SELECT event_id, user_id, value FROM events WHERE event_id % 3 = 0
+), audit AS (
+  SELECT 'value_positive' AS rule,
+         SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_viol
+  FROM staged
+  UNION ALL
+  SELECT 'value_cap_300',
+         SUM(CASE WHEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                  > {WAP_CAP_CENTS} THEN 1 ELSE 0 END)
+  FROM staged
+)
+SELECT a.rule,
+       CAST((SELECT COUNT(*) FROM staged) AS BIGINT) AS n_staged,
+       CAST(a.n_viol AS BIGINT) AS n_violations,
+       a.n_viol = 0 AS published,
+       CAST(CASE WHEN a.n_viol = 0
+                 THEN (SELECT COUNT(*) FROM staged) ELSE 0 END AS BIGINT)
+         AS n_published,
+       CAST(CASE WHEN a.n_viol = 0
+                 THEN 0 ELSE (SELECT COUNT(*) FROM staged) END AS BIGINT)
+         AS n_quarantined
+FROM audit a
+ORDER BY rule
+"""
+
+
+@query("sink_write_audit_publish", oracle=_WAP_ORACLE)
+def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (the Iceberg/lakehouse governance flow): a
+    batch lands in a STAGING area, data-quality audits run against the
+    staged files — never the live table — and only a fully-green audit
+    promotes the batch to the published location; a red audit routes it
+    to quarantine instead. Two audits run here: a positivity rule that
+    passes (batch publishes) and a strict cap rule that fails (the same
+    batch quarantines), so BOTH promotion paths execute with real
+    writes, and the emitted counts are READ BACK from the promoted
+    directories — the manifest certifies effects on disk, not
+    intentions.
+
+    Scale shape: the audit is one conditional-aggregate scan of the
+    staged files (dq_expectations' shape); promotion is a metadata-cheap
+    directory publish in a real table format — modeled here as a
+    rewrite because plain parquet has no atomic rename, which is
+    exactly the gap WAP + table formats close at 100 TB."""
+    import shutil
+
+    staged_dir = scratch_dir(sf_dir, "wap_staging")
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    ev.select("event_id", "user_id", "value").write.mode(
+        "overwrite"
+    ).parquet(staged_dir)
+    staged = spark.read.parquet(staged_dir)
+
+    rules = [
+        ("value_positive", F.col("value") <= 0),
+        (
+            "value_cap_300",
+            F.round(F.col("value") * 100, 0).cast("bigint")
+            > WAP_CAP_CENTS,
+        ),
+    ]
+    rows = []
+    for rule, viol in rules:
+        stats = staged.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(viol, 1).otherwise(0)).alias("v"),
+        ).collect()[0]
+        ok = int(stats.v) == 0
+        target = scratch_dir(
+            sf_dir, f"wap_{'published' if ok else 'quarantine'}_{rule}"
+        )
+        shutil.rmtree(target, ignore_errors=True)
+        staged.write.mode("overwrite").parquet(target)
+        n_target = spark.read.parquet(target).count()
+        rows.append(
+            (
+                rule,
+                int(stats.n),
+                int(stats.v),
+                ok,
+                n_target if ok else 0,
+                0 if ok else n_target,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "rule string, n_staged bigint, n_violations bigint,"
+        " published boolean, n_published bigint, n_quarantined bigint",
+    )
