@@ -1255,3 +1255,52 @@ def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(slope_sql).cast("bigint").alias("slope_bp_per_hour"),
         F.expr(intercept_sql).cast("bigint").alias("intercept_cents"),
     )
+
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(ROUND(value, 0) AS BIGINT) AS dollar,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, dollar, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, dollar) AS rn
+  FROM counts
+)
+SELECT event_type,
+       CAST(dollar AS BIGINT) AS mode_dollar,
+       CAST(c AS BIGINT) AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("agg_mode_exact", oracle=_MODE_ORACLE)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact statistical MODE per group with a deterministic tiebreak
+    (highest count, then smallest value) — the named aggregate SQL
+    dialects ship as `mode()`, computed here from first principles
+    because a nondeterministic tie pick can't be oracle-graded.
+
+    Scale shape: count-then-rank — one partial-agg groupBy over
+    (group, value) collapses the data to distinct-value counts, and the
+    rank runs over that collapsed relation (vocabulary-sized, not
+    row-sized); mode never needs the raw rows twice."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.round("value", 0).cast("bigint").alias("dollar"),
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), "dollar")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("dollar").cast("bigint").alias("mode_dollar"),
+            F.col("c").cast("bigint").alias("mode_count"),
+        )
+    )
