@@ -1304,3 +1304,65 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("bigint").alias("mode_count"),
         )
     )
+
+
+_GINI_ORACLE = """
+WITH totals AS (
+  SELECT event_type, user_id,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS t
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, t,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY t, user_id) AS r
+  FROM totals
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(t) AS st, SUM(r * t) AS s1
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(st AS BIGINT) AS total_cents,
+       CAST((10000 * (2 * s1 - (n + 1) * st)) // (n * st) AS BIGINT)
+         AS gini_bp
+FROM s
+"""
+
+
+@query("agg_gini", oracle=_GINI_ORACLE)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of spend concentration per event type (the
+    inequality metric risk and marketplace teams track), from the
+    rank-sum identity G = (2*sum(i*y_i) - (n+1)*sum(y)) / (n*sum(y))
+    over ascending per-user totals — evaluated in INTEGER cents and
+    basis points, so it is exact and engine-identical (ties contribute
+    v * sum-of-tied-ranks, which is order-invariant, so the tiebreak
+    only pins the plan, not the value).
+
+    Scale shape: one partial-agg groupBy to per-user totals, one
+    window rank over the collapsed (users-sized) relation, one final
+    reduce — the sufficient-statistics discipline again; raw events
+    are scanned once."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("bigint")
+        ).alias("t")
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "user_id")
+    ranked = totals.withColumn("r", F.row_number().over(w))
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("r") * F.col("t")).alias("s1"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("st").cast("bigint").alias("total_cents"),
+        F.expr("(10000 * (2 * s1 - (n + 1) * st)) div (n * st)")
+        .cast("bigint")
+        .alias("gini_bp"),
+    )

@@ -837,3 +837,81 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(d2 <= SPATIAL_R2)
         .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
     )
+
+
+FUZZY_LEX = 50  # lexicon size: the top-N corpus words
+FUZZY_MAXDIST = 1
+
+_FUZZY_ORACLE = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+), lex AS (
+  SELECT word FROM words ORDER BY cnt DESC, word LIMIT {FUZZY_LEX}
+), probes AS (
+  -- deterministic typos: drop the second character of every lexicon
+  -- word longer than 2 chars
+  SELECT word AS orig,
+         substr(word, 1, 1) || substr(word, 3) AS probe
+  FROM lex WHERE len(word) > 2
+)
+SELECT p.probe, l.word AS matched,
+       CAST(levenshtein(p.probe, l.word) AS BIGINT) AS dist
+FROM probes p JOIN lex l
+  ON substr(p.probe, 1, 1) = substr(l.word, 1, 1)
+ AND abs(len(p.probe) - len(l.word)) <= {FUZZY_MAXDIST}
+WHERE levenshtein(p.probe, l.word) <= {FUZZY_MAXDIST}
+"""
+
+
+@query("join_fuzzy_edit_distance", oracle=_FUZZY_ORACLE)
+def join_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED FUZZY JOIN (entity resolution / spell-correction shape):
+    deterministically typo'd probes (second character dropped) match
+    lexicon entries within Levenshtein distance {FUZZY_MAXDIST},
+    candidates generated by FIRST-CHARACTER blocking plus a length
+    band — the edit-distance verify runs only on blocked candidates,
+    never all pairs (a deletion typo preserves the first character
+    whenever the edit isn't at position 1, and the length band is
+    implied by the distance bound; recall limits of the blocking key
+    are the standard trade documented in every ER system).
+
+    Scale shape: candidate generation is an equi-join on the blocking
+    key (first char; production uses phonetic keys or q-gram buckets —
+    same plan), and the lexicon side broadcasts; levenshtein is a
+    codegen expression. At 100 TB the probe side streams map-side
+    through the broadcast lexicon — zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    lex = (
+        words.orderBy(F.desc("cnt"), "word")
+        .limit(FUZZY_LEX)
+        .select("word")
+    )
+    probes = lex.where(F.length("word") > 2).select(
+        F.col("word").alias("orig"),
+        F.concat(
+            F.substring("word", 1, 1), F.expr("substr(word, 3)")
+        ).alias("probe"),
+    )
+    l_ = F.broadcast(lex.select(F.col("word")))
+    cond = (
+        F.substring(F.col("probe"), 1, 1) == F.substring(F.col("word"), 1, 1)
+    ) & (
+        F.abs(F.length("probe") - F.length("word")) <= FUZZY_MAXDIST
+    )
+    return (
+        probes.join(l_, cond)
+        .where(F.levenshtein("probe", "word") <= FUZZY_MAXDIST)
+        .select(
+            "probe",
+            F.col("word").alias("matched"),
+            F.levenshtein("probe", "word").cast("bigint").alias("dist"),
+        )
+    )
