@@ -870,3 +870,52 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_drawdown_cents"),
     )
+
+
+_TRANSITION_ORACLE = """
+WITH pairs AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), counts AS (
+  SELECT cur, nxt, COUNT(*) AS c
+  FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt
+), row_totals AS (
+  SELECT cur, SUM(c) AS total FROM counts GROUP BY cur
+)
+SELECT c.cur, c.nxt,
+       CAST(c.c AS BIGINT) AS n_transitions,
+       CAST((10000 * c.c) // t.total AS BIGINT) AS prob_bp
+FROM counts c JOIN row_totals t ON c.cur = t.cur
+"""
+
+
+@query("win_transition_matrix", oracle=_TRANSITION_ORACLE)
+def win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV TRANSITION MATRIX of the user journey: for
+    every ordered (current, next) event-type pair, the transition count
+    and its row-conditional probability in integer basis points — the
+    user-flow model behind journey analytics, churn prediction
+    features, and next-action baselines.
+
+    Scale shape: consecutive pairs come from ONE lead() pass over the
+    per-user sort (the same single-shuffle shape as win_lag_lead); the
+    transition matrix itself is |event_types|^2-sized — the classic
+    collapse from row-scale to model-scale in one partial-agg groupBy.
+    Probabilities divide integers (10000*c // total), exact in both
+    engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("cur").agg(F.sum("c").alias("total"))
+    return counts.join(totals, "cur").select(
+        "cur",
+        "nxt",
+        F.col("c").cast("bigint").alias("n_transitions"),
+        F.expr("(10000 * c) div total").cast("bigint").alias("prob_bp"),
+    )
