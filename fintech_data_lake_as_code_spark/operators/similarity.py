@@ -729,3 +729,74 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("bigint").alias("maxsim_bp"),
         F.count("*").cast("bigint").alias("n_terms"),
     )
+
+
+# --- contrastive negative sampling ------------------------------------------
+
+NEG_PER_ANCHOR = 3  # candidate draws per anchor (pre-filter)
+NEG_LCG_A = 1103515245
+NEG_LCG_C = 12345
+
+_NEG_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+cand AS (
+  SELECT e.vec_id AS anchor_id, e.label AS anchor_label,
+         CAST((e.vec_id * {NEG_LCG_A} + j * {NEG_LCG_C})
+              % (SELECT n FROM n) AS BIGINT) AS neg_id,
+         j AS draw
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+)
+SELECT c.anchor_id, c.neg_id, c.draw,
+       c.anchor_label, g.label AS neg_label
+FROM cand c JOIN embeddings g ON g.vec_id = c.neg_id
+WHERE g.label <> c.anchor_label AND c.neg_id <> c.anchor_id
+"""
+
+
+@query("sample_negative_pairs", oracle=_NEG_ORACLE)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE NEGATIVE MINING: every anchor draws {NEG_PER_ANCHOR}
+    pseudo-random candidates via a portable LCG over the id space, and
+    candidates sharing the anchor's label (or the anchor itself) are
+    rejected — the negative-pair generator behind contrastive /
+    triplet-loss training data (SimCLR/CLIP-style), bit-reproducible
+    across engines and runs because the draw is pure id arithmetic,
+    never engine RNG.
+
+    Scale shape: candidate generation is MAP-SIDE arithmetic (a small
+    literal explode per anchor — no shuffle to draw); the label lookup
+    is one equi-join on the candidate id. Rejection sampling emits a
+    variable count per anchor; production tops up with more draws —
+    the over-draw factor is a constant, so cost stays linear in
+    anchors. The corpus row count rides in as bounded driver-side
+    metadata (the IVF-seed pattern)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = e.count()
+    draws = e.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.explode(F.array(*[F.lit(j) for j in range(1, NEG_PER_ANCHOR + 1)])).alias(
+            "draw"
+        ),
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "draw",
+        (
+            (F.col("anchor_id") * NEG_LCG_A + F.col("draw") * NEG_LCG_C) % n
+        )
+        .cast("bigint")
+        .alias("neg_id"),
+    )
+    g = e.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        draws.join(g, "neg_id")
+        .where(
+            (F.col("neg_label") != F.col("anchor_label"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .select("anchor_id", "neg_id", "draw", "anchor_label", "neg_label")
+    )
