@@ -1394,3 +1394,79 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round int, sa string, sb string, merged string,"
         " pair_weight bigint",
     )
+
+
+_ZIPF_ORACLE = """
+WITH vocab AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+), ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rnk
+  FROM vocab
+), pts AS (
+  SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+         CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+  FROM ranked
+), s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+         (SELECT SUM(freq) FROM vocab) AS tok
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       CAST(tok AS BIGINT) AS n_tokens,
+       CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+         AS zipf_slope_milli
+FROM s
+"""
+
+
+@query("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF'S-LAW FIT of the corpus vocabulary: the slope of log-rank vs
+    log-frequency (natural text sits near -1; a badly skewed or
+    template-heavy corpus drifts away — a cheap corpus-health check
+    next to text_quality/profile_columns). Logs are INTEGER bit-lengths
+    (floor(log2) = length(bin(x)) - 1, identical in both engines) and
+    the fit is the closed-form OLS on those integer moments with
+    truncating division — so a statistic that is normally float-fuzzy
+    grades bit-exact.
+
+    Scale shape: one corpus scan to the vocabulary (Heaps'-law sized),
+    one global rank over it, one reduce to the five sufficient
+    statistics — the same sufficient-statistics discipline as
+    agg_regression_ols. The global window is safe BECAUSE it runs on
+    the collapsed vocab, never the corpus."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "word")
+    pts = vocab.select(
+        "freq", F.row_number().over(w).alias("rnk")
+    ).select(
+        (F.length(F.bin("rnk")) - 1).cast("bigint").alias("x"),
+        (F.length(F.bin("freq")) - 1).cast("bigint").alias("y"),
+    )
+    tok = vocab.agg(F.sum("freq").alias("tok"))
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.crossJoin(tok).select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        F.col("tok").cast("bigint").alias("n_tokens"),
+        F.expr("(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+        .cast("bigint")
+        .alias("zipf_slope_milli"),
+    )

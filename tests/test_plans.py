@@ -112,6 +112,8 @@ _NESTED_LOOP_OK = {
     "sim_topk_ivf_kmeans",
     # same contract shape: 1x1-row truth-count x hit-count combine
     "dedup_semantic_cluster",
+    # 1x1-row sufficient-statistics x token-total combine
+    "text_zipf_fit",
     "join_cross_topk",
     # theta join against a 3-row broadcast band table: NLJ IS the plan
     "join_theta_range",
