@@ -919,3 +919,63 @@ def win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("n_transitions"),
         F.expr("(10000 * c) div total").cast("bigint").alias("prob_bp"),
     )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS last_seen,
+         COUNT(*) AS frequency,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS monetary_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(NTILE(5) OVER (ORDER BY last_seen, user_id) AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+         AS m_score,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary_cents AS BIGINT) AS monetary_cents
+FROM base
+"""
+
+
+@query("win_rfm_score", oracle=_RFM_ORACLE)
+def win_rfm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary — the classic
+    customer-value scoring marketing and risk teams run): per-user
+    aggregates quintile-binned with ntile, user_id tiebreaks making
+    every bin assignment deterministic (an un-tiebroken ntile is
+    ungradable — ties straddle bin boundaries arbitrarily).
+
+    Scale shape: one partial-agg groupBy collapses events to one row
+    per user; the three ntile windows then run over the USERS-sized
+    relation. The global sort per score is the textbook quantile-
+    binning cost — at 100 TB you swap ntile for approx-percentile cut
+    points (agg_approx_percentile) and a map-side bin lookup, same
+    output contract."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("last_seen"),
+        F.count("*").alias("frequency"),
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("bigint")
+        ).alias("monetary_cents"),
+    )
+    return base.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy("last_seen", "user_id"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .cast("bigint")
+        .alias("m_score"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary_cents").cast("bigint").alias("monetary_cents"),
+    )
