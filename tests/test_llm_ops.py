@@ -429,3 +429,108 @@ def test_semantic_cluster_dedup_recall(spark, sf_dir):
     row = SPECS["dedup_semantic_cluster"].fn(spark, sf_dir).collect()[0]
     assert row.recall_ok
     assert row.n_true_pairs == len(truth)
+
+
+def test_drawdown_known_sequence(spark):
+    # hand-computed: flows +100, +50, -120 (purchase), +30, -80 ->
+    # balance 100,150,30,60,-20; peak 100,150,150,150,150;
+    # max drawdown = 150 - (-20) = 170
+    import datetime as dt
+
+    from fintech_data_lake_as_code_spark.operators.windows import (
+        win_drawdown,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 9, "view", 1.00, t0),
+        (2, 9, "click", 0.50, t0 + m),
+        (3, 9, "purchase", 1.20, t0 + 2 * m),
+        (4, 9, "signup", 0.30, t0 + 3 * m),
+        (5, 9, "purchase", 0.80, t0 + 4 * m),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string,"
+        " value double, ts timestamp",
+    )
+    import fintech_data_lake_as_code_spark.operators.windows as W
+
+    orig = W.load
+    W.load = lambda s, d, t: df
+    try:
+        out = {r.user_id: r for r in win_drawdown(spark, "ignored").collect()}
+    finally:
+        W.load = orig
+    assert out[9].peak_cents == 150
+    assert out[9].max_drawdown_cents == 170
+
+
+def test_fuzzy_join_probe_always_matches_origin(spark, sf_dir):
+    # every probe is its origin word minus one char, so (probe, origin)
+    # must appear in the result at distance exactly 1 — recall of the
+    # first-char blocking on deletion-at-position>=2 typos is total
+    from fintech_data_lake_as_code_spark.operators.joins import (
+        join_fuzzy_edit_distance,
+    )
+
+    got = {
+        (r.probe, r.matched): r.dist
+        for r in join_fuzzy_edit_distance(spark, sf_dir).collect()
+    }
+    origins = {}
+    for (probe, matched), dist in got.items():
+        assert dist <= 1
+        if dist == 1 and len(matched) == len(probe) + 1:
+            origins.setdefault(probe, []).append(matched)
+    # at least one deletion-typo match exists per probe that matched
+    assert origins, "no deletion matches found at all"
+
+
+def test_kanonymity_never_releases_under_k(spark, sf_dir):
+    from fintech_data_lake_as_code_spark.operators.aggregates import (
+        KANON_K,
+        agg_kanonymity,
+    )
+
+    rows = agg_kanonymity(spark, sf_dir).collect()
+    released = [r for r in rows if r.level in ("day", "week")]
+    supp = [r for r in rows if r.level == "suppressed"]
+    for r in released:
+        assert r.n_rows >= KANON_K, r
+    assert len(supp) == 1
+    # conservation: released + suppressed == total events
+    from fintech_data_lake_as_code_spark.io import load
+
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+
+
+def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    # each current-state row's probabilities must cover ~10000 bp
+    # (floor division loses at most (n_next_states - 1) bp per row)
+    from collections import defaultdict
+
+    from fintech_data_lake_as_code_spark.operators.windows import (
+        win_transition_matrix,
+    )
+
+    rows = win_transition_matrix(spark, sf_dir).collect()
+    by_cur = defaultdict(list)
+    for r in rows:
+        by_cur[r.cur].append(r.prob_bp)
+    for cur, probs in by_cur.items():
+        assert 10000 - len(probs) < sum(probs) <= 10000, (cur, probs)
+
+
+def test_negative_pairs_never_share_label(spark, sf_dir):
+    from fintech_data_lake_as_code_spark.operators.similarity import (
+        sample_negative_pairs,
+    )
+
+    rows = sample_negative_pairs(spark, sf_dir).collect()
+    assert rows, "no negative pairs generated"
+    for r in rows:
+        assert r.anchor_label != r.neg_label
+        assert r.anchor_id != r.neg_id
