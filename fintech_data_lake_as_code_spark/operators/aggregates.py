@@ -1366,3 +1366,123 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_bp"),
     )
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS d
+  FROM events
+  WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0
+)
+SELECT d AS first_digit,
+       CAST(COUNT(*) AS BIGINT) AS n_amounts,
+       CAST((10000 * COUNT(*)) // (SELECT COUNT(*) FROM digits) AS BIGINT)
+         AS share_bp
+FROM digits GROUP BY d
+"""
+
+
+@query("agg_benford_digits", oracle=_BENFORD_ORACLE)
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of transaction amounts — the
+    classic forensic-accounting fraud screen (organic amounts follow
+    log10(1+1/d); fabricated ones cluster unnaturally). Emits exact
+    per-digit counts and integer-basis-point shares; judging the
+    distribution against the Benford curve is the analyst's final step,
+    the engine's job is the exact distribution.
+
+    Scale shape: first digit is a codegen string expression; ONE
+    partial-agg groupBy over nine groups; the denominator rides along
+    as a scalar subquery (1-row broadcast). Cents (not dollars) so
+    sub-dollar amounts keep a meaningful leading digit."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    digits = ev.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("d")
+    ).where(cents > 0)
+    total = digits.agg(F.count("*").alias("tot"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").cast("bigint").alias("n_amounts"),
+            F.expr("(10000 * n) div tot").cast("bigint").alias("share_bp"),
+        )
+    )
+
+
+_PARETO_ORACLE = """
+WITH totals AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS t
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT t,
+         ROW_NUMBER() OVER (ORDER BY t DESC, user_id) AS r,
+         SUM(t) OVER (ORDER BY t DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM totals
+), g AS (
+  SELECT COUNT(*) AS n, SUM(t) AS grand FROM totals
+)
+SELECT CAST((SELECT n FROM g) AS BIGINT) AS n_users,
+       CAST((SELECT grand FROM g) AS BIGINT) AS total_cents,
+       CAST(MIN(r) AS BIGINT) AS users_for_80pct,
+       CAST((10000 * MIN(r)) // (SELECT n FROM g) AS BIGINT)
+         AS user_share_bp
+FROM ranked
+WHERE 5 * cum >= 4 * (SELECT grand FROM g)
+"""
+
+
+@query("agg_pareto_8020", oracle=_PARETO_ORACLE)
+def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO 80/20 concentration point: the minimum number of top
+    spenders whose cumulative spend reaches 80% of the total, and the
+    share of the user base they represent — the concentration curve's
+    single most-quoted point (complements agg_gini's full-distribution
+    coefficient). The 80% test is `5*cum >= 4*grand` — pure integer,
+    no percentage float anywhere.
+
+    Scale shape: partial-agg collapse to per-user totals, one running
+    sum over the users-sized relation, one reduce. The global order is
+    safe because it sorts users, never events."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("bigint")
+        ).alias("t")
+    )
+    g = totals.agg(
+        F.count("*").alias("n"), F.sum("t").alias("grand")
+    )
+    w = Window.orderBy(F.desc("t"), "user_id")
+    ranked = totals.select(
+        F.row_number().over(w).alias("r"),
+        F.sum("t")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(g))
+        .where(F.col("cum") * 5 >= F.col("grand") * 4)
+        .agg(
+            F.min("r").alias("users_for_80pct"),
+            F.first("n").alias("n"),
+            F.first("grand").alias("grand"),
+        )
+    )
+    return hit.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("grand").cast("bigint").alias("total_cents"),
+        F.col("users_for_80pct").cast("bigint"),
+        F.expr("(10000 * users_for_80pct) div n")
+        .cast("bigint")
+        .alias("user_share_bp"),
+    )

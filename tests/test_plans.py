@@ -123,6 +123,8 @@ _NESTED_LOOP_OK = {
     "agg_sketch_hll",
     "agg_rolling_distinct",
     "sample_bootstrap_means",
+    "agg_benford_digits",
+    "agg_pareto_8020",
 }
 
 # Streaming keys run a real stream to completion inside fn(); their final
