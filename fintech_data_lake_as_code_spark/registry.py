@@ -80,11 +80,15 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r06.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r07.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last.
+# the oldest-verdict keys, newest last. After the r7 fold the vintage
+# census is 45@r4 / 47@r5 / 46@r6 / 50@r7; the 45 r4-vintage keys (the
+# whole relational core) plus the 5 rank-(0,0) keys (2 new, 3 changed
+# this round) fill r8's 50-key budget exactly, so after r8 no key's
+# latest green predates r5 (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
     # round 4 greens — oldest surviving verdicts, due for a refresh
     **dict.fromkeys(
@@ -94,7 +98,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "agg_rollup_cube_gsets", "agg_stats_corr", "agg_time_rollup",
             "cdc_dedupe_batch", "cdc_envelope_roundtrip",
             "cdc_incremental_agg", "cdc_latest_state", "cdc_merge_upsert",
-            "cdc_scd2_intervals", "dedup_embedding_cosine", "dedup_exact",
+            "cdc_scd2_intervals", "dedup_exact",
             "filter_null_domain", "filter_pred", "fn_conditional",
             "fn_datetime", "fn_math_decimal", "fn_string", "join_anti",
             "join_asof_backward", "join_asof_interval", "join_broadcast",
@@ -121,7 +125,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "rule_b9_large_investor", "sample_stratified_split",
             "scan_jdbc", "scan_python_datasource",
             "set_distinct_ops", "set_union_all", "sim_topk_cosine",
-            "sim_topk_ivf", "sim_topk_lsh", "sort_multi",
+            "sim_topk_lsh", "sort_multi",
             "text_chunk", "text_fingerprint", "text_idf_rarity",
             "text_langid", "text_pack_sequences", "text_quality",
             "text_redact_pii", "text_stats", "token_count_bpe",
@@ -134,19 +138,19 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         5,
     ),
-    # round 6 greens — freshest, grade last
+    # round 6 greens
     **dict.fromkeys(
         [
             "agg_approx_percentile", "agg_histogram_bins",
             "agg_retention_cohort", "agg_rolling_distinct",
-            "agg_sketch_cms", "agg_sketch_hll", "dedup_cluster_cc",
+            "agg_sketch_cms", "agg_sketch_hll",
             "dedup_containment", "dedup_incremental",
             "dedup_near_minhash", "dedup_ngram_jaccard",
             "dedup_simhash", "join_asof_nearest",
             "join_bucketed_colocated", "join_skew_salted",
             "profile_columns", "sample_bootstrap_means",
             "sample_split_leakage_safe", "sample_weighted_priority",
-            "scan_binaryfile", "scan_csv", "scan_json_corrupt",
+            "scan_csv", "scan_json_corrupt",
             "scan_json_lines", "scan_orc", "scan_parquet",
             "scan_partition_pruned", "scan_schema_evolution",
             "scan_text", "scan_xml", "set_bag_ops",
@@ -154,53 +158,59 @@ _VERDICT_ROUND: dict[str, int] = {
             "sink_sorted_lake", "sink_zorder_lake",
             "sql_pricing_summary", "stream_backfill_availablenow",
             "stream_bronze_ingest", "stream_dedupe",
-            "stream_foreachbatch_merge", "stream_join_static",
+            "stream_join_static",
             "stream_rate_sim", "stream_session", "stream_sliding",
             "stream_stateful_freeze", "stream_stream_join",
-            "stream_tumbling", "stream_tws_topk_state",
+            "stream_tumbling",
             "stream_watermark_late", "text_decontaminate",
             "text_ngram_freq",
         ],
         6,
     ),
+    # round 7 greens — freshest, grade last (CORRECTNESS_r07: 50/50)
+    **dict.fromkeys(
+        [
+            "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
+            "agg_kanonymity", "agg_mode_exact", "agg_pareto_8020",
+            "agg_regression_ols", "cdc_snapshot_diff", "dedup_cluster_cc",
+            "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
+            "dedup_semantic_cluster", "dq_expectations",
+            "embedding_quantize_int8", "fn_collation", "fn_crypto",
+            "fn_try_ansi", "fn_url", "fn_variant", "graph_triangle_count",
+            "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
+            "join_scd2_pointintime", "join_spatial_grid",
+            "sample_negative_pairs", "sample_temperature_mix",
+            "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
+            "sim_topk_ivf_kmeans", "sink_compression_codecs",
+            "sink_write_audit_publish", "sql_recursive_cte",
+            "stream_foreachbatch_merge", "stream_scd2_apply",
+            "stream_tws_topk_state", "subquery_family", "text_bpe_train",
+            "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
+            "win_anomaly_zscore", "win_drawdown", "win_ewma",
+            "win_match_recognize", "win_resample_interp", "win_rfm_score",
+            "win_transition_matrix",
+        ],
+        7,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. After round 6 the only two are the r3-vintage pair
-# the judge called out (VERDICT r6 "What's wrong" #1):
-# - dedup_keep_best (operators/dedup.py): last oracle-graded r3, but the
-#   shared cached sorted-hash shingle artifact it elects survivors over
-#   was rewritten in r4–r6 (commits 440f1ce, 0ce0a06, 42e4670);
-# - join_asof_forward (operators/joins.py): last oracle-graded r3, and
-#   the as-of family was refactored when join_asof_nearest landed
-#   (cc22d2e).
-# Their pytest differential coverage is green; this ordering just makes
-# the driver's 50-key r7 prefix re-certify them first.
+# never-graded keys. The r6/r7 stale set was fully re-certified in r7
+# (CORRECTNESS_r07 50/50 green). Round-8 code changes:
+# - win_rfm_score: registered plan reworked from three unpartitioned
+#   ntile sorts to one cut-point agg + broadcast map-side binning
+#   (VERDICT r7 "What's wrong" #1);
+# - text_bpe_train: per-round cache now unpersisted + localCheckpoint,
+#   BPE_MERGES raised, double-space delimiters so one replace pass
+#   merges overlapping occurrences (VERDICT r7 nit #2, ADVICE #4);
+# - join_scd2_pointintime: union window now ordered by full-precision
+#   ts instead of truncated epoch seconds (ADVICE #1).
 _STALE_REGRADE = frozenset(
     {
-        "dedup_keep_best",
-        "join_asof_forward",
-        # round-7 code changes after their r6 green (each pinned by a
-        # regression test; listed here so the driver re-certifies them):
-        # - stream_tws_topk_state: fold now orders by full-precision ts;
-        # - dedup_cluster_cc: pointer-jump engagement forced by round 3,
-        #   CC_MAX_ITERS 10 -> 15;
-        # - stream_foreachbatch_merge: merge target rewritten as the
-        #   idempotent disk-recovering SnapshotMerger;
-        # - scan_binaryfile: BMP seeding now atomically published;
-        # - sim_topk_ivf: probe-cell selection moved driver-side and the
-        #   cell equi-join became a literal-map explode + query_id join
-        #   (the HOF-in-join-constraint landmine fix).
-        "sim_topk_ivf",
-        "stream_tws_topk_state",
-        "dedup_cluster_cc",
-        "stream_foreachbatch_merge",
-        "scan_binaryfile",
-        # - dedup_embedding_cosine: twin-corpus construction factored into
-        #   _emb_corpus when dedup_semantic_cluster landed (expressions
-        #   unchanged, pytest-differentially green — re-certify anyway).
-        "dedup_embedding_cosine",
+        "win_rfm_score",
+        "text_bpe_train",
+        "join_scd2_pointintime",
     }
 )
 
