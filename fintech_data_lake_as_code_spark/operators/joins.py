@@ -688,8 +688,7 @@ FROM fact f JOIN dim d
 """
 
 
-@query("join_scd2_pointintime", oracle=_SCD2_PIT_ORACLE)
-def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scd2_pointintime(ev: DataFrame) -> DataFrame:
     """POINT-IN-TIME dimension lookup against SCD Type-2 history: each
     purchase fact joins the profile version (non-purchase changelog
     rows versioned by [valid_from, valid_to) as in cdc_scd2_intervals)
@@ -703,14 +702,23 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts and backward-fills version attributes with one
     last(ignorenulls) frame over a single (user_id) shuffle+sort — the
     same one-pass shape as join_asof_backward, linear in rows per key.
-    Ties at one epoch resolve dim-row-first then event_id, which
-    reproduces exactly the half-open [valid_from, valid_to) semantics
-    (an empty same-epoch version matches nothing)."""
-    ev = load(spark, sf_dir, "events")
+    Ties at one epoch resolve dim-rows-first (facts match the LAST dim
+    version of their truncated second, as the declared second-
+    granularity [valid_from, valid_to) semantics require — even a
+    version landing later in real time within that second), and
+    same-second dim rows order by FULL-PRECISION ts then event_id so
+    the fill picks exactly the version the oracle's LEAD(ts, event_id)
+    interval construction makes live (ADVICE r8: ordering dims by
+    event_id alone silently diverges on data where sub-second ts order
+    differs from event_id order). The truncated epoch stays the
+    primary sort key deliberately: fact rows must sort AFTER every dim
+    row of their second — raw-ts-primary ordering would miss versions
+    starting later in the same second."""
     dim = ev.where(F.col("event_type") != "purchase").select(
         "user_id",
         F.unix_timestamp("ts").alias("t"),
         F.lit(0).alias("is_fact"),
+        F.col("ts").alias("ts_full"),
         "event_id",
         F.col("event_type").alias("profile_type"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("profile_cents"),
@@ -719,13 +727,14 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_timestamp("ts").alias("t"),
         F.lit(1).alias("is_fact"),
+        F.col("ts").alias("ts_full"),
         "event_id",
         F.lit(None).cast("string").alias("profile_type"),
         F.lit(None).cast("bigint").alias("profile_cents"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t", "is_fact", "event_id")
+        .orderBy("t", "is_fact", "ts_full", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = dim.unionByName(fact).select(
@@ -754,6 +763,13 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "profile_cents",
         )
     )
+
+
+@query("join_scd2_pointintime", oracle=_SCD2_PIT_ORACLE)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface for `scd2_pointintime` over the events
+    changelog — see its docstring for the union-tag one-window plan."""
+    return scd2_pointintime(load(spark, sf_dir, "events"))
 
 
 SPATIAL_R2 = 25  # radius^2: pairs within distance 5 on the integer plane

@@ -1272,27 +1272,32 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE tokenizer-merge induction ------------------------------------------
 
 BPE_VOCAB = 200  # train on the top-N word-frequency table (standard BPE)
-BPE_MERGES = 3  # learned merge rules emitted
+BPE_MERGES = 8  # learned merge rules emitted
 
 
 def _bpe_round_ctes(r: int) -> str:
+    # every symbol is wrapped in its OWN pair of spaces (' a  b ' has a
+    # double space at the junction), so the pair pattern ' a  b ' never
+    # shares a delimiter with the next occurrence and ONE replace pass
+    # merges adjacent repeats exactly like canonical left-to-right
+    # non-overlapping BPE application (ADVICE r7 #4)
     prev = f"seg{r - 1}"
     return f"""
-, p{r} AS (
+, p{r} AS MATERIALIZED (
   SELECT s.sa, s.sb, SUM(s.cnt) AS w FROM (
     SELECT syms[i] AS sa, syms[i + 1] AS sb, cnt
     FROM (
-      SELECT cnt, string_split(trim(seg), ' ') AS syms,
-             unnest(generate_series(1, len(string_split(trim(seg), ' ')) - 1)) AS i
+      SELECT cnt, string_split(trim(seg), '  ') AS syms,
+             unnest(generate_series(1, len(string_split(trim(seg), '  ')) - 1)) AS i
       FROM {prev}
     )
   ) s GROUP BY s.sa, s.sb
-), t{r} AS (
+), t{r} AS MATERIALIZED (
   SELECT sa, sb, w FROM p{r} ORDER BY w DESC, sa, sb LIMIT 1
-), seg{r} AS (
+), seg{r} AS MATERIALIZED (
   SELECT word, cnt,
          replace(seg,
-                 ' ' || (SELECT sa FROM t{r}) || ' ' || (SELECT sb FROM t{r}) || ' ',
+                 ' ' || (SELECT sa FROM t{r}) || '  ' || (SELECT sb FROM t{r}) || ' ',
                  ' ' || (SELECT sa FROM t{r}) || (SELECT sb FROM t{r}) || ' ') AS seg
   FROM {prev}
 )"""
@@ -1300,14 +1305,14 @@ def _bpe_round_ctes(r: int) -> str:
 
 _BPE_ORACLE = (
     f"""
-WITH words AS (
+WITH words AS MATERIALIZED (
   SELECT word, COUNT(*) AS cnt FROM (
     SELECT unnest(string_split(text, ' ')) AS word FROM documents
   ) WHERE word <> '' GROUP BY word
   ORDER BY cnt DESC, word LIMIT {BPE_VOCAB}
-), seg0 AS (
+), seg0 AS MATERIALIZED (
   SELECT word, cnt,
-         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seg
+         ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seg
   FROM words
 )"""
     + "".join(_bpe_round_ctes(r) for r in range(1, BPE_MERGES + 1))
@@ -1320,44 +1325,55 @@ WITH words AS (
 )
 
 
-@query("text_bpe_train", oracle=_BPE_ORACLE)
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_train(
+    d: DataFrame, n_merges: int = BPE_MERGES, vocab: int = BPE_VOCAB
+) -> DataFrame:
     """BPE TOKENIZER-MERGE INDUCTION (Sennrich et al. 2016 — the training
     step behind every GPT/Llama tokenizer): starting from characters,
     repeatedly count adjacent symbol pairs over the word-frequency
     table and merge the most frequent pair, emitting the learned merge
-    rules with their weights. Greedy left-to-right merge semantics are
-    encoded as a delimited-string replace (' a b ' -> ' ab '), which
-    both engines scan identically, and ties break lexicographically so
-    the rule sequence is a pure function of the corpus.
+    rules with their weights. Merge application is a delimited-string
+    replace over segments where EVERY symbol carries its own pair of
+    spaces (' a  b ' -> ' ab ': junctions are double spaces, so no two
+    occurrences share a delimiter and one replace pass merges adjacent
+    repeats exactly like canonical non-overlapping left-to-right BPE).
+    Both engines scan the same representation; ties break
+    lexicographically so the rule sequence is a pure function of the
+    corpus.
 
     Scale shape: BPE trains on the WORD-FREQUENCY table, not the
     corpus — one corpus scan builds the weighted vocab ({BPE_VOCAB}
     rows here; bounded in production by frequency truncation), and each
     merge round is a pair-count aggregate over that table plus a
     driver-side top-1 (bounded metadata, the IVF-seed pattern). Corpus
-    size only affects the initial scan; rounds cost O(vocab)."""
-    d = load(spark, sf_dir, "documents")
+    size only affects the initial scan; rounds cost O(vocab). Storage
+    is bounded by ONE round: each round's segment table is cached,
+    materialized, and the previous round's cache explicitly released,
+    so running {BPE_MERGES} (or 10k) merges never stacks cached
+    copies; a production trainer at realistic merge counts would
+    additionally localCheckpoint every ~64 rounds to cap logical-plan
+    depth (execution already reads only the latest cache)."""
+    spark = d.sparkSession
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "word")
-        .limit(BPE_VOCAB)
+        .limit(vocab)
     )
     seg = words.select(
         "word",
         "cnt",
         F.concat(
-            F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+            F.lit(" "), F.array_join(F.split("word", ""), "  "), F.lit(" ")
         ).alias("seg"),
     ).cache()
     merges = []
-    for r in range(1, BPE_MERGES + 1):
+    for r in range(1, n_merges + 1):
         pairs = (
             seg.select(
-                "cnt", F.split(F.trim("seg"), " ").alias("syms")
+                "cnt", F.split(F.trim("seg"), "  ").alias("syms")
             )
             .select(
                 "cnt",
@@ -1378,9 +1394,9 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         top = pairs.orderBy(F.desc("w"), "sa", "sb").limit(1).collect()[0]
         merges.append((r, top.sa, top.sb, top.sa + top.sb, int(top.w)))
-        old = f" {top.sa} {top.sb} "
+        old = f" {top.sa}  {top.sb} "
         new = f" {top.sa}{top.sb} "
-        seg = seg.select(
+        nxt = seg.select(
             "word",
             "cnt",
             F.expr(
@@ -1389,11 +1405,23 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("seg"),
         ).cache()
+        nxt.count()  # materialize the new round BEFORE dropping the old
+        seg.unpersist()
+        seg = nxt
+    seg.unpersist()  # merges are driver-side; nothing reads seg again
     return spark.createDataFrame(
         merges,
         "merge_round int, sa string, sb string, merged string,"
         " pair_weight bigint",
     )
+
+
+@query("text_bpe_train", oracle=_BPE_ORACLE)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface for `bpe_train` over the documents corpus —
+    see bpe_train's docstring for semantics and the bounded-storage
+    merge loop."""
+    return bpe_train(load(spark, sf_dir, "documents"))
 
 
 _ZIPF_ORACLE = """

@@ -940,42 +940,147 @@ FROM base
 """
 
 
+# Approx cut points per RFM dimension: 32 cuts -> up to 33 coarse
+# buckets, so the per-bucket rank windows run ~33-way parallel instead
+# of on one partition. Cut VALUES never affect correctness (any
+# monotone coarsening of the order works — exact ranks come from
+# bucket offsets + within-bucket row_number), only parallelism/skew.
+RFM_CUTS = 32
+
+
+def _bucket_expr(dim: str, cuts: list):
+    """Map-side coarse bucket: #literal-cuts strictly below my value.
+
+    A whole-stage-codegen comparison chain over driver-side literals —
+    no UDF, no lookup join. Monotone in `dim`, so bucketing is a
+    coarsening of the (dim, user_id) order; nulls coalesce to the
+    lowest bucket, matching orderBy's NULLS FIRST."""
+    uniq = sorted({c for c in cuts if c is not None})
+    bucket = F.lit(0)
+    for c in uniq:
+        bucket = bucket + (F.col(dim) > F.lit(c)).cast("int")
+    return F.coalesce(bucket, F.lit(0))
+
+
+def _ntile5_from_offsets(
+    df: DataFrame, dim: str, sizes: dict[int, int], out: str
+) -> DataFrame:
+    """Exact NTILE(5) over ORDER BY (dim, user_id) without a global sort.
+
+    Classic distributed ranking: rows are already coarse-bucketed in
+    column `_b_{out}`; `sizes` (bucket -> row count, computed in one
+    shared agg by the caller) becomes cumulative offsets, and
+    global_rank = offset[bucket] + row_number() within the bucket. The
+    window partitions by bucket, so the plan has a parallel hash
+    exchange + per-bucket sort — never an `Exchange SinglePartition`
+    (pinned by tests/test_plans.py::test_rfm_has_no_single_partition_
+    sort). NTILE's tie behavior is preserved exactly because
+    (dim, user_id) is a unique composite key and the bucketing is a
+    coarsening of it."""
+    bcol = f"_b_{out}"
+    n = sum(sizes.values())
+    offsets, acc = {}, 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    off_map = F.create_map(
+        [F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    lw = Window.partitionBy(bcol).orderBy(dim, "user_id")
+    rk = (F.row_number().over(lw) + off_map[F.col(bcol)]).cast("bigint")
+    # exact NTILE(5) from the unique global rank: the first n%5 bins
+    # hold n//5+1 rows, the rest n//5; integer `div` keeps the bin
+    # arithmetic exact at any rank (float floor is off-by-one-prone)
+    q, r = n // 5, n % 5
+    first = r * (q + 1)
+    tile = F.expr(
+        f"CASE WHEN _rk_{out} <= {first}"
+        f" THEN (_rk_{out} + {q}) div {q + 1}"
+        f" ELSE {r} + (_rk_{out} - {first} + {max(q, 1) - 1})"
+        f" div {max(q, 1)} END"
+    )
+    return (
+        df.withColumn(f"_rk_{out}", rk)
+        .withColumn(out, tile.cast("bigint"))
+        .drop(bcol, f"_rk_{out}")
+    )
+
+
 @query("win_rfm_score", oracle=_RFM_ORACLE)
 def win_rfm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM SEGMENTATION (recency / frequency / monetary — the classic
     customer-value scoring marketing and risk teams run): per-user
-    aggregates quintile-binned with ntile, user_id tiebreaks making
-    every bin assignment deterministic (an un-tiebroken ntile is
-    ungradable — ties straddle bin boundaries arbitrarily).
+    aggregates quintile-binned, user_id tiebreaks making every bin
+    assignment deterministic (an un-tiebroken ntile is ungradable —
+    ties straddle bin boundaries arbitrarily).
 
     Scale shape: one partial-agg groupBy collapses events to one row
-    per user; the three ntile windows then run over the USERS-sized
-    relation. The global sort per score is the textbook quantile-
-    binning cost — at 100 TB you swap ntile for approx-percentile cut
-    points (agg_approx_percentile) and a map-side bin lookup, same
-    output contract."""
+    per user; each score is then EXACT NTILE(5) computed by cut-point
+    bucketing — ONE agg computes all three approx-percentile cut-point
+    arrays, the cuts become broadcast literals, rows bucket map-side,
+    and a per-bucket window turns bucket offsets + local row_number
+    into exact global ranks (see _ntile5_by_buckets). Zero
+    single-partition sort exchanges anywhere: at 100 TB the old
+    three-ntile formulation funnels the whole users relation through
+    one reducer three times; this plan's sorts are all per-bucket."""
     ev = load(spark, sf_dir, "events")
-    base = ev.groupBy("user_id").agg(
-        F.max(F.unix_timestamp("ts")).alias("last_seen"),
-        F.count("*").alias("frequency"),
-        F.sum(
-            F.round(F.col("value") * 100, 0).cast("bigint")
-        ).alias("monetary_cents"),
+    # localCheckpoint: the users-sized base feeds 3 driver-side bounded
+    # artifacts (cuts, bucket counts) plus the final plan — materialize
+    # it once instead of re-collapsing events per job
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_timestamp("ts")).alias("last_seen"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+        .localCheckpoint(eager=True)
     )
-    return base.select(
+    fr = [i / (RFM_CUTS + 1) for i in range(1, RFM_CUTS + 1)]
+    # one agg computes all three cut-point arrays in one pass over the
+    # users-sized relation (bounded collect: 1 row)
+    cuts_row = base.agg(
+        F.percentile_approx("last_seen", fr).alias("r_cuts"),
+        F.percentile_approx("frequency", fr).alias("f_cuts"),
+        F.percentile_approx("monetary_cents", fr).alias("m_cuts"),
+    ).collect()[0]
+    dims = [
+        ("last_seen", cuts_row["r_cuts"], "r_score"),
+        ("frequency", cuts_row["f_cuts"], "f_score"),
+        ("monetary_cents", cuts_row["m_cuts"], "m_score"),
+    ]
+    bucketed = base
+    for dim, cuts, out in dims:
+        bucketed = bucketed.withColumn(f"_b_{out}", _bucket_expr(dim, cuts))
+    # ONE shared job counts every (dimension, bucket) pair — explode to
+    # tagged pairs, partial-agg groupBy; bounded collect (<= 3*(CUTS+1))
+    pairs = bucketed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(out).alias("tag"),
+                        F.col(f"_b_{out}").alias("bucket"),
+                    )
+                    for _, _, out in dims
+                ]
+            )
+        ).alias("p")
+    ).select("p.tag", "p.bucket")
+    counts = pairs.groupBy("tag", "bucket").agg(F.count("*").alias("cnt"))
+    sizes: dict[str, dict[int, int]] = {out: {} for _, _, out in dims}
+    for row in counts.collect():
+        sizes[row["tag"]][row["bucket"]] = row["cnt"]
+    scored = bucketed
+    for dim, _, out in dims:
+        scored = _ntile5_from_offsets(scored, dim, sizes[out], out)
+    return scored.select(
         "user_id",
-        F.ntile(5)
-        .over(Window.orderBy("last_seen", "user_id"))
-        .cast("bigint")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "user_id"))
-        .cast("bigint")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "user_id"))
-        .cast("bigint")
-        .alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
         F.col("frequency").cast("bigint").alias("frequency"),
         F.col("monetary_cents").cast("bigint").alias("monetary_cents"),
     )

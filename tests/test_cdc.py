@@ -144,3 +144,38 @@ def test_gdpr_null_event_type_merge(spark, tmp_path):
         for r in registry()["cdc_gdpr_erasure"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {None: (1, 2, 1), "click": (3, 1, 1)}, got
+
+
+def test_scd2_pointintime_subsecond_ts_beats_event_id_order(spark):
+    # ADVICE r8: two dim versions land in the SAME second with event_id
+    # order OPPOSITE to sub-second ts order; a later fact must take the
+    # version that is live under the oracle's full-precision LEAD(ts)
+    # interval construction — the one with the LARGER ts, regardless of
+    # event_id. A fact inside that same second must also match it (dim
+    # rows of a second sort before that second's facts).
+    import datetime as dt
+
+    from fintech_data_lake_as_code_spark.operators.joins import (
+        scd2_pointintime,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = lambda micros: base + dt.timedelta(microseconds=micros)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            # event_id 99 but EARLIER sub-second ts; event_id 1 later ts
+            (99, 7, "profile", 1.00, us(100_000)),
+            (1, 7, "profile", 2.00, us(900_000)),
+            # fact in the same second, between the two dim rows
+            (50, 7, "purchase", 0.0, us(500_000)),
+            # fact in a later second
+            (60, 7, "purchase", 0.0, base + dt.timedelta(seconds=5)),
+        ],
+        "event_id bigint, user_id bigint, event_type string,"
+        " value double, ts timestamp",
+    )
+    got = {r.event_id: r for r in scd2_pointintime(ev).collect()}
+    # both facts see the ts=.9 version (cents=200): it is the last dim
+    # version of its second under full-precision ordering
+    assert got[50].profile_cents == 200, got[50]
+    assert got[60].profile_cents == 200, got[60]

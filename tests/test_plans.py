@@ -499,9 +499,62 @@ def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
     # point: the shuffle carries bitmap segments, not raw ids)
     plan = formatted_plan(SPECS["agg_bitmap_distinct"].fn(spark, sf_dir))
     assert "bitmap_construct_agg" in plan, plan
-    assert "partial_bitmap_construct_agg" in plan.lower().replace(
-        "partial bitmap_construct_agg", "partial_bitmap_construct_agg"
-    ) or "Partial" in plan, plan
+    # the map-side half must be the SPECIFIC partial bitmap agg — a
+    # generic "Partial" anywhere in the plan proves nothing (ADVICE r7)
+    norm = plan.lower().replace("partial bitmap_construct_agg",
+                                "partial_bitmap_construct_agg")
+    assert "partial_bitmap_construct_agg" in norm, plan
+
+
+def test_rfm_has_no_single_partition_sort(spark, sf_dir):
+    # VERDICT r7 "What's wrong" #1: the old formulation ran three
+    # unpartitioned ntile windows — three Exchange SinglePartition
+    # funnels over the users relation. The cut-point-binned rework must
+    # keep every sort per-bucket (parallel hash exchange) and stay
+    # join-free.
+    df = SPECS["win_rfm_score"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "ntile" not in plan.lower(), plan
+    assert "Join" not in plan, plan
+
+
+def test_rfm_matches_direct_ntile(spark, sf_dir):
+    # semantic pin: the distributed-rank formulation must equal the
+    # direct (single-partition) ntile computation bit-for-bit, ties
+    # included
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window as W2
+
+    from fintech_data_lake_as_code_spark.io import load
+
+    got = {
+        r.user_id: (r.r_score, r.f_score, r.m_score)
+        for r in SPECS["win_rfm_score"].fn(spark, sf_dir).collect()
+    }
+    base = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F2.max(F2.unix_timestamp("ts")).alias("last_seen"),
+            F2.count("*").alias("frequency"),
+            F2.sum(F2.round(F2.col("value") * 100, 0).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    exp = {
+        r.user_id: (r.r, r.f, r.m)
+        for r in base.select(
+            "user_id",
+            F2.ntile(5).over(W2.orderBy("last_seen", "user_id")).alias("r"),
+            F2.ntile(5).over(W2.orderBy("frequency", "user_id")).alias("f"),
+            F2.ntile(5)
+            .over(W2.orderBy("monetary_cents", "user_id"))
+            .alias("m"),
+        ).collect()
+    }
+    assert got == exp
 
 
 def test_triangle_edges_are_support_thresholded(spark, sf_dir):
