@@ -1398,7 +1398,9 @@ SEMDEDUP_RECALL_NUM = 9
 SEMDEDUP_RECALL_DEN = 10
 
 
-def semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_cluster_pairs(
+    spark: SparkSession, sf_dir: str, k: int = SEMDEDUP_K
+) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al., 2023): cluster the corpus
     with a trained k-means coarse quantizer, then exact-cosine verify
     WITHIN each cluster only — clustering replaces dedup_embedding_
@@ -1409,19 +1411,22 @@ def semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice); assignment is MAP-SIDE argmin over centroid literals
     (no join, no shuffle — the same plan shape as sim_topk_ivf); pair
     generation is an equi-join on cluster_id, so candidate count is
-    sum-of-squares over cluster sizes, not corpus^2. The returned pairs
+    sum-of-squares over cluster sizes, not corpus^2 — PROVIDED k grows
+    with the corpus so cell occupancy stays bounded (FAISS sizes nlist
+    ~ n/occupancy; `k` is a parameter for exactly this reason, and the
+    scale-law suite runs the 10x corpus at 10x k). The returned pairs
     are exact-cosine-verified, never estimated."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     corpus = _emb_corpus(spark, sf_dir)
-    sample_n = 64 * SEMDEDUP_K
+    sample_n = 64 * k
     train = (
         corpus.orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(sample_n)
         .select(array_to_vector("v").alias("features"))
     )
-    model = KMeans(k=SEMDEDUP_K, seed=42, maxIter=10).fit(train)
+    model = KMeans(k=k, seed=42, maxIter=10).fit(train)
     cents = [[float(x) for x in c] for c in model.clusterCenters()]
     dists = F.array(
         *[

@@ -790,8 +790,7 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SPATIAL_R2}
 """
 
 
-@query("join_spatial_grid", oracle=_SPATIAL_ORACLE)
-def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spatial_grid_join(pts: DataFrame) -> DataFrame:
     """SPATIAL radius self-join via grid-cell blocking (the geohash /
     uber-H3 candidate-generation shape): every entity gets a
     deterministic integer point, and close pairs (squared distance <=
@@ -807,13 +806,10 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     here. The neighborhood explode is on the smaller probe side and is
     a fixed 9x fan-out; dedupe is by id ordering inside one cell pairing
     (each true pair is emitted once because cell(b) is unique and only
-    a's neighborhood covers it)."""
-    ev = load(spark, sf_dir, "events")
-    pts = ev.select(
-        "user_id",
-        (F.col("user_id") % 37).alias("x"),
-        ((F.col("user_id") * 7) % 41).alias("y"),
-    ).distinct()
+    a's neighborhood covers it). Takes any (user_id, x, y) point set;
+    the registered key derives points from events — the stress suite
+    feeds a density-constant larger area instead, which is the regime
+    the operator is designed for (fixed radius, growing world)."""
     cell = lambda c: F.expr(f"{c} div {SPATIAL_CELL}")  # noqa: E731
     # b side sits in its home cell; a side probes its 9-cell neighborhood
     b = pts.select(
@@ -853,6 +849,19 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(d2 <= SPATIAL_R2)
         .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
     )
+
+
+@query("join_spatial_grid", oracle=_SPATIAL_ORACLE)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface for `spatial_grid_join`: every events user
+    gets a deterministic integer point on the 37x41 plane."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (F.col("user_id") % 37).alias("x"),
+        ((F.col("user_id") * 7) % 41).alias("y"),
+    ).distinct()
+    return spatial_grid_join(pts)
 
 
 FUZZY_LEX = 50  # lexicon size: the top-N corpus words

@@ -45,6 +45,12 @@ HEAVY_KEYS = [
     "dedup_containment",
     "dedup_paragraph",
     "sim_topk_lsh",
+    # r7 heavies (VERDICT r7 ask #4): the trained-quantizer ANN path
+    # (bounded train + cell equi-join => linear in corpus at fixed
+    # query count) and the degree-oriented triangle count (10 disjoint
+    # replica graphs => exactly 10x edges/wedges/triangles)
+    "sim_topk_ivf_kmeans",
+    "graph_triangle_count",
     "text_decontaminate",
 ]
 
@@ -52,7 +58,11 @@ HEAVY_KEYS = [
 @pytest.fixture(scope="module")
 def big_dir(spark) -> str:
     out = os.path.join(SCRATCH_ROOT, "sf_stress")
-    marker = os.path.join(out, "_BUILT")
+    # v2: adds replicated events + lineitem and per-replica labels on
+    # embeddings (labels must scale with the corpus or label-blocked
+    # truth sets densify quadratically — same reason the replica corpus
+    # tags words)
+    marker = os.path.join(out, "_BUILT_v2")
     if not os.path.exists(marker):
         reps = spark.range(N_REPLICAS).select(F.col("id").alias("rep"))
         docs = load(spark, BASE_SF_DIR, "documents")
@@ -86,11 +96,46 @@ def big_dir(spark) -> str:
                         x + (F.col("rep") * (i + 1) % 97).cast("float") / 1e4
                     ).cast("float"),
                 ).alias("embedding"),
-                "label",
+                F.concat_ws("_", "label", "rep").alias("label"),
             )
             .repartition(32)
             .write.mode("overwrite")
             .parquet(os.path.join(out, "embeddings.parquet"))
+        )
+        ev = load(spark, BASE_SF_DIR, "events")
+        (
+            ev.crossJoin(reps)
+            .select(
+                (F.col("event_id") * N_REPLICAS + F.col("rep")).alias(
+                    "event_id"
+                ),
+                (F.col("user_id") * N_REPLICAS + F.col("rep")).alias(
+                    "user_id"
+                ),
+                "event_type",
+                "value",
+                "ts",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "events.parquet"))
+        )
+        li = load(spark, BASE_SF_DIR, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        (
+            li.crossJoin(reps)
+            .select(
+                (F.col("l_orderkey") * N_REPLICAS + F.col("rep")).alias(
+                    "l_orderkey"
+                ),
+                (F.col("l_suppkey") * N_REPLICAS + F.col("rep")).alias(
+                    "l_suppkey"
+                ),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "lineitem.parquet"))
         )
         with open(marker, "w") as fh:
             fh.write("ok\n")
@@ -116,4 +161,72 @@ def test_heavy_query_scales_sub_quadratically(spark, big_dir, key):
     assert ratio < MAX_RATIO, (
         f"{key}: {N_REPLICAS}x corpus cost {ratio:.1f}x wall time "
         f"({t_base:.2f}s -> {t_big:.2f}s) — quadratic-shaped blowup"
+    )
+
+
+def test_spatial_grid_scales_with_area(spark):
+    # the spatial join's scale regime is FIXED radius over a GROWING
+    # world: 10x points spread over ~10x cells (constant density), so
+    # candidates and output grow ~10x — linear. (Scaling points inside
+    # a fixed area instead grows the TRUE pair set quadratically; that
+    # measures the answer's size, not the plan.) All-pairs regression
+    # signature: candidate count independent of the grid => ~100x.
+    from fintech_data_lake_as_code_spark.operators.joins import (
+        spatial_grid_join,
+    )
+
+    def pts(n, mx, my):
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("user_id"),
+                (F.col("id") % mx).alias("x"),
+                ((F.col("id") * 7) % my).alias("y"),
+            )
+            .distinct()
+        )
+
+    base_pts = pts(1500, 37, 41)
+    big_pts = pts(15000, 127, 131)
+
+    def run(p):
+        t0 = time.perf_counter()
+        spatial_grid_join(p).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    run(base_pts), run(big_pts)  # warm
+    t_base, t_big = run(base_pts), run(big_pts)
+    ratio = t_big / max(t_base, 1e-3)
+    assert ratio < MAX_RATIO, (
+        f"spatial grid: 10x points / 10x area cost {ratio:.1f}x "
+        f"({t_base:.2f}s -> {t_big:.2f}s)"
+    )
+
+
+def test_semantic_cluster_scales_with_k(spark, big_dir):
+    # SemDeDup's linearity contract: k grows with the corpus so cell
+    # occupancy stays bounded (sum of squared cluster sizes ~ n, not
+    # n^2). 10x corpus at 10x k must stay far from the quadratic
+    # signature; a fixed-k run on the 10x corpus WOULD be ~100x — that
+    # is the regression this guards (candidate generation degrading to
+    # within-cell all-pairs at unbounded occupancy).
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        SEMDEDUP_K,
+        semantic_cluster_pairs,
+    )
+
+    def run(sf, k):
+        t0 = time.perf_counter()
+        semantic_cluster_pairs(spark, sf, k=k).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return time.perf_counter() - t0
+
+    run(BASE_SF_DIR, SEMDEDUP_K), run(big_dir, SEMDEDUP_K * N_REPLICAS)
+    t_base = run(BASE_SF_DIR, SEMDEDUP_K)
+    t_big = run(big_dir, SEMDEDUP_K * N_REPLICAS)
+    ratio = t_big / max(t_base, 1e-3)
+    assert ratio < MAX_RATIO, (
+        f"semantic cluster: 10x corpus at 10x k cost {ratio:.1f}x "
+        f"({t_base:.2f}s -> {t_big:.2f}s)"
     )
