@@ -162,9 +162,12 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Extras: operators added after the headline set froze, timed the same
-    # way but reported OUTSIDE the headline total so round-over-round
-    # totals stay comparable to BASELINE.md.
+    # Headline-v2 (FROZEN round 8 — VERDICT r7 ask #7): the 14 operators
+    # added after the original headline set froze, timed the same way and
+    # summed into their OWN tracked total (`extras_total`) so a
+    # regression here moves a recorded aggregate, while the 22-query
+    # total stays comparable to BASELINE.md. Do not append here — new
+    # keys go in FRESH below until the next freeze.
     EXTRAS = [
         "text_decontaminate",
         "dedup_containment",
@@ -181,22 +184,37 @@ def main() -> None:
         "win_ewma",
         "dedup_semantic_cluster",
     ]
-    extras: dict[str, float] = {}
-    for key in EXTRAS:
-        fn = queries.get(key)
-        if fn is None:
-            continue
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        extras[key] = round(sorted(runs)[len(runs) // 2], 3)
-        print(
-            f"# extra {key}: median {extras[key]:.3f}s of "
-            + "/".join(f"{r:.3f}" for r in runs),
-            file=sys.stderr,
-        )
+    # Rolling pool for keys added THIS round: timed and reported, not yet
+    # part of any frozen total (they graduate at the next freeze).
+    FRESH = [
+        "stream_observe_metrics",
+        "stream_python_datasource",
+    ]
+
+    def _time_block(keys: list[str], tag: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for key in keys:
+            fn = queries.get(key)
+            if fn is None:
+                continue
+            runs = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            out[key] = round(sorted(runs)[len(runs) // 2], 3)
+            print(
+                f"# {tag} {key}: median {out[key]:.3f}s of "
+                + "/".join(f"{r:.3f}" for r in runs),
+                file=sys.stderr,
+            )
+        return out
+
+    extras = _time_block(EXTRAS, "extra")
+    extras_total = round(sum(extras.values()), 3)
+    fresh = _time_block(FRESH, "fresh")
 
     sf_name = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -222,6 +240,9 @@ def main() -> None:
                 },
                 "value_normalized": round(total / cal_ratio, 3),
                 "extras": extras,
+                "extras_total": extras_total,
+                "extras_total_normalized": round(extras_total / cal_ratio, 3),
+                "fresh": fresh,
             }
         )
     )

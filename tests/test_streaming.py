@@ -529,3 +529,48 @@ def test_scd2_apply_out_of_order_and_replay(spark, tmp_path):
     mg2 = Scd2Merger(root)
     mg2.merge(b1, 1)
     assert snap(mg2) == got
+
+
+def test_observed_metrics_equal_batch_recompute(spark, sf_dir):
+    # the in-flight observe() counters summed across micro-batches must
+    # equal the one-scan batch DQ aggregate row-for-row (same rule ids,
+    # same counts, same verdicts) — the whole point of riding metrics on
+    # the stream instead of re-scanning
+    from fintech_data_lake_as_code_spark.operators.aggregates import (
+        dq_expectations,
+    )
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        stream_observe_metrics,
+    )
+
+    got = {
+        r.rule_id: (r.n_rows, r.n_violations, r.passed)
+        for r in stream_observe_metrics(spark, sf_dir).collect()
+    }
+    exp = {
+        r.rule_id: (r.n_rows, r.n_violations, r.passed)
+        for r in dq_expectations(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_python_stream_source_equals_batch_source_multibatch(spark, sf_dir):
+    # the streaming source must deliver exactly the batch source's rows
+    # (no loss, no dup across offset boundaries), and the chunked offset
+    # walk must produce a genuinely multi-batch drain
+    from fintech_data_lake_as_code_spark.sources.datagen import N_ROWS
+    from fintech_data_lake_as_code_spark.sources.pyds import (
+        STREAM_CHUNK,
+        scan_python_datasource,
+        stream_python_datasource,
+    )
+
+    assert N_ROWS > STREAM_CHUNK, "chunk must force multiple batches"
+    got = sorted(
+        tuple(r) for r in stream_python_datasource(spark, sf_dir).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in scan_python_datasource(spark, sf_dir).collect()
+    )
+    assert len(got) == N_ROWS
+    assert got == exp
