@@ -189,6 +189,7 @@ def main() -> None:
     FRESH = [
         "stream_observe_metrics",
         "stream_python_datasource",
+        "text_bpe_tokenize",
     ]
 
     def _time_block(keys: list[str], tag: str) -> dict[str, float]:

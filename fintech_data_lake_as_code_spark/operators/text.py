@@ -1303,7 +1303,9 @@ def _bpe_round_ctes(r: int) -> str:
 )"""
 
 
-_BPE_ORACLE = (
+# The training CTE chain alone (shared by the train oracle and the
+# tokenize-apply oracle, which appends its own application CTEs).
+_BPE_TRAIN_CTES = (
     f"""
 WITH words AS MATERIALIZED (
   SELECT word, COUNT(*) AS cnt FROM (
@@ -1316,6 +1318,10 @@ WITH words AS MATERIALIZED (
   FROM words
 )"""
     + "".join(_bpe_round_ctes(r) for r in range(1, BPE_MERGES + 1))
+)
+
+_BPE_ORACLE = (
+    _BPE_TRAIN_CTES
     + "\n"
     + "\nUNION ALL ".join(
         f"SELECT {r} AS merge_round, sa, sb, sa || sb AS merged,"
@@ -1392,7 +1398,10 @@ def bpe_train(
             .groupBy("sa", "sb")
             .agg(F.sum("cnt").alias("w"))
         )
-        top = pairs.orderBy(F.desc("w"), "sa", "sb").limit(1).collect()[0]
+        tops = pairs.orderBy(F.desc("w"), "sa", "sb").limit(1).collect()
+        if not tops:  # vocabulary fully merged before n_merges rounds
+            break
+        top = tops[0]
         merges.append((r, top.sa, top.sb, top.sa + top.sb, int(top.w)))
         old = f" {top.sa}  {top.sb} "
         new = f" {top.sa}{top.sb} "
@@ -1497,4 +1506,111 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
         .cast("bigint")
         .alias("zipf_slope_milli"),
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    """Oracle: re-derive the merge table with the training CTE chain,
+    then apply the merges as nested replace() calls per word (scalar
+    subqueries against the MATERIALIZED t{r} CTEs evaluate once)."""
+    wrapped = "' ' || array_to_string(string_split(w, ''), '  ') || ' '"
+    seg = wrapped
+    for r in range(1, BPE_MERGES + 1):
+        pat = f"' ' || (SELECT sa FROM t{r}) || '  ' || (SELECT sb FROM t{r}) || ' '"
+        rep = f"' ' || (SELECT sa FROM t{r}) || (SELECT sb FROM t{r}) || ' '"
+        seg = f"replace({seg}, {pat}, {rep})"
+    tc = f"len(string_split(trim({seg}), '  '))"
+    return f"""{_BPE_TRAIN_CTES}
+, wpd AS MATERIALIZED (
+  SELECT source, doc_id, w, {tc} AS tc FROM (
+    SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), per_doc AS (
+  SELECT source, doc_id, COUNT(*) AS n_words, SUM(tc) AS n_tokens
+  FROM wpd GROUP BY source, doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(p.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(p.n_tokens, 0)) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(d.text)) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN SUM(COALESCE(p.n_tokens, 0)) = 0 THEN 0
+                 ELSE (10000 * SUM(length(d.text)))
+                      // SUM(COALESCE(p.n_tokens, 0)) END AS BIGINT)
+         AS chars_per_token_bp
+FROM documents d LEFT JOIN per_doc p
+  ON d.source = p.source AND d.doc_id = p.doc_id
+GROUP BY d.source
+"""
+
+
+@query("text_bpe_tokenize", oracle=_bpe_apply_oracle())
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER APPLICATION at corpus scale — the other half of
+    text_bpe_train: the learned merge rules are applied to EVERY corpus
+    word and the per-source token economics reported (docs, words,
+    tokens, chars, chars-per-token in basis points — the numbers that
+    size a training run and price an API corpus). Merges apply in
+    training order as a chain of replace() calls over the double-space
+    segment representation (canonical non-overlapping left-to-right
+    application, identical in both engines).
+
+    Scale shape: training is bounded (word-frequency table + driver-side
+    top-1 per round, see bpe_train); APPLICATION is one corpus scan with
+    the merge chain fully inlined as codegen string expressions inside a
+    transform/aggregate HOF — no UDF, no shuffle before the final
+    per-source partial agg, no per-word join. Token counting at 100 TB
+    is exactly this: a map-side expression the optimizer pipelines with
+    the scan. The merge list rides the plan as literals (the IVF-seed
+    bounded-metadata pattern)."""
+    return bpe_tokenize(load(spark, sf_dir, "documents"))
+
+
+def bpe_tokenize(
+    d: DataFrame, n_merges: int = BPE_MERGES, vocab: int = BPE_VOCAB
+) -> DataFrame:
+    """Train merges on `d`'s word table, then tokenize `d` map-side —
+    see text_bpe_tokenize for the full design rationale."""
+    merges = [
+        (r.sa, r.sb)
+        for r in bpe_train(d, n_merges, vocab)
+        .orderBy("merge_round")
+        .collect()
+    ]
+
+    def token_count(w):
+        seg = F.concat(
+            F.lit(" "), F.array_join(F.split(w, ""), "  "), F.lit(" ")
+        )
+        for sa, sb in merges:
+            seg = F.replace(
+                seg, F.lit(f" {sa}  {sb} "), F.lit(f" {sa}{sb} ")
+            )
+        return F.size(F.split(F.trim(seg), "  "))
+
+    words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    per_doc = d.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, token_count),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.when(
+            F.sum("n_tokens") == 0, F.lit(0)
+        )
+        .otherwise(
+            F.expr("(10000 * sum(n_chars)) div sum(n_tokens)")
+        )
+        .cast("bigint")
+        .alias("chars_per_token_bp"),
     )

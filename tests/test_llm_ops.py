@@ -591,3 +591,31 @@ def test_bpe_train_releases_round_caches(spark, sf_dir):
     assert out.count() == 10
     after = jsc.getPersistentRDDs().size()
     assert after == before, (before, after)
+
+
+def test_bpe_tokenize_planted_corpus(spark):
+    # 'abab ab' + 'cd' under 2 merges: r1 learns (a,b) w=3, r2 learns
+    # (ab,ab) -> 'abab' is ONE token, 'ab' one, 'cd' stays two chars
+    from fintech_data_lake_as_code_spark.operators.text import bpe_tokenize
+
+    d = spark.createDataFrame(
+        [(1, "abab ab", "s1"), (2, "cd", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    got = {r.source: r for r in bpe_tokenize(d, n_merges=2).collect()}
+    assert (got["s1"].n_words, got["s1"].n_tokens, got["s1"].n_chars) == (2, 2, 7)
+    assert (got["s2"].n_words, got["s2"].n_tokens, got["s2"].n_chars) == (1, 2, 2)
+    # chars-per-token: s1 = 7 chars / 2 tokens = 35000 bp
+    assert got["s1"].chars_per_token_bp == 35000
+    assert got["s2"].chars_per_token_bp == 10000
+
+
+def test_bpe_train_stops_when_vocab_fully_merged(spark):
+    # asking for more merges than the corpus supports must stop cleanly
+    # (no empty-top-1 crash), emitting only the learnable rounds
+    from fintech_data_lake_as_code_spark.operators.text import bpe_train
+
+    d = spark.createDataFrame([(1, "ab")], "doc_id bigint, text string")
+    rows = bpe_train(d, n_merges=5).collect()
+    assert [r.merge_round for r in rows] == [1]
+    assert (rows[0].sa, rows[0].sb) == ("a", "b")
