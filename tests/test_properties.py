@@ -247,3 +247,116 @@ def test_pagerank_ranks_are_sane_and_deterministic(spark, sf_dir):
     assert {r.node_type for r in rows} == {"customer", "supplier"}
     again = fn(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def _get_session():
+    # hypothesis @given can't consume the pytest spark fixture; reuse
+    # the session-scoped singleton the fixture also builds
+    from fintech_data_lake_as_code_spark.session import get_spark
+
+    return get_spark("fintech-data-lake-tests")
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=9),  # heavy ties on purpose
+        min_size=1,
+        max_size=60,
+    ),
+    st.sets(st.integers(min_value=-1, max_value=10), max_size=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_bucketed_ntile_equals_direct_ntile(vals, cuts):
+    # the distributed-rank NTILE(5) (cut-point bucketing + per-bucket
+    # row_number + offsets) must equal the single-partition ntile for
+    # ANY value multiset (ties straddling bin boundaries included) and
+    # ANY cut points — cut quality affects parallelism, never output
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fintech_data_lake_as_code_spark.operators.windows import (
+        _bucket_expr,
+        _ntile5_from_offsets,
+    )
+
+    spark = _get_session()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "user_id bigint, val bigint"
+    )
+    bucketed = df.withColumn("_b_s", _bucket_expr("val", sorted(cuts)))
+    sizes = {
+        r["_b_s"]: r["cnt"]
+        for r in bucketed.groupBy("_b_s").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = {
+        r.user_id: r.s
+        for r in _ntile5_from_offsets(bucketed, "val", sizes, "s").collect()
+    }
+    exp = {
+        r.user_id: r.s
+        for r in df.select(
+            "user_id",
+            F.ntile(5).over(Window.orderBy("val", "user_id")).cast("bigint").alias("s"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def _bpe_apply_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Canonical BPE application: per merge rule in order, one
+    left-to-right non-overlapping pass over the symbol sequence."""
+    syms = list(word)
+    for sa, sb in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == sa and syms[i + 1] == sb:
+                out.append(sa + sb)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_bpe_segment_replace_is_canonical_application(words):
+    # the double-space delimited replace() representation must merge
+    # exactly like the canonical per-symbol algorithm for every learned
+    # rule sequence — including adjacent repeats ('abab') and
+    # overlapping runs ('aaa')
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.operators.text import bpe_train
+
+    spark = _get_session()
+    d = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+    merges = [
+        (r.sa, r.sb)
+        for r in bpe_train(d, n_merges=3).orderBy("merge_round").collect()
+    ]
+    # re-apply the learned merges via the engine's replace chain
+    seg = F.concat(
+        F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
+    )
+    for sa, sb in merges:
+        seg = F.replace(seg, F.lit(f" {sa}  {sb} "), F.lit(f" {sa}{sb} "))
+    toks = spark.createDataFrame(
+        [(w,) for w in set(words)], "w string"
+    ).select("w", F.split(F.trim(seg), "  ").alias("toks"))
+    got = {r.w: list(r.toks) for r in toks.collect()}
+    for w in set(words):
+        assert got[w] == _bpe_apply_reference(w, merges), (
+            w,
+            merges,
+            got[w],
+        )
