@@ -566,3 +566,13 @@ def test_triangle_edges_are_support_thresholded(spark, sf_dir):
 
     plan = formatted_plan(SPECS["graph_triangle_count"].fn(spark, sf_dir))
     assert f">= {TRI_MIN_SUPPORT}" in plan, plan
+
+
+def test_bpe_tokenize_apply_is_mapside_literals(spark, sf_dir):
+    # the learned merges must ride the plan as inlined replace()
+    # literals — application is one scan with HOF expressions: no join
+    # against a merge table, no Python UDF lane anywhere
+    plan = formatted_plan(SPECS["text_bpe_tokenize"].fn(spark, sf_dir))
+    assert "replace(" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
