@@ -1512,12 +1512,31 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_apply_oracle() -> str:
     """Oracle: re-derive the merge table with the training CTE chain,
     then apply the merges as nested replace() calls per word (scalar
-    subqueries against the MATERIALIZED t{r} CTEs evaluate once)."""
+    subqueries against the MATERIALIZED t{r} CTEs evaluate once).
+
+    Each round's replace is guarded on the round having LEARNED a rule:
+    when the vocabulary fully merges before BPE_MERGES rounds, the dead
+    t{r} CTEs are empty, their scalar subqueries are NULL, and an
+    unguarded replace(seg, NULL, NULL) would NULL-propagate through the
+    chain and zero every token count — silently diverging from the
+    Spark engine, whose merge list is simply shorter (bpe_train breaks
+    on an exhausted vocabulary)."""
     wrapped = "' ' || array_to_string(string_split(w, ''), '  ') || ' '"
     seg = wrapped
     for r in range(1, BPE_MERGES + 1):
-        pat = f"' ' || (SELECT sa FROM t{r}) || '  ' || (SELECT sb FROM t{r}) || ' '"
-        rep = f"' ' || (SELECT sa FROM t{r}) || (SELECT sb FROM t{r}) || ' '"
+        # COALESCE to a never-matching control char keeps a dead round a
+        # no-op with LINEAR expression growth (a CASE WHEN guard would
+        # duplicate the inner expression per round -> 2^rounds blowup);
+        # chr(1) cannot occur in a segment, which contains only word
+        # characters and space delimiters
+        pat = (
+            f"COALESCE(' ' || (SELECT sa FROM t{r}) || '  ' ||"
+            f" (SELECT sb FROM t{r}) || ' ', chr(1))"
+        )
+        rep = (
+            f"COALESCE(' ' || (SELECT sa FROM t{r}) ||"
+            f" (SELECT sb FROM t{r}) || ' ', '')"
+        )
         seg = f"replace({seg}, {pat}, {rep})"
     tc = f"len(string_split(trim({seg}), '  '))"
     return f"""{_BPE_TRAIN_CTES}

