@@ -122,14 +122,18 @@ def main() -> None:
     # conditions, and `queries_normalized` rescales each median by the
     # ratio for cross-round comparison.
     CAL_REF_SEC = _CAL_REF_SEC
-    cal_runs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr(
-            "sum(id % 7)", "sum(id * 3 + 1)"
-        ).collect()
-        cal_runs.append(time.perf_counter() - t0)
-    cal_sec = round(sorted(cal_runs)[len(cal_runs) // 2], 3)
+
+    def _calibrate() -> float:
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr(
+                "sum(id % 7)", "sum(id * 3 + 1)"
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[len(runs) // 2], 3)
+
+    cal_sec = _calibrate()
     cal_ratio = round(cal_sec / CAL_REF_SEC, 3)
     print(
         f"# calibration: median {cal_sec:.3f}s (ref {CAL_REF_SEC}s, "
@@ -217,6 +221,20 @@ def main() -> None:
     extras_total = round(sum(extras.values()), 3)
     fresh = _time_block(FRESH, "fresh")
 
+    # Re-probe AFTER the timed loops: background load arriving mid-run
+    # inflates late queries while the start-of-run probe shows an idle
+    # box (observed in round 8: last headline keys +2x while early keys
+    # were flat). A post-ratio far above the pre-ratio marks the run as
+    # load-contaminated; normalization stays on the PRE ratio for
+    # cross-round comparability.
+    cal_post_sec = _calibrate()
+    cal_post_ratio = round(cal_post_sec / CAL_REF_SEC, 3)
+    print(
+        f"# calibration (post): median {cal_post_sec:.3f}s "
+        f"(ratio {cal_post_ratio:.2f})",
+        file=sys.stderr,
+    )
+
     sf_name = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf = float(sf_name)
@@ -235,6 +253,8 @@ def main() -> None:
                     "sec": cal_sec,
                     "ref_sec": CAL_REF_SEC,
                     "ratio": cal_ratio,
+                    "post_sec": cal_post_sec,
+                    "post_ratio": cal_post_ratio,
                 },
                 "queries_normalized": {
                     k: round(v / cal_ratio, 3) for k, v in timings.items()
