@@ -517,6 +517,9 @@ def test_rfm_has_no_single_partition_sort(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     assert "ntile" not in plan.lower(), plan
     assert "Join" not in plan, plan
+    # exactly the three per-bucket window exchanges (the users-collapse
+    # agg sits behind the localCheckpoint); more means plan bloat crept in
+    assert plan.count("Arguments: hashpartitioning") == 3, plan
 
 
 def test_rfm_matches_direct_ntile(spark, sf_dir):
