@@ -1520,7 +1520,11 @@ def _bpe_apply_oracle() -> str:
     unguarded replace(seg, NULL, NULL) would NULL-propagate through the
     chain and zero every token count — silently diverging from the
     Spark engine, whose merge list is simply shorter (bpe_train breaks
-    on an exhausted vocabulary)."""
+    on an exhausted vocabulary). Known caveat: the chr(1) sentinel
+    assumes U+0001 never occurs inside a word — true of any sane text
+    corpus (and verified for the generated fixtures); a corpus that
+    both exhausts its vocabulary early AND embeds control characters
+    in words would need a longer sentinel."""
     wrapped = "' ' || array_to_string(string_split(w, ''), '  ') || ' '"
     seg = wrapped
     for r in range(1, BPE_MERGES + 1):

@@ -1271,7 +1271,23 @@ def observe_metrics_over(spark: SparkSession, src: str) -> DataFrame:
     """Drive the observe()-based DQ gate over any landed-JSON events
     dir — see stream_observe_metrics for the design rationale. Robust
     to zero-row micro-batches (empty landed files): the observation is
-    still reported for them, with count 0 and coalesced-zero sums."""
+    still reported for them, with count 0 and coalesced-zero sums. An
+    ALL-empty feed raises — a green DQ verdict over zero rows would
+    mask an upstream landing failure (Deequ's empty-dataset rule).
+
+    Progress retention is raised for the query's lifetime: Spark keeps
+    only `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    progress entries, so a >100-file dir at maxFilesPerTrigger=1 would
+    silently drop the earliest batches' counters; the drain also
+    refuses to sum if the buffer hit its cap."""
+    # Timestamps in the landed JSON are UTC-naive strings; pin the
+    # parse (the _events_json_dir contract, re-applied here because a
+    # caller may hand this function an already-landed dir with no
+    # load() having run in the session).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    retention_conf = "spark.sql.streaming.numRecentProgressUpdates"
+    prev_retention = spark.conf.get(retention_conf, None)
+    spark.conf.set(retention_conf, "10000")
     rules, exprs = _dq_observe_exprs()
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -1292,7 +1308,8 @@ def observe_metrics_over(spark: SparkSession, src: str) -> DataFrame:
     q.processAllAvailable()
     totals = [0] * (len(rules) + 1)
     seen_batches = 0
-    for p in q.recentProgress:
+    progresses = list(q.recentProgress)
+    for p in progresses:
         om = (p.observedMetrics or {}).get("dq")
         if om is None:
             continue  # empty trigger: no rows, no metrics
@@ -1303,8 +1320,22 @@ def observe_metrics_over(spark: SparkSession, src: str) -> DataFrame:
             # counter must never poison the integer totals
             totals[i + 1] += om[f"v_{i}"] or 0
     q.stop()
+    if prev_retention is None:
+        spark.conf.unset(retention_conf)
+    else:
+        spark.conf.set(retention_conf, prev_retention)
+    if len(progresses) >= 10000:
+        raise RuntimeError(
+            "progress buffer hit its retention cap — earliest batches' "
+            "counters were dropped; raise numRecentProgressUpdates"
+        )
     if seen_batches == 0:
         raise RuntimeError("no observed metrics reported by the stream")
+    if totals[0] == 0:
+        raise RuntimeError(
+            "zero rows observed across the whole feed — refusing to "
+            "emit a green DQ verdict over an empty dataset"
+        )
     rows = [
         (
             rule_id,

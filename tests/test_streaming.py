@@ -640,3 +640,20 @@ def test_observe_metrics_survives_empty_landed_file(spark, sf_dir, tmp_path):
         for r in observe_metrics_over(spark, src).collect()
     }
     assert got == exp
+
+
+def test_observe_metrics_refuses_all_empty_feed(spark, tmp_path):
+    # a feed of ONLY empty landed files must raise, never return a
+    # green DQ verdict over zero rows (an upstream landing failure)
+    import pytest as _pytest
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        observe_metrics_over,
+    )
+
+    tmp = tmp_path / "landed_empty"
+    tmp.mkdir()
+    (tmp / "a.json").write_text("")
+    (tmp / "b.json").write_text("")
+    with _pytest.raises(RuntimeError, match="zero rows"):
+        observe_metrics_over(spark, str(tmp))
