@@ -662,3 +662,61 @@ def test_bpe_tokenize_oracle_handles_exhausted_vocab(spark, tmp_path):
     # and the counts are the REAL ones, not NULL-propagated zeros:
     # 'abc' and 'ab' both collapse to a single token
     assert got["s1"] == (2, 3, 3, 9)
+
+
+def test_training_pipeline_composes_end_to_end(spark, sf_dir):
+    # The operators must compose like the real training-data pipeline a
+    # user of this engine would run: resolve near-dup clusters, elect
+    # one survivor per cluster, rewrite the corpus to survivors only,
+    # then tokenize the deduplicated corpus with the trained tokenizer.
+    # Each joint invariant below is one no single-key test can see.
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        _corpus,
+        dedup_cluster_cc,
+        dedup_keep_best,
+    )
+    from fintech_data_lake_as_code_spark.operators.text import bpe_tokenize
+
+    corpus = _corpus(spark, sf_dir)
+    n_docs = corpus.count()
+
+    # 1) survivor election covers every clustered doc exactly once
+    manifest = dedup_keep_best(spark, sf_dir)
+    m = manifest.collect()
+    clustered_members = sum(r.n_members for r in m)
+    labels = dedup_cluster_cc(spark, sf_dir)
+    assert clustered_members == labels.count()
+    assert all(r.n_members >= 2 for r in m), "singleton clusters leaked"
+
+    # 2) corpus rewrite: drop every clustered doc that is not its
+    # cluster's survivor
+    survivors = {r.survivor_id for r in m}
+    drop = {
+        r.doc_id
+        for r in labels.collect()
+        if r.doc_id not in survivors
+    }
+    kept = corpus.where(~F.col("doc_id").isin(drop))
+    n_kept = kept.count()
+    assert n_kept == n_docs - len(drop)
+    assert len(drop) >= 1, "corpus had no duplicates to drop"
+
+    # 3) planted twins never survive together
+    for a, b in _planted_doc_pairs(spark, sf_dir):
+        assert not (a in survivors and b in survivors), (a, b)
+
+    # 4) tokenizing the deduplicated corpus is consistent with the full
+    # corpus: fewer (or equal) docs/words/tokens, never more (the
+    # dedup corpus carries no source column; tokenize it as one source)
+    tag = lambda df: df.select("doc_id", "text").withColumn(  # noqa: E731
+        "source", F.lit("all")
+    )
+    full = {r.source: r for r in bpe_tokenize(tag(corpus)).collect()}
+    dedup = {r.source: r for r in bpe_tokenize(tag(kept)).collect()}
+    assert set(dedup) <= set(full)
+    for src, d in dedup.items():
+        f = full[src]
+        assert d.n_docs <= f.n_docs
+        assert d.n_words <= f.n_words
+        assert d.n_tokens <= f.n_tokens
+    assert sum(d.n_docs for d in dedup.values()) == n_kept
