@@ -44,6 +44,11 @@ HEAVY_KEYS = [
     "dedup_cluster_cc",
     "dedup_containment",
     "dedup_paragraph",
+    # the two remaining banded/blocked dedup strategies — prefix-filter
+    # (PPJoin) and band-blocked simhash are exactly where an accidental
+    # all-pairs regression would hide
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_topk_lsh",
     # r7 heavies (VERDICT r7 ask #4): the trained-quantizer ANN path
     # (bounded train + cell equi-join => linear in corpus at fixed
@@ -51,6 +56,13 @@ HEAVY_KEYS = [
     # replica graphs => exactly 10x edges/wedges/triangles)
     "sim_topk_ivf_kmeans",
     "graph_triangle_count",
+    # gopher repetition is a map-side gram explode — linear in tokens.
+    # (sim_maxsim_multivector is deliberately NOT here: its registered
+    # form scores ALL label pairs — quadratic in label count by design,
+    # with the documented 100 TB path swapping in an ANN candidate
+    # generator; a replica-scaled corpus would only measure that known
+    # quadratic, not a regression.)
+    "text_repetition_gopher",
     "text_decontaminate",
     # r8: the cut-point-binned RFM rework reads the replicated events
     # (10x users, same per-user event density) — guards the
