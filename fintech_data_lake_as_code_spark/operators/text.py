@@ -1353,12 +1353,14 @@ def bpe_train(
     merge round is a pair-count aggregate over that table plus a
     driver-side top-1 (bounded metadata, the IVF-seed pattern). Corpus
     size only affects the initial scan; rounds cost O(vocab). Storage
-    is bounded by ONE round: each round's segment table is cached,
-    materialized, and the previous round's cache explicitly released,
-    so running {BPE_MERGES} (or 10k) merges never stacks cached
-    copies; a production trainer at realistic merge counts would
-    additionally localCheckpoint every ~64 rounds to cap logical-plan
-    depth (execution already reads only the latest cache)."""
+    is bounded: each round's segment table is cached and explicitly
+    released once the NEXT round's pair-count collect has materialized
+    its successor (at most two rounds cached transiently, no extra
+    materialization job), so running {BPE_MERGES} (or 10k) merges never
+    stacks cached copies; a production trainer at realistic merge
+    counts would additionally localCheckpoint every ~64 rounds to cap
+    logical-plan depth (execution already reads only the latest
+    cache)."""
     spark = d.sparkSession
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1376,6 +1378,7 @@ def bpe_train(
         ).alias("seg"),
     ).cache()
     merges = []
+    prev = None  # the round-before-last's cache handle, released lazily
     for r in range(1, n_merges + 1):
         pairs = (
             seg.select(
@@ -1398,7 +1401,14 @@ def bpe_train(
             .groupBy("sa", "sb")
             .agg(F.sum("cnt").alias("w"))
         )
+        # this collect also MATERIALIZES seg's cache (pairs derives from
+        # it), so the round BEFORE last can release its cache now — one
+        # deferred unpersist instead of a dedicated count() job per
+        # round; storage stays bounded by two rounds transiently
         tops = pairs.orderBy(F.desc("w"), "sa", "sb").limit(1).collect()
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not tops:  # vocabulary fully merged before n_merges rounds
             break
         top = tops[0]
@@ -1414,9 +1424,9 @@ def bpe_train(
                 )
             ).alias("seg"),
         ).cache()
-        nxt.count()  # materialize the new round BEFORE dropping the old
-        seg.unpersist()
-        seg = nxt
+        prev, seg = seg, nxt
+    if prev is not None:
+        prev.unpersist()
     seg.unpersist()  # merges are driver-side; nothing reads seg again
     return spark.createDataFrame(
         merges,
