@@ -323,7 +323,10 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between reading two days and reading three years; the
     plan-shape test asserts the predicate lands in PartitionFilters, not
     in a post-scan Filter. The first two calendar days are selected via a
-    metadata-only min() so the query stays deterministic for the oracle."""
+    min() over the freshly written set so the query stays deterministic
+    for the oracle (an agg job, not metadata-only — Spark's
+    metadata-only-aggregate rewrite is disabled by default; at scale the
+    cutoff would come from the partition directory listing instead)."""
     import datetime
 
     out = scratch_dir(sf_dir, "scan_partition_pruned")
