@@ -392,7 +392,12 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the batch and the MV state move). The oracle recomputes the
     aggregate from the fully-merged state, so the comparison proves the
     incremental path exact."""
-    ev = load(spark, sf_dir, "events")
+    return incremental_agg(load(spark, sf_dir, "events"))
+
+
+def incremental_agg(ev: DataFrame) -> DataFrame:
+    """Z-set incremental aggregate over any events changelog — see
+    cdc_incremental_agg for the full design."""
     k = F.get_json_object("props", "$.k").cast("int")
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
 
@@ -417,17 +422,22 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("cents").alias("c")
     )
     # signed deltas: both shuffles land on user_id, so the groupBys above
-    # pre-locate this join (exchange reuse, no extra shuffle)
+    # pre-locate this join (exchange reuse, no extra shuffle). The
+    # "user existed in snapshot" test is a dedicated non-null marker —
+    # testing a nullable ATTRIBUTE (old event_type) would silently skip
+    # retracting a snapshot row whose type is NULL (legal in this feed;
+    # see cdc_gdpr_erasure's NULL-type handling).
     acted = batch.join(
         snap.select(
             "user_id",
             F.col("event_type").alias("old_type"),
             F.col("cents").alias("old_cents"),
+            F.lit(1).alias("had_snapshot"),
         ),
         "user_id",
         "left",
     )
-    retracts = acted.where(F.col("old_type").isNotNull()).select(
+    retracts = acted.where(F.col("had_snapshot").isNotNull()).select(
         F.col("old_type").alias("event_type"),
         F.lit(-1).alias("w"),
         (-F.col("old_cents")).alias("wc"),
@@ -440,10 +450,18 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("w").alias("dn"), F.sum("wc").alias("dc"))
     )
+    # null-SAFE merge on the group key: a plain equi-join would split a
+    # NULL-type group into two half-rows where the oracle's GROUP BY
+    # produces one (same eqNullSafe discipline as cdc_gdpr_erasure)
+    d = delta.select(
+        F.col("event_type").alias("d_type"), "dn", "dc"
+    )
     return (
-        base.join(delta, "event_type", "full")
+        base.join(
+            d, F.col("event_type").eqNullSafe(F.col("d_type")), "full"
+        )
         .select(
-            "event_type",
+            F.coalesce("event_type", "d_type").alias("event_type"),
             (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
                 "n_users"
             ),

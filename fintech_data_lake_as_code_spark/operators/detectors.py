@@ -68,8 +68,12 @@ def detect_overdraft_freeze(df: DataFrame, freeze_hours: int = 24) -> DataFrame:
     the account; flag activity within the freeze window. Needs: row_id,
     user_id, ts, amount_cents (signed BIGINT, debits negative).
 
-    Running balance via window; per-user first-overdraft anchors are tiny
-    -> broadcast join back against the activity stream."""
+    Running balance via window; per-user first-overdraft anchors join
+    back against the activity stream on user_id. No broadcast hint: the
+    anchor set is one row PER OVERDRAFTED USER — unbounded on a real
+    lake (round-8 review finding) — and both sides already shuffle on
+    user_id, so the sort-merge/AQE choice is the scale-safe plan (AQE
+    still auto-broadcasts when the anchors measure small at runtime)."""
     running = _user_ts().rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ledger = df.withColumn("balance", F.sum("amount_cents").over(running))
     first_od = (
@@ -78,7 +82,7 @@ def detect_overdraft_freeze(df: DataFrame, freeze_hours: int = 24) -> DataFrame:
         .agg(F.min("ts").alias("frozen_at"))
     )
     return (
-        df.join(F.broadcast(first_od), "user_id")
+        df.join(first_od, "user_id")
         .where(
             (F.col("ts") > F.col("frozen_at"))
             & (

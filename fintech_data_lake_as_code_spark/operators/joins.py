@@ -737,30 +737,36 @@ def scd2_pointintime(ev: DataFrame) -> DataFrame:
         .orderBy("t", "is_fact", "ts_full", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE struct fill, not three independent last() windows: filling
+    # each attribute separately would let a NULL attribute on the
+    # newest version tear the output across versions (last(cents,
+    # ignorenulls) skipping back to an older version while type/
+    # valid_from come from the newest) — the whole row of the last dim
+    # version must win, NULLs included (round-8 review finding)
+    version = F.when(
+        F.col("is_fact") == 0,
+        F.struct(
+            F.col("profile_type").alias("profile_type"),
+            F.col("profile_cents").alias("profile_cents"),
+            F.col("t").alias("valid_from"),
+        ),
+    )
     filled = dim.unionByName(fact).select(
         "user_id",
         "t",
         "is_fact",
         "event_id",
-        F.last("profile_type", ignorenulls=True).over(w).alias("profile_type"),
-        F.last("profile_cents", ignorenulls=True).over(w).alias(
-            "profile_cents"
-        ),
-        F.last(
-            F.when(F.col("is_fact") == 0, F.col("t")), ignorenulls=True
-        )
-        .over(w)
-        .alias("valid_from"),
+        F.last(version, ignorenulls=True).over(w).alias("v"),
     )
     return (
-        filled.where((F.col("is_fact") == 1) & F.col("valid_from").isNotNull())
+        filled.where((F.col("is_fact") == 1) & F.col("v").isNotNull())
         .select(
             "event_id",
             "user_id",
             F.col("t").alias("fact_epoch"),
-            "valid_from",
-            "profile_type",
-            "profile_cents",
+            F.col("v.valid_from").alias("valid_from"),
+            F.col("v.profile_type").alias("profile_type"),
+            F.col("v.profile_cents").alias("profile_cents"),
         )
     )
 

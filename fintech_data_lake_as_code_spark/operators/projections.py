@@ -50,7 +50,7 @@ def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount
     FROM lineitem
-    WHERE l_shipdate BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2025-01-01'
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.02 AND 0.08
       AND (l_quantity < 10 OR l_quantity > 40)
       AND l_returnflag IN ('A', 'N')
@@ -58,10 +58,14 @@ def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive/disjunctive predicates, BETWEEN, IN (ref A3 selection
-    rule + A9 domains) — all pushed to the scan."""
+    rule + A9 domains) — all pushed to the scan. The date window sits
+    INSIDE the data's 1995-2001 shipdate span: a window outside it made
+    both engines return zero rows and the differential vacuous (round-8
+    review finding) — a selective-but-nonempty result is what certifies
+    the predicate translation and pushdown."""
     li = load(spark, sf_dir, "lineitem")
     return li.where(
-        F.col("l_shipdate").between("2024-01-01", "2025-01-01")
+        F.col("l_shipdate").between("1996-01-01", "1997-01-01")
         & F.col("l_discount").between(0.02, 0.08)
         & ((F.col("l_quantity") < 10) | (F.col("l_quantity") > 40))
         & F.col("l_returnflag").isin("A", "N")

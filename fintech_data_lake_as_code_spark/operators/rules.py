@@ -11,8 +11,9 @@ violations) are exercised in tests/test_rules.py over the seeded
 customeractivity fixture from sources/datagen.py.
 
 Scale notes: every rule is one shuffle on user_id (window or groupBy);
-B3's freeze join is a broadcast of per-user overdraft anchors, never a
-fact-fact range join.
+B3's freeze join is a user_id equi-join against the per-user overdraft
+anchors (unbounded cardinality — no broadcast hint; AQE may still elect
+one at runtime), never a fact-fact range join.
 """
 
 from __future__ import annotations
@@ -31,8 +32,6 @@ from .detectors import (
     detect_overdraft_freeze,
     detect_session_overlap,
 )
-
-_USER_TS = lambda: Window.partitionBy("user_id").orderBy("ts", "event_id")  # noqa: E731
 
 
 def _with_city(ev: DataFrame) -> DataFrame:
