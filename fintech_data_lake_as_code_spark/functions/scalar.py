@@ -26,11 +26,11 @@ from ..registry import query
     "fn_string",
     oracle="""
     SELECT doc_id,
-           concat(source, '-', lang) AS src_lang,
+           (source || '-' || lang) AS src_lang,
            substring(text, 1, 20) AS prefix20,
            upper(lang) AS lang_up,
            lower(source) AS src_low,
-           trim(concat(' ', lang, ' ')) AS lang_trim,
+           trim(' ' || lang || ' ') AS lang_trim,
            lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
            regexp_extract(text, '([a-z]+)', 1) AS first_word,
            substring(regexp_replace(text, ' ', '_', 'g'), 1, 30) AS snake30,
@@ -42,7 +42,10 @@ from ..registry import query
 )
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family: concat/substring/case/trim/lpad/regexp/split/like
-    (ref §1.4.4 vocabulary normalization)."""
+    (ref §1.4.4 vocabulary normalization). The oracle concatenates with
+    the NULL-propagating || operator, matching Spark's concat() — DuckDB's
+    concat() function skips NULLs and would silently diverge on any
+    NULL source/lang row (round-8 review finding)."""
     d = load(spark, sf_dir, "documents")
     return d.where(F.col("doc_id") < 200).select(
         "doc_id",
@@ -150,34 +153,43 @@ def fn_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_conditional",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice < 500 THEN 'small'
-                WHEN o_totalprice < 2000 THEN 'medium'
+           CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
                 ELSE 'large' END AS size_bucket,
            coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
-           least(o_totalprice, 1000.0) AS capped_price,
-           greatest(o_totalprice, 100.0) AS floored_price,
-           (CASE WHEN o_orderpriority IS NULL THEN 'none' ELSE o_orderpriority END)
-             AS priority_norm
+           least(o_totalprice, 250000.0) AS capped_price,
+           greatest(o_totalprice, 100000.0) AS floored_price,
+           (CASE WHEN nullif(o_orderpriority, '4-NOT SPECIFIED') IS NULL
+                 THEN 'none' ELSE o_orderpriority END) AS priority_norm
     FROM orders
     WHERE o_orderkey % 11 = 0
     """,
 )
 def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional family: case/when, coalesce, nullif, least/greatest
-    (ref A10 default-column semantics, setupTables.py:57)."""
+    (ref A10 default-column semantics, setupTables.py:57). Every branch
+    and bound sits INSIDE the o_totalprice range (1k..500k) and the
+    priority domain, so each conditional is load-bearing — the old
+    sub-2000 thresholds made four of five columns constants/identities
+    the differential could not discriminate (round-8 review finding);
+    the unrepresentable NULL-priority branch now normalizes the real
+    '4-NOT SPECIFIED' sentinel through nullif instead."""
     o = load(spark, sf_dir, "orders")
     return o.where(F.col("o_orderkey") % 11 == 0).select(
         "o_orderkey",
-        F.when(F.col("o_totalprice") < 500, "small")
-        .when(F.col("o_totalprice") < 2000, "medium")
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
         .otherwise("large")
         .alias("size_bucket"),
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
             "status_norm"
         ),
-        F.least("o_totalprice", F.lit(1000.0)).alias("capped_price"),
-        F.greatest("o_totalprice", F.lit(100.0)).alias("floored_price"),
-        F.when(F.col("o_orderpriority").isNull(), "none")
+        F.least("o_totalprice", F.lit(250000.0)).alias("capped_price"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floored_price"),
+        F.when(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).isNull(),
+            "none",
+        )
         .otherwise(F.col("o_orderpriority"))
         .alias("priority_norm"),
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_avg, exact_sum
+from ..functions.exact import cents, exact_avg, exact_sum
 from ..io import load
 from ..registry import query
 
@@ -67,18 +67,21 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (COUNT(l_discount) * 100) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2026-01-01'
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing-summary hash aggregate (TPC-H Q1 shape) — the engine's
-    headline batch aggregate."""
+    headline batch aggregate. The shipdate cutoff is Q1's canonical
+    1998-09-02, INSIDE the data's 1995-2001 span, so the predicate and
+    its string-literal cast are load-bearing (a beyond-the-data cutoff
+    filtered nothing and graded vacuously — round-8 review finding)."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.where(F.col("l_shipdate") <= "2026-01-01")
+        li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_sum(F.col("l_quantity")).alias("sum_qty"),
@@ -99,17 +102,20 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
-    HAVING COUNT(*) > 40
+    HAVING COUNT(*) > 65
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-aggregation filter (ref B6 'multiple enquiries' threshold,
-    setupTables.py:40)."""
+    setupTables.py:40). The threshold sits INSIDE the per-user count
+    range at every fixture scale (45..99), so the HAVING actually
+    discriminates — a threshold below the minimum made the key grade a
+    plain groupBy (round-8 review finding)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
-        .where(F.col("n_events") > 40)
+        .where(F.col("n_events") > 65)
     )
 
 
@@ -298,7 +304,7 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        F.sum(cents(F.col("value"))).alias("cents"),
     )
     return (
         hourly.groupBy(
@@ -471,7 +477,12 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     order differs across engines/partitionings; moments-first is the
     engine-portable form of the same one-pass aggregation (and what the
     built-ins do internally, minus the exactness)."""
-    li = load(spark, sf_dir, "lineitem")
+    return stats_corr(load(spark, sf_dir, "lineitem"))
+
+
+def stats_corr(li: DataFrame) -> DataFrame:
+    """Moments-first corr/covar over any lineitem-shaped frame — see
+    agg_stats_corr for the design; degenerate groups yield NULL."""
     x = F.round(F.col("l_quantity") * 100, 0).cast("decimal(38,0)")
     y = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
     m = li.groupBy("l_returnflag").agg(
@@ -486,14 +497,25 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # degenerate groups (n=1 or zero variance) must yield NULL, not a
+    # Spark-4 ANSI DIVIDE_BY_ZERO abort — DuckDB's double division
+    # already returns NULL for 0/0 (round-8 review finding)
+    corr_den = F.sqrt(denx * deny)
     return m.select(
         "l_returnflag",
         "n",
-        F.round(num / F.sqrt(denx * deny), 6).alias("corr_qty_price"),
-        F.round(
-            num / F.col("n").cast("double") / (F.col("n") - 1).cast("double")
-            / 10000.0,
-            2,
+        F.when(
+            corr_den != 0.0, F.round(num / corr_den, 6)
+        ).alias("corr_qty_price"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                num
+                / F.col("n").cast("double")
+                / (F.col("n") - 1).cast("double")
+                / 10000.0,
+                2,
+            ),
         ).alias("covar_samp"),
     )
 

@@ -720,3 +720,54 @@ def test_training_pipeline_composes_end_to_end(spark, sf_dir):
         assert d.n_words <= f.n_words
         assert d.n_tokens <= f.n_tokens
     assert sum(d.n_docs for d in dedup.values()) == n_kept
+
+
+def test_stats_corr_degenerate_groups_yield_null_not_abort(spark):
+    # a 1-row group and a zero-variance group must produce NULL corr /
+    # covar like the oracle's double 0-division — not a Spark-4 ANSI
+    # DIVIDE_BY_ZERO abort (round-8 review finding)
+    from fintech_data_lake_as_code_spark.operators.aggregates import (
+        stats_corr,
+    )
+
+    li = spark.createDataFrame(
+        [
+            ("S", 1.0, 10.0),                      # n=1 group
+            ("Z", 2.0, 5.0), ("Z", 2.0, 7.0),      # zero variance in qty
+            ("N", 1.0, 2.0), ("N", 2.0, 4.0), ("N", 3.0, 6.0),
+        ],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    got = {r.l_returnflag: r for r in stats_corr(li).collect()}
+    assert got["S"].corr_qty_price is None and got["S"].covar_samp is None
+    assert got["Z"].corr_qty_price is None  # sqrt(0 * deny) == 0
+    assert got["N"].corr_qty_price == 1.0   # perfectly linear group
+
+
+def test_relational_predicates_are_load_bearing(spark, sf_dir):
+    # the round-8 vacuity findings must stay fixed: each predicate/branch
+    # must both keep and drop rows on the fixtures it grades against
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.operators.aggregates import (
+        agg_groupby,
+        agg_having,
+    )
+    from fintech_data_lake_as_code_spark.functions.scalar import (
+        fn_conditional,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    kept = agg_groupby(spark, sf_dir).agg(F.sum("count_order")).first()[0]
+    assert 0 < kept < li.count(), "Q1 cutoff must filter some rows"
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    heavy = agg_having(spark, sf_dir).count()
+    assert 0 < heavy < users, "HAVING must keep some and drop some groups"
+
+    cond = fn_conditional(spark, sf_dir).collect()
+    assert len({r.size_bucket for r in cond}) >= 2
+    assert any(r.capped_price == 250000.0 for r in cond)
+    assert any(r.capped_price < 250000.0 for r in cond)
+    assert any(r.floored_price == 100000.0 for r in cond)
+    assert any(r.floored_price > 100000.0 for r in cond)
+    assert {r.priority_norm == "none" for r in cond} == {True, False}
