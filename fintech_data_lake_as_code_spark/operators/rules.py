@@ -13,7 +13,10 @@ customeractivity fixture from sources/datagen.py.
 Scale notes: every rule is one shuffle on user_id (window or groupBy);
 B3's freeze join is a user_id equi-join against the per-user overdraft
 anchors (unbounded cardinality — no broadcast hint; AQE may still elect
-one at runtime), never a fact-fact range join.
+one at runtime), never a fact-fact range join. B9's top-10 election is
+the one global ordering — TakeOrdered over per-user totals with the
+rank window confined to the bounded 10-row result, never an
+unpartitioned window over the full relation.
 """
 
 from __future__ import annotations
@@ -323,17 +326,27 @@ def rule_b8_regular_investor(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rule_b9_large_investor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: large capital-market investors (setupTables.py:43) — magnitude
-    ranking, top-10."""
+    ranking, top-10.
+
+    Scale shape: the election is orderBy().limit(10) — Spark compiles it
+    to TakeOrderedAndProject, a per-partition top-10 reduced at the
+    driver, never a full sort. Ranking the WHOLE users relation through
+    an unpartitioned window (the previous formulation, and the pattern
+    VERDICT r7 killed in win_rfm_score) funnels every per-user total
+    through one reducer to keep 10 rows. The (total desc, user_id)
+    tiebreak makes ranks unique, so ranking the bounded 10-row result
+    reproduces the full-relation rank values exactly."""
     ev = load(spark, sf_dir, "events")
     totals = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(cents(F.col("value"))).alias("_total_cents"))
     )
+    top = totals.orderBy(F.col("_total_cents").desc(), "user_id").limit(10)
+    # window over the BOUNDED 10-row election result only
     w = Window.orderBy(F.col("_total_cents").desc(), F.col("user_id"))
     return (
-        totals.withColumn("inv_rank", F.rank().over(w))
-        .where(F.col("inv_rank") <= 10)
+        top.withColumn("inv_rank", F.rank().over(w))
         .select(
             "user_id", "inv_rank", unscale(F.col("_total_cents")).alias("total_invested")
         )

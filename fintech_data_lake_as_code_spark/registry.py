@@ -215,19 +215,25 @@ _STALE_REGRADE = frozenset(
         "win_rfm_score",
         "text_bpe_train",
         "join_scd2_pointintime",
+        # r8 late fix: top-10 election reworked from an unpartitioned
+        # full-relation rank window to TakeOrdered + bounded rank (the
+        # win_rfm_score pattern, applied to the remaining instance)
+        "rule_b9_large_investor",
     }
 )
 
-# The grading budget is 50/round; with 3 stale + 3 new rank-(0,0) keys
-# plus 45 r4-vintage keys, round 8 has 51 candidates for 50 slots. One
-# key must wait a round — make the choice explicit and boring instead
-# of letting dict order pick: project_rename_cast is the most trivial,
-# most stable key in the r4 cohort (a pure projection whose code hasn't
-# changed since r2). It ranks just behind its cohort and grades first
-# thing in r9 alongside the r5 cohort (47 keys), after which the
-# vintage spread returns to <= 3. tests/test_registry_vintage.py pins
-# that this deferral set is exactly as large as the budget overflow.
-_DEFER_NEXT_ROUND = frozenset({"project_rename_cast"})
+# The grading budget is 50/round; with 4 stale + 3 new rank-(0,0) keys
+# plus 45 r4-vintage keys, round 8 has 52 candidates for 50 slots. Two
+# keys must wait a round — make the choice explicit and boring instead
+# of letting dict order pick: project_rename_cast and agg_distinct are
+# the most trivial, most stable keys in the r4 cohort (a pure
+# projection and plain distinct counts, code unchanged for many
+# rounds). They rank just behind their cohort and grade first thing in
+# r9 alongside the r5 cohort (47 keys + these 2 = 49 of 50 slots),
+# after which the vintage spread returns to <= 3.
+# tests/test_registry_vintage.py pins that this deferral set is exactly
+# as large as the budget overflow.
+_DEFER_NEXT_ROUND = frozenset({"project_rename_cast", "agg_distinct"})
 
 
 def _rank(name: str) -> tuple[int, int]:

@@ -579,3 +579,11 @@ def test_bpe_tokenize_apply_is_mapside_literals(spark, sf_dir):
     assert "replace(" in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_b9_election_is_take_ordered(spark, sf_dir):
+    # top-10 must compile to TakeOrderedAndProject (per-partition top-k,
+    # driver reduce) — the full-relation unpartitioned rank window the
+    # r8 review killed funnels all per-user totals through one reducer
+    plan = formatted_plan(SPECS["rule_b9_large_investor"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
