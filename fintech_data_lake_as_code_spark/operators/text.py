@@ -1623,14 +1623,25 @@ def bpe_tokenize(
         return F.size(F.split(F.trim(seg), "  "))
 
     words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    # NULL text contributes 0 words/tokens (the oracle's LEFT JOIN +
+    # COALESCE(..., 0) shape): without the guards, size()/aggregate()
+    # NULL-propagate (or return -1 for size under legacy conf) and an
+    # all-NULL-text source reports NULL sums where the oracle says 0.
+    # n_chars deliberately stays NULL-propagating — both engines' SUM
+    # skips NULLs identically there.
     per_doc = d.select(
         "source",
         F.length("text").alias("n_chars"),
-        F.size(words).alias("n_words"),
-        F.aggregate(
-            F.transform(words, token_count),
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(words))
+        .alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(words, token_count),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
             F.lit(0),
-            lambda acc, x: acc + x,
         ).alias("n_tokens"),
     )
     return per_doc.groupBy("source").agg(

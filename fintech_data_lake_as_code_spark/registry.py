@@ -80,40 +80,23 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r07.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r08.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r7 fold the vintage
-# census is 45@r4 / 47@r5 / 46@r6 / 50@r7. Round 8's rank-(0,0) demand
-# is 6 keys (3 stale + 3 new: stream_observe_metrics,
-# stream_python_datasource, text_bpe_tokenize), so 6 + 45 = 51
-# candidates overflow the 50-key budget by one — `_DEFER_NEXT_ROUND`
-# below absorbs it explicitly (project_rename_cast re-certifies first
-# thing in r9 with the r5 cohort). After r8 every key's latest green is
-# r5+ except that one documented deferral (pinned by
-# tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r8 fold the vintage
+# census is 2@r4 / 46@r5 / 46@r6 / 47@r7 / 50@r8 (CORRECTNESS_r08 was
+# 50/50 green; the two r4 keys are round 8's explicit deferrals and
+# grade first thing this round). Round 9's rank-(0,0) demand is 2 keys
+# (1 new: sim_maxsim_ann; 1 stale: text_bpe_tokenize, NULL-coalesce
+# semantics fix), so the prefix is exactly 2 rank-0 + 2 r4 + 46 r5 = 50
+# — no overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r5
+# after the r9 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 4 greens — oldest surviving verdicts, due for a refresh
+    # round 4 greens — the two explicit r8 deferrals, grade first in r9
     **dict.fromkeys(
         [
-            "agg_distinct", "agg_global", "agg_groupby", "agg_having",
-            "agg_maxby_latest", "agg_percentile", "agg_pivot",
-            "agg_rollup_cube_gsets", "agg_stats_corr", "agg_time_rollup",
-            "cdc_dedupe_batch", "cdc_envelope_roundtrip",
-            "cdc_incremental_agg", "cdc_latest_state", "cdc_merge_upsert",
-            "cdc_scd2_intervals", "dedup_exact",
-            "filter_null_domain", "filter_pred", "fn_conditional",
-            "fn_datetime", "fn_math_decimal", "fn_string", "join_anti",
-            "join_asof_backward", "join_asof_interval", "join_broadcast",
-            "join_cross_topk", "join_inner_equi", "join_left_right_full",
-            "join_multiway", "join_range_banded", "join_semi",
-            "join_theta_range", "project_rename_cast", "reshape_unpivot",
-            "rule_b1_city_hop", "rule_b2_session_overlap",
-            "rule_b3_overdraft_freeze", "rule_b4_first_forex",
-            "rule_b5_limit_3days", "rule_b6_enquiry_intent",
-            "rule_b7_regular_forex", "rule_b8_regular_investor",
-            "stream_transform_with_state",
+            "agg_distinct", "project_rename_cast",
         ],
         4,
     ),
@@ -126,7 +109,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "fn_map_struct", "graph_pagerank", "limit_topk",
             "multimodal_cols", "multimodal_decode",
             "multimodal_framesample", "rule_b10_cross_sell",
-            "rule_b9_large_investor", "sample_stratified_split",
+            "sample_stratified_split",
             "scan_jdbc", "scan_python_datasource",
             "set_distinct_ops", "set_union_all", "sim_topk_cosine",
             "sim_topk_lsh", "sort_multi",
@@ -171,7 +154,7 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         6,
     ),
-    # round 7 greens — freshest, grade last (CORRECTNESS_r07: 50/50)
+    # round 7 greens
     **dict.fromkeys(
         [
             "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
@@ -182,58 +165,67 @@ _VERDICT_ROUND: dict[str, int] = {
             "embedding_quantize_int8", "fn_collation", "fn_crypto",
             "fn_try_ansi", "fn_url", "fn_variant", "graph_triangle_count",
             "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
-            "join_scd2_pointintime", "join_spatial_grid",
+            "join_spatial_grid",
             "sample_negative_pairs", "sample_temperature_mix",
             "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
             "sim_topk_ivf_kmeans", "sink_compression_codecs",
             "sink_write_audit_publish", "sql_recursive_cte",
             "stream_foreachbatch_merge", "stream_scd2_apply",
-            "stream_tws_topk_state", "subquery_family", "text_bpe_train",
+            "stream_tws_topk_state", "subquery_family",
             "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
             "win_anomaly_zscore", "win_drawdown", "win_ewma",
-            "win_match_recognize", "win_resample_interp", "win_rfm_score",
+            "win_match_recognize", "win_resample_interp",
             "win_transition_matrix",
         ],
         7,
+    ),
+    # round 8 greens — freshest, grade last (CORRECTNESS_r08: 50/50)
+    **dict.fromkeys(
+        [
+            "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
+            "agg_percentile", "agg_pivot", "agg_rollup_cube_gsets",
+            "agg_stats_corr", "agg_time_rollup", "cdc_dedupe_batch",
+            "cdc_envelope_roundtrip", "cdc_incremental_agg",
+            "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
+            "dedup_exact", "filter_null_domain", "filter_pred",
+            "fn_conditional", "fn_datetime", "fn_math_decimal",
+            "fn_string", "join_anti", "join_asof_backward",
+            "join_asof_interval", "join_broadcast", "join_cross_topk",
+            "join_inner_equi", "join_left_right_full", "join_multiway",
+            "join_range_banded", "join_scd2_pointintime", "join_semi",
+            "join_theta_range", "reshape_unpivot", "rule_b1_city_hop",
+            "rule_b2_session_overlap", "rule_b3_overdraft_freeze",
+            "rule_b4_first_forex", "rule_b5_limit_3days",
+            "rule_b6_enquiry_intent", "rule_b7_regular_forex",
+            "rule_b8_regular_investor", "rule_b9_large_investor",
+            "stream_observe_metrics", "stream_python_datasource",
+            "stream_transform_with_state", "text_bpe_tokenize",
+            "text_bpe_train", "win_rfm_score",
+        ],
+        8,
     ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The r6/r7 stale set was fully re-certified in r7
-# (CORRECTNESS_r07 50/50 green). Round-8 code changes:
-# - win_rfm_score: registered plan reworked from three unpartitioned
-#   ntile sorts to one cut-point agg + broadcast map-side binning
-#   (VERDICT r7 "What's wrong" #1);
-# - text_bpe_train: per-round cache now unpersisted + localCheckpoint,
-#   BPE_MERGES raised, double-space delimiters so one replace pass
-#   merges overlapping occurrences (VERDICT r7 nit #2, ADVICE #4);
-# - join_scd2_pointintime: union window now ordered by full-precision
-#   ts instead of truncated epoch seconds (ADVICE #1).
+# never-graded keys. The r8 stale set was fully re-certified in r8
+# (CORRECTNESS_r08 50/50 green). Round-9 code change:
+# - text_bpe_tokenize: per-doc and corpus-level word/token sums now
+#   coalesce NULL text to 0 on the Spark side, mirroring the oracle's
+#   COALESCE — the r8 verdict predates the semantics fix (ADVICE r8 #3:
+#   an all-NULL-text source diverged, NULL vs 0).
 _STALE_REGRADE = frozenset(
     {
-        "win_rfm_score",
-        "text_bpe_train",
-        "join_scd2_pointintime",
-        # r8 late fix: top-10 election reworked from an unpartitioned
-        # full-relation rank window to TakeOrdered + bounded rank (the
-        # win_rfm_score pattern, applied to the remaining instance)
-        "rule_b9_large_investor",
+        "text_bpe_tokenize",
     }
 )
 
-# The grading budget is 50/round; with 4 stale + 3 new rank-(0,0) keys
-# plus 45 r4-vintage keys, round 8 has 52 candidates for 50 slots. Two
-# keys must wait a round — make the choice explicit and boring instead
-# of letting dict order pick: project_rename_cast and agg_distinct are
-# the most trivial, most stable keys in the r4 cohort (a pure
-# projection and plain distinct counts, code unchanged for many
-# rounds). They rank just behind their cohort and grade first thing in
-# r9 alongside the r5 cohort (47 keys + these 2 = 49 of 50 slots),
-# after which the vintage spread returns to <= 3.
+# Round 9 has no budget overflow: 2 rank-(0,0) keys (sim_maxsim_ann new
+# + the stale regrade above) + 2 deferred r4 keys + 46 r5-vintage keys
+# = exactly the 50-slot prefix, so nothing waits.
 # tests/test_registry_vintage.py pins that this deferral set is exactly
 # as large as the budget overflow.
-_DEFER_NEXT_ROUND = frozenset({"project_rename_cast", "agg_distinct"})
+_DEFER_NEXT_ROUND = frozenset()
 
 
 def _rank(name: str) -> tuple[int, int]:

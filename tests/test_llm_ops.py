@@ -664,6 +664,46 @@ def test_bpe_tokenize_oracle_handles_exhausted_vocab(spark, tmp_path):
     assert got["s1"] == (2, 3, 3, 9)
 
 
+def test_bpe_tokenize_null_text_matches_oracle(spark, tmp_path):
+    # ADVICE r8 #3: a source whose every document has NULL text must
+    # report 0 words/tokens (the oracle's LEFT JOIN + COALESCE shape),
+    # not NULL-propagated sums — and a mixed source must count only its
+    # non-NULL documents. n_chars stays NULL for the all-NULL source in
+    # BOTH engines (SUM skips NULLs identically).
+    import duckdb
+
+    from fintech_data_lake_as_code_spark.operators.text import (
+        text_bpe_tokenize,
+    )
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    docs = spark.createDataFrame(
+        [(1, None, "allnull"), (2, None, "allnull"),
+         (3, "ab ab", "mixed"), (4, None, "mixed")],
+        "doc_id bigint, text string, source string",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r.source: (r.n_docs, r.n_words, r.n_tokens, r.n_chars,
+                   r.chars_per_token_bp)
+        for r in text_bpe_tokenize(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    exp = {
+        row[0]: tuple(row[1:6])
+        for row in con.execute(registry()["text_bpe_tokenize"].oracle).fetchall()
+    }
+    assert got == exp
+    assert got["allnull"] == (2, 0, 0, None, 0)
+    # mixed: 'ab ab' -> 2 words, fully merged to 1 token each
+    assert got["mixed"][:2] == (2, 2)
+
+
 def test_training_pipeline_composes_end_to_end(spark, sf_dir):
     # The operators must compose like the real training-data pipeline a
     # user of this engine would run: resolve near-dup clusters, elect

@@ -93,17 +93,23 @@ def test_vintage_floor_is_rolling():
     With up to 4x50 = 200 grading slots per 4-round window, a spread of
     3 is achievable while the surface is <= 200 keys MINUS the round's
     rank-(0,0) demand; the explicit `_DEFER_NEXT_ROUND` set absorbs the
-    overflow (verified exactly in test_prefix_covers_floor_and_rank0),
-    so only deferred keys may sit one round past the window."""
+    overflow (verified exactly in test_prefix_covers_floor_and_rank0).
+    A key may sit past the window only while it is explicitly deferred
+    (at most one round, by construction) or already at the head of the
+    current grading prefix — i.e. the staleness is being lifted THIS
+    round. Anything else is silent drift and fails loudly."""
     newest = max(R._VERDICT_ROUND.values())
+    prefix = set(list(R.registry().keys())[:PREFIX_BUDGET])
     over = {
         k
         for k, v in R._VERDICT_ROUND.items()
-        if newest - v > 3 and k not in R._DEFER_NEXT_ROUND
+        if newest - v > 3
+        and k not in R._DEFER_NEXT_ROUND
+        and k not in prefix
     }
     assert not over, (
-        f"keys older than the 4-round window and not explicitly "
-        f"deferred: {sorted(over)}"
+        f"keys older than the 4-round window, not explicitly deferred, "
+        f"and not in this round's grading prefix: {sorted(over)}"
     )
 
 
