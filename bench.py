@@ -2,7 +2,9 @@
 """Benchmark harness (driver contract).
 
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a bulky
+per-key detail JSON line followed by the compact driver-contract summary
+as the LAST line (tail-capture-safe):
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query executes fully (noop sink — no driver-side collect) so the
@@ -188,12 +190,20 @@ def main() -> None:
         "win_ewma",
         "dedup_semantic_cluster",
     ]
-    # Rolling pool for keys added THIS round: timed and reported, not yet
-    # part of any frozen total (they graduate at the next freeze).
-    FRESH = [
+    # Headline-v3 (FROZEN round 9 — VERDICT r8 ask #4): the round-8
+    # additions graduate out of FRESH into their own tracked total
+    # (`extras_v3_total`) so r10 regressions here move a recorded
+    # aggregate. Do not append — new keys go in FRESH until the next
+    # freeze.
+    EXTRAS_V3 = [
         "stream_observe_metrics",
         "stream_python_datasource",
         "text_bpe_tokenize",
+    ]
+    # Rolling pool for keys added THIS round: timed and reported, not yet
+    # part of any frozen total (they graduate at the next freeze).
+    FRESH = [
+        "sim_maxsim_ann",
     ]
 
     def _time_block(keys: list[str], tag: str) -> dict[str, float]:
@@ -219,6 +229,8 @@ def main() -> None:
 
     extras = _time_block(EXTRAS, "extra")
     extras_total = round(sum(extras.values()), 3)
+    extras_v3 = _time_block(EXTRAS_V3, "extra-v3")
+    extras_v3_total = round(sum(extras_v3.values()), 3)
     fresh = _time_block(FRESH, "fresh")
 
     # Re-probe AFTER the timed loops: background load arriving mid-run
@@ -240,6 +252,37 @@ def main() -> None:
         sf = float(sf_name)
     except ValueError:
         sf = sf_name
+    # The driver keeps only the TAIL of stdout, so a single giant JSON
+    # line loses its head — exactly what nulled BENCH_r08's "value"
+    # (VERDICT r8 #3). Emit the bulky per-key detail FIRST (its loss is
+    # tolerable), then the compact driver-contract summary as the LAST,
+    # short line: a tail capture always keeps line ends, so the summary
+    # survives intact and stays parseable.
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "calibration": {
+                        "probe": "range(2e8) two-sum codegen, median of 5",
+                        "sec": cal_sec,
+                        "ref_sec": CAL_REF_SEC,
+                        "ratio": cal_ratio,
+                        "post_sec": cal_post_sec,
+                        "post_ratio": cal_post_ratio,
+                    },
+                    "queries_normalized": {
+                        k: round(v / cal_ratio, 3) for k, v in timings.items()
+                    },
+                    "extras": extras,
+                    "extras_total_normalized": round(
+                        extras_total / cal_ratio, 3
+                    ),
+                    "extras_v3": extras_v3,
+                    "fresh": fresh,
+                }
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -248,22 +291,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "calibration": {
-                    "probe": "range(2e8) two-sum codegen, median of 5",
-                    "sec": cal_sec,
-                    "ref_sec": CAL_REF_SEC,
-                    "ratio": cal_ratio,
-                    "post_sec": cal_post_sec,
-                    "post_ratio": cal_post_ratio,
-                },
-                "queries_normalized": {
-                    k: round(v / cal_ratio, 3) for k, v in timings.items()
-                },
                 "value_normalized": round(total / cal_ratio, 3),
-                "extras": extras,
+                "calibration_ratio": cal_ratio,
                 "extras_total": extras_total,
-                "extras_total_normalized": round(extras_total / cal_ratio, 3),
-                "fresh": fresh,
+                "extras_v3_total": extras_v3_total,
+                "fresh_total": round(sum(fresh.values()), 3),
             }
         )
     )
