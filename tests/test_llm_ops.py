@@ -552,6 +552,77 @@ def test_negative_pairs_never_share_label(spark, sf_dir):
         assert r.anchor_id != r.neg_id
 
 
+def test_maxsim_ann_shares_exact_scores_and_hits_top1(spark, sf_dir):
+    # The ANN path must (a) score every candidate pair bit-identically
+    # to the exact all-pairs form (shared _maxsim_scores core), (b)
+    # answer every query label, and (c) keep the exact top-1 doc label
+    # among its candidates for at least half the queries (the contract
+    # floor; at fixture scale top_c exceeds the doc-label count so
+    # recall is ~1).
+    from pyspark.sql.window import Window
+
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.operators.similarity import (
+        _dvec,
+        maxsim_ann_scores,
+        sim_maxsim_multivector,
+    )
+
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("x")
+    )
+    ann = maxsim_ann_scores(vecs, F.col("label") % 2 == 0)
+    exact = sim_maxsim_multivector(spark, sf_dir)
+    joined = ann.alias("a").join(
+        exact.alias("e"), ["q_label", "d_label"]
+    )
+    n_ann = ann.count()
+    assert n_ann > 0
+    # (a) every ANN pair exists in exact with identical integer score
+    agree = joined.where(
+        (F.col("a.maxsim_bp") == F.col("e.maxsim_bp"))
+        & (F.col("a.n_terms") == F.col("e.n_terms"))
+    ).count()
+    assert agree == n_ann
+    # (b) every query label answered
+    nq = exact.select("q_label").distinct().count()
+    assert ann.select("q_label").distinct().count() == nq
+    # (c) recall@1 floor
+    w = Window.partitionBy("q_label").orderBy(
+        F.col("maxsim_bp").desc(), F.col("d_label")
+    )
+    top1 = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("q_label", "d_label")
+    )
+    hits = top1.join(
+        ann.select("q_label", "d_label"), ["q_label", "d_label"]
+    ).count()
+    assert 2 * hits >= nq
+
+
+def test_maxsim_ann_top_c_caps_candidates(spark, sf_dir):
+    # the structural scale guarantee: at top_c=1 each query label
+    # scores EXACTLY one doc label, however many labels exist
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.operators.similarity import (
+        _dvec,
+        maxsim_ann_scores,
+    )
+
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("x")
+    )
+    ann = maxsim_ann_scores(vecs, F.col("label") % 2 == 0, top_c=1)
+    per_q = (
+        ann.groupBy("q_label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert per_q and all(r.n == 1 for r in per_q)
+
+
 def test_bpe_merges_adjacent_repeats_in_one_pass(spark):
     # canonical non-overlapping left-to-right BPE: in 'abab', merge
     # (a,b) applies to BOTH occurrences in one round (the old

@@ -110,6 +110,10 @@ _NESTED_LOOP_OK = {
     # recall contract embeds the brute-force exact side + a 1x1-row
     # stats combine
     "sim_topk_ivf_kmeans",
+    # same contract shape: the exact all-pairs MaxSim truth side +
+    # 1x1-row n_queries x n_answered x n_hit combines; the operational
+    # ANN path itself is pure equi-joins (pinned by its own plan test)
+    "sim_maxsim_ann",
     # same contract shape: 1x1-row truth-count x hit-count combine
     "dedup_semantic_cluster",
     # 1x1-row sufficient-statistics x token-total combine
@@ -504,6 +508,30 @@ def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
     norm = plan.lower().replace("partial bitmap_construct_agg",
                                 "partial_bitmap_construct_agg")
     assert "partial_bitmap_construct_agg" in norm, plan
+
+
+def test_maxsim_ann_operational_path_is_equi_join_only(spark, sf_dir):
+    # the registered sim_maxsim_ann CONTRACT embeds the exact all-pairs
+    # truth side (whitelisted 1x1 combines); the claim that matters at
+    # 100 TB is about the OPERATIONAL path: LSH collision counting +
+    # top-C cap + candidate-only rerank must be pure equi-joins — no
+    # cartesian, no nested loop anywhere
+    from pyspark.sql import functions as F2
+
+    from fintech_data_lake_as_code_spark.io import load
+    from fintech_data_lake_as_code_spark.operators.similarity import (
+        _dvec,
+        maxsim_ann_scores,
+    )
+
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("x")
+    )
+    plan = formatted_plan(
+        maxsim_ann_scores(vecs, F2.col("label") % 2 == 0)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_rfm_has_no_single_partition_sort(spark, sf_dir):

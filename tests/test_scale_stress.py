@@ -58,10 +58,11 @@ HEAVY_KEYS = [
     "graph_triangle_count",
     # gopher repetition is a map-side gram explode — linear in tokens.
     # (sim_maxsim_multivector is deliberately NOT here: its registered
-    # form scores ALL label pairs — quadratic in label count by design,
-    # with the documented 100 TB path swapping in an ANN candidate
-    # generator; a replica-scaled corpus would only measure that known
-    # quadratic, not a regression.)
+    # form scores ALL label pairs — quadratic in label count by design.
+    # The ANN swap that closes it, `sim_maxsim_ann`, IS under the gate
+    # via its own dedicated test below — parameterized like SemDeDup's,
+    # because its linearity contract requires the bucket space to grow
+    # with the corpus and a non-near-dup replica fixture.)
     "text_repetition_gopher",
     "text_decontaminate",
     # r8: the cut-point-binned RFM rework reads the replicated events
@@ -216,6 +217,94 @@ def test_spatial_grid_scales_with_area(spark):
     assert ratio < MAX_RATIO, (
         f"spatial grid: 10x points / 10x area cost {ratio:.1f}x "
         f"({t_base:.2f}s -> {t_big:.2f}s)"
+    )
+
+
+@pytest.fixture(scope="module")
+def maxsim_big_dir(spark) -> str:
+    """10x embeddings corpus for the MaxSim-ANN scale law, built with
+    per-replica deterministic SIGN FLIPS instead of jitter: flipping the
+    same dimensions on both sides of a pair preserves every
+    within-replica cosine exactly (per-replica candidate structure and
+    MaxSim scores are identical to base), while cross-replica vectors
+    decorrelate to near-orthogonal — modeling a corpus that grew with
+    NEW content. The shared big_dir's jittered replicas would instead
+    keep all 10 twins of every label true near-dups of each other, so
+    the TRUE label-pair neighbor graph itself would densify
+    quadratically — measuring the answer's size, not the plan (the
+    spatial-grid note above). Labels shift by 10*rep, which preserves
+    the even/odd query/doc parity split."""
+    out = os.path.join(SCRATCH_ROOT, "sf_stress_maxsim")
+    marker = os.path.join(out, "_BUILT_v1")
+    if not os.path.exists(marker):
+        reps = spark.range(N_REPLICAS).select(F.col("id").alias("rep"))
+        emb = load(spark, BASE_SF_DIR, "embeddings")
+        (
+            emb.crossJoin(reps)
+            .select(
+                (F.col("vec_id") * N_REPLICAS + F.col("rep")).alias(
+                    "vec_id"
+                ),
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        * (
+                            1
+                            - 2
+                            * F.pmod(
+                                F.xxhash64(F.col("rep") * 1024 + i), 2
+                            )
+                        ).cast("float")
+                    ),
+                ).alias("embedding"),
+                (F.col("label") + 10 * F.col("rep")).alias("label"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "embeddings.parquet"))
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return out
+
+
+def test_maxsim_ann_scales_with_planes(spark, maxsim_big_dir):
+    # MaxSim-ANN's linearity contract (the swap closing the last
+    # documented quadratic, VERDICT r8 #5): the LSH bucket space grows
+    # with the corpus so collision-join fan-out stays bounded (10x
+    # corpus -> +3 sign bits = 8x buckets, the FAISS nlist practice),
+    # and the top-C cap bounds the rerank at C doc labels per query
+    # regardless of how many labels exist. A fixed-plane run on the 10x
+    # corpus WOULD be ~100x collision rows — that is the regression
+    # this guards (candidate generation degrading to all-pairs under
+    # growing occupancy). Only the operational ANN path runs here; the
+    # registered contract key's exact verification pass is all-pairs by
+    # definition and stays out, like SemDeDup's truth set.
+    from fintech_data_lake_as_code_spark.operators.similarity import (
+        N_PLANES,
+        _dvec,
+        maxsim_ann_scores,
+    )
+
+    def run(sf, n_planes):
+        vecs = load(spark, sf, "embeddings").select(
+            "vec_id", "label", _dvec("embedding").alias("x")
+        )
+        t0 = time.perf_counter()
+        maxsim_ann_scores(
+            vecs, F.col("label") % 2 == 0, n_planes=n_planes
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    run(BASE_SF_DIR, N_PLANES), run(maxsim_big_dir, N_PLANES + 3)  # warm
+    t_base = run(BASE_SF_DIR, N_PLANES)
+    t_big = run(maxsim_big_dir, N_PLANES + 3)
+    ratio = t_big / max(t_base, 1e-3)
+    assert ratio < MAX_RATIO, (
+        f"maxsim ann: {N_REPLICAS}x corpus at 8x buckets cost "
+        f"{ratio:.1f}x wall time ({t_base:.2f}s -> {t_big:.2f}s) — "
+        "quadratic-shaped blowup"
     )
 
 
