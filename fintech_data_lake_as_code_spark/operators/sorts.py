@@ -139,16 +139,20 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_distinct_ops",
     oracle="""
     SELECT tag, COUNT(*) AS n_users FROM (
-      SELECT 'click_and_purchase' AS tag, user_id FROM (
-        SELECT user_id FROM events WHERE event_type = 'click'
+      SELECT 'bigbuy_and_bigerror' AS tag, user_id FROM (
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 90
         INTERSECT
-        SELECT user_id FROM events WHERE event_type = 'purchase'
+        SELECT user_id FROM events
+        WHERE event_type = 'error' AND value > 90
       )
       UNION ALL
-      SELECT 'click_not_purchase' AS tag, user_id FROM (
-        SELECT user_id FROM events WHERE event_type = 'click'
+      SELECT 'bigbuy_not_bigerror' AS tag, user_id FROM (
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 90
         EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'purchase'
+        SELECT user_id FROM events
+        WHERE event_type = 'error' AND value > 90
       )
       UNION ALL
       SELECT 'distinct_users' AS tag, user_id
@@ -157,15 +161,27 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT / INTERSECT / EXCEPT set algebra over user cohorts."""
+    """DISTINCT / INTERSECT / EXCEPT set algebra over user cohorts.
+
+    Cohorts carry a value predicate (purchase > 90 / error > 90)
+    because the raw event-type cohorts are DENSE — every user emits
+    every event type at every sf, so a type-only EXCEPT branch is
+    structurally empty and would certify nothing (the vacuous-predicate
+    lesson from filter_pred, r8). Both set branches are populated at
+    every generated sf."""
     ev = load(spark, sf_dir, "events")
-    clickers = ev.where(F.col("event_type") == "click").select("user_id")
-    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
-    both = clickers.intersect(buyers).select(
-        F.lit("click_and_purchase").alias("tag"), "user_id"
+    big_buyers = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    ).select("user_id")
+    big_errorers = ev.where(
+        (F.col("event_type") == "error") & (F.col("value") > 90)
+    ).select("user_id")
+    both = big_buyers.intersect(big_errorers).select(
+        F.lit("bigbuy_and_bigerror").alias("tag"), "user_id"
     )
-    only = clickers.distinct().subtract(buyers).select(
-        F.lit("click_not_purchase").alias("tag"), "user_id"
+    # subtract IS distinct-semantics EXCEPT — no .distinct() needed
+    only = big_buyers.subtract(big_errorers).select(
+        F.lit("bigbuy_not_bigerror").alias("tag"), "user_id"
     )
     allu = ev.select("user_id").distinct().select(
         F.lit("distinct_users").alias("tag"), "user_id"

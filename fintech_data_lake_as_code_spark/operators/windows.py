@@ -4,10 +4,21 @@ Reference parity: B1 city-hop lag detection (setupTables.py:31), B3 running
 balance (setupTables.py:33-34), B5 consecutive-day islands
 (setupTables.py:37).
 
-Scale notes: every window here partitions by a high-cardinality key
-(user_id / segment) so state per partition stays small; ordering keys
-always include a unique tiebreaker (event_id / custkey) for deterministic
-results under re-execution.
+Scale notes: the per-entity windows (user_id / account keys) partition by
+a high-cardinality key so state per partition stays small, and ordering
+keys always include a unique tiebreaker (event_id / custkey) for
+deterministic results under re-execution. Two operators are the honest
+exception: `win_ranking` (5 c_mktsegment partitions) and
+`win_distribution` (3 o_orderstatus partitions) rank within
+LOW-cardinality business partitions because that is what the analytic
+means — which makes each partition a single sorted task, fine at fixture
+scale but a straggler at 100 TB. The scale path for global/low-cardinality
+exact ranking is the `win_rfm_score` pattern in this module: one
+approx-cut-point aggregate, map-side bucketing over broadcast cut points,
+then per-bucket rank + offsets reconstructing the exact global rank with
+no single-partition sort. These two keys keep the direct window form
+deliberately, as the API-surface representatives of
+percent_rank/cume_dist/ntile/rank semantics.
 """
 
 from __future__ import annotations
@@ -16,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.exact import cents
 from ..io import load
 from ..registry import query
 
@@ -287,7 +299,7 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.unix_timestamp("ts").alias("ts_epoch"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        F.sum(cents(F.col("value")))
         .over(w)
         .alias("hour_cents"),
         F.count(F.lit(1)).over(w).alias("hour_n"),
@@ -305,13 +317,14 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN views v ON e.user_id = v.user_id
       WHERE e.event_type = 'click'
         AND CAST(floor(epoch(e.ts)) AS BIGINT) > v.t_view
-        AND CAST(floor(epoch(e.ts)) AS BIGINT) <= v.t_view + 7 * 86400
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) <= v.t_view + 3 * 86400
       GROUP BY e.user_id
     ), purchases AS (
       SELECT e.user_id, CAST(floor(epoch(min(e.ts))) AS BIGINT) AS t_purchase
       FROM events e JOIN clicks c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase'
         AND CAST(floor(epoch(e.ts)) AS BIGINT) > c.t_click
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) <= c.t_click + 7200
       GROUP BY e.user_id
     )
     SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
@@ -324,17 +337,21 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event-sequence (funnel) matching: per user, the first view,
-    the first click strictly AFTER that view (within a 7-day horizon), and
-    the first purchase strictly after that click — `funnel_stage` counts
-    how deep each user got. This is MATCH_RECOGNIZE-lite expressed as
-    stage-wise filtered aggregations joined on user_id: every stage is one
-    filtered groupBy + an equi-join against the previous stage's anchor
-    time, so the whole funnel costs three narrow shuffles on the SAME key
-    (co-partitioned end to end; AQE collapses the exchanges) and holds no
-    per-user state — the shape that survives 100 TB of events where a
-    per-user sort-and-scan UDF would not. The 7-day click horizon bounds
-    the stage-2 candidate range the way a production funnel bounds state
-    retention. Epoch-seconds comparisons keep both engines identical."""
+    the first click strictly AFTER that view (within a 3-day horizon), and
+    the first purchase strictly after that click (within a 2-hour
+    horizon) — `funnel_stage` counts how deep each user got. This is
+    MATCH_RECOGNIZE-lite expressed as stage-wise filtered aggregations
+    joined on user_id: every stage is one filtered groupBy + an equi-join
+    against the previous stage's anchor time, so the whole funnel costs
+    three narrow shuffles on the SAME key (co-partitioned end to end; AQE
+    collapses the exchanges) and holds no per-user state — the shape that
+    survives 100 TB of events where a per-user sort-and-scan UDF would
+    not. BOTH stage horizons bound candidate ranges the way a production
+    funnel bounds state retention, and they are sized so every
+    funnel_stage value actually occurs at every generated sf — the
+    original unbounded purchase stage matched for every clicker, so the
+    stage-2 LEFT-JOIN null path graded vacuously (the filter_pred
+    lesson). Epoch-seconds comparisons keep both engines identical."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_timestamp("ts").alias("te")
     )
@@ -348,7 +365,7 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(views, "user_id")
         .where(
             (F.col("te") > F.col("t_view"))
-            & (F.col("te") <= F.col("t_view") + 7 * 86400)
+            & (F.col("te") <= F.col("t_view") + 3 * 86400)
         )
         .groupBy("user_id")
         .agg(F.min("te").alias("t_click"))
@@ -356,7 +373,10 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .join(clicks, "user_id")
-        .where(F.col("te") > F.col("t_click"))
+        .where(
+            (F.col("te") > F.col("t_click"))
+            & (F.col("te") <= F.col("t_click") + 7200)
+        )
         .groupBy("user_id")
         .agg(F.min("te").alias("t_purchase"))
     )
@@ -424,7 +444,7 @@ def win_asof_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
         F.unix_timestamp("ts").alias("te"),
         "event_id",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        cents(F.col("value")).alias("cents"),
     )
     w_last = Window.partitionBy("user_id", "hour_epoch").orderBy(
         F.desc("te"), F.desc("event_id")
@@ -513,7 +533,7 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        cents(F.col("value")).alias("cents"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -590,7 +610,7 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-window-pass operator at 100 TB."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = cents(F.col("value"))
     base = ev.select("event_id", "user_id", "ts", c.alias("c"))
     lags = [F.col("c")] + [
         F.lag("c", i).over(w) for i in range(1, EWMA_LAGS)
@@ -680,7 +700,7 @@ def win_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.unix_timestamp("ts").alias("e"),
-            F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+            cents(F.col("value")).alias("v"),
         )
         .groupBy("user_id", "e")
         .agg(F.max("v").alias("v"))
@@ -842,10 +862,8 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-looking metric is windowable because peak is itself a
     running aggregate — no iteration, no UDF."""
     ev = load(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    flow = F.when(
-        F.col("event_type") == "purchase", -cents
-    ).otherwise(cents)
+    c = cents(F.col("value"))
+    flow = F.when(F.col("event_type") == "purchase", -c).otherwise(c)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1033,7 +1051,7 @@ def win_rfm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_timestamp("ts")).alias("last_seen"),
             F.count("*").alias("frequency"),
             F.sum(
-                F.round(F.col("value") * 100, 0).cast("bigint")
+                cents(F.col("value"))
             ).alias("monetary_cents"),
         )
         .localCheckpoint(eager=True)

@@ -27,6 +27,7 @@ Scale notes (100 TB / real OLTP source):
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import exact_sum
 from ..io import scratch_dir
 from ..registry import query
+from . import datagen as _datagen_module
 from .datagen import CUSTOMERACTIVITY_ORACLE, N_ROWS, customeractivity
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
@@ -47,13 +49,30 @@ def _derby_url(sf_dir: str) -> str:
     return f"jdbc:derby:{db_path};create=true"
 
 
+def _datagen_fingerprint() -> str:
+    """Identity of the seeded workload: row count + a hash of the
+    generator module's source. A pre-existing Derby seed is only trusted
+    while this matches what the marker recorded — a datagen change would
+    otherwise serve STALE rows against the freshly recomputed oracle
+    (the bucketed-layout marker lesson, applied here)."""
+    with open(_datagen_module.__file__, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()
+    return f"{N_ROWS}:{digest}"
+
+
 def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load `customeractivity` over JDBC, seeding the Derby database once
     per scale dir (the write is the "OLTP system exists" precondition, not
-    part of the query; marker-file guarded like the bucketed layouts)."""
+    part of the query; marker-file guarded like the bucketed layouts,
+    fingerprinted against the generator so a stale seed reloads)."""
     url = _derby_url(sf_dir)
     marker = os.path.join(scratch_dir(sf_dir, "derby"), "_LOADED")
-    if not os.path.exists(marker):
+    fingerprint = _datagen_fingerprint()
+    seeded = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            seeded = fh.read().strip() == fingerprint
+    if not seeded:
         src = customeractivity(spark).select(
             "row_id",
             "user_id",
@@ -79,7 +98,7 @@ def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .save()
         )
         with open(marker, "w") as fh:
-            fh.write("ok\n")
+            fh.write(fingerprint + "\n")
     return (
         spark.read.format("jdbc")
         .option("url", url)
