@@ -73,3 +73,30 @@ def scratch_dir(sf_dir: str, key: str) -> str:
     path = os.path.join(SCRATCH_ROOT, tag, key)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort, immediate release of a localCheckpoint'd DataFrame's
+    storage blocks.
+
+    `localCheckpoint` truncates lineage by pinning the computed
+    partitions as storage blocks of an internal RDD; those blocks are
+    normally freed only when BOTH the Python handle and the JVM Dataset
+    are garbage-collected and the ContextCleaner gets around to them.
+    In iterative loops (connected components, PageRank) that lazy
+    lifecycle accumulates a rounds-deep pile of dead checkpoints whose
+    eviction timing is GC luck — measured as bimodal 1.2 s vs 2.8 s
+    wall times for the SAME query in one session (BENCH r8/r9). Freeing
+    the superseded round's blocks as soon as the next round is
+    materialized keeps loop storage bounded at two rounds,
+    deterministically.
+
+    Only call this when NOTHING will read `df` again: a checkpoint has
+    no lineage to recompute from, so a post-release action on `df`
+    would fail. Reaches through the internal LogicalRDD (py4j ignores
+    the `private[sql]` on `Dataset.logicalPlan`); silently a no-op if
+    the internals ever move."""
+    try:
+        df._jdf.logicalPlan().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, release_local_checkpoint
 from ..registry import query
 
 # --- corpus construction (shared): plant a near-dup twin for every 10th doc
@@ -782,7 +782,12 @@ def connected_components(
                 ).alias("label"),
             )
         new_labels = prop.localCheckpoint(eager=False)
+        # the convergence aggregate materializes the new checkpoint, so
+        # the superseded round's blocks can be freed NOW instead of at
+        # GC's leisure — unreleased rounds pile up executor storage and
+        # made this loop's wall time bimodal run-to-run (BENCH r8/r9)
         new_sum = new_labels.agg(F.sum("label")).first()[0]
+        release_local_checkpoint(labels)
         labels = new_labels
         if new_sum == label_sum:
             break

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, release_local_checkpoint
 from ..registry import query
 
 PR_ITERS = 10
@@ -129,12 +129,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        prev = ranks
         ranks = contrib.select(
             F.col("dst").alias("node"),
             (F.lit(150000).cast("bigint") + F.expr("(850 * s) div 1000")).alias(
                 "rank"
             ),
         ).localCheckpoint(eager=True)
+        # eager=True means the new round is fully materialized here, so
+        # the superseded round's checkpoint blocks can be freed NOW
+        # instead of accumulating ten rounds deep until GC (see
+        # io.release_local_checkpoint)
+        release_local_checkpoint(prev)
     edges_deg.unpersist()
     return (
         ranks.orderBy(F.desc("rank"), "node")
