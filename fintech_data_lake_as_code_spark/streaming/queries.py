@@ -1283,32 +1283,54 @@ def observe_metrics_over(spark: SparkSession, src: str) -> DataFrame:
     # Timestamps in the landed JSON are UTC-naive strings; pin the
     # parse (the _events_json_dir contract, re-applied here because a
     # caller may hand this function an already-landed dir with no
-    # load() having run in the session).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # load() having run in the session). Saved/restored symmetrically
+    # with the retention conf, and BOTH restores (plus the query stop)
+    # sit in finally so a failing drain cannot leak a running query or
+    # mutated session confs into later queries (ADVICE r8 #2, VERDICT
+    # r8 #6).
+    tz_conf = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_conf, None)
+    spark.conf.set(tz_conf, "UTC")
     retention_conf = "spark.sql.streaming.numRecentProgressUpdates"
     prev_retention = spark.conf.get(retention_conf, None)
     spark.conf.set(retention_conf, "10000")
-    rules, exprs = _dq_observe_exprs()
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .json(src)
-    )
-    observed = stream.observe("dq", *exprs)
-    # tiny sink: the payload aggregate the stream exists to produce;
-    # the DQ counters ride alongside, not instead
-    per_type = observed.groupBy("event_type").agg(F.count("*").alias("n"))
-    name = f"stream_observe_metrics_{next(_RUN_COUNTER)}"
-    q = (
-        per_type.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
+
+    def _restore(conf: str, prev: str | None) -> None:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+    try:
+        rules, exprs = _dq_observe_exprs()
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        observed = stream.observe("dq", *exprs)
+        # tiny sink: the payload aggregate the stream exists to produce;
+        # the DQ counters ride alongside, not instead
+        per_type = observed.groupBy("event_type").agg(
+            F.count("*").alias("n")
+        )
+        name = f"stream_observe_metrics_{next(_RUN_COUNTER)}"
+        q = (
+            per_type.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progresses = list(q.recentProgress)
+        finally:
+            q.stop()
+    finally:
+        _restore(retention_conf, prev_retention)
+        _restore(tz_conf, prev_tz)
     totals = [0] * (len(rules) + 1)
     seen_batches = 0
-    progresses = list(q.recentProgress)
     for p in progresses:
         om = (p.observedMetrics or {}).get("dq")
         if om is None:
@@ -1319,11 +1341,6 @@ def observe_metrics_over(spark: SparkSession, src: str) -> DataFrame:
             # belt-and-braces: coalesce in the expr AND here — a null
             # counter must never poison the integer totals
             totals[i + 1] += om[f"v_{i}"] or 0
-    q.stop()
-    if prev_retention is None:
-        spark.conf.unset(retention_conf)
-    else:
-        spark.conf.set(retention_conf, prev_retention)
     if len(progresses) >= 10000:
         raise RuntimeError(
             "progress buffer hit its retention cap — earliest batches' "
