@@ -53,6 +53,44 @@ HEADLINE = [
     "text_stats",
 ]
 
+# Headline-v2 (FROZEN round 8 — VERDICT r7 ask #7): the 14 operators
+# added after the original headline set froze, timed the same way and
+# summed into their OWN tracked total (`extras_total`) so a regression
+# here moves a recorded aggregate, while the 22-query total stays
+# comparable to BASELINE.md. Do not append here — new keys go in
+# FRESH_KEYS below until the next freeze.
+EXTRAS = [
+    "text_decontaminate",
+    "dedup_containment",
+    "agg_retention_cohort",
+    "profile_columns",
+    "sample_weighted_priority",
+    "dedup_paragraph",
+    "subquery_family",
+    "sim_topk_ivf_kmeans",
+    "sample_temperature_mix",
+    "win_anomaly_zscore",
+    "text_repetition_gopher",
+    "graph_triangle_count",
+    "win_ewma",
+    "dedup_semantic_cluster",
+]
+# Headline-v3 (FROZEN round 9 — VERDICT r8 ask #4): the round-8
+# additions graduate out of FRESH into their own tracked total
+# (`extras_v3_total`) so r10 regressions here move a recorded
+# aggregate. Do not append — new keys go in FRESH_KEYS until the next
+# freeze.
+EXTRAS_V3 = [
+    "stream_observe_metrics",
+    "stream_python_datasource",
+    "text_bpe_tokenize",
+]
+# Rolling pool for keys added THIS round: timed and reported, not yet
+# part of any frozen total (they graduate at the next freeze).
+FRESH_KEYS = [
+    "sim_maxsim_ann",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -168,44 +206,6 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Headline-v2 (FROZEN round 8 — VERDICT r7 ask #7): the 14 operators
-    # added after the original headline set froze, timed the same way and
-    # summed into their OWN tracked total (`extras_total`) so a
-    # regression here moves a recorded aggregate, while the 22-query
-    # total stays comparable to BASELINE.md. Do not append here — new
-    # keys go in FRESH below until the next freeze.
-    EXTRAS = [
-        "text_decontaminate",
-        "dedup_containment",
-        "agg_retention_cohort",
-        "profile_columns",
-        "sample_weighted_priority",
-        "dedup_paragraph",
-        "subquery_family",
-        "sim_topk_ivf_kmeans",
-        "sample_temperature_mix",
-        "win_anomaly_zscore",
-        "text_repetition_gopher",
-        "graph_triangle_count",
-        "win_ewma",
-        "dedup_semantic_cluster",
-    ]
-    # Headline-v3 (FROZEN round 9 — VERDICT r8 ask #4): the round-8
-    # additions graduate out of FRESH into their own tracked total
-    # (`extras_v3_total`) so r10 regressions here move a recorded
-    # aggregate. Do not append — new keys go in FRESH until the next
-    # freeze.
-    EXTRAS_V3 = [
-        "stream_observe_metrics",
-        "stream_python_datasource",
-        "text_bpe_tokenize",
-    ]
-    # Rolling pool for keys added THIS round: timed and reported, not yet
-    # part of any frozen total (they graduate at the next freeze).
-    FRESH = [
-        "sim_maxsim_ann",
-    ]
-
     def _time_block(keys: list[str], tag: str) -> dict[str, float]:
         out: dict[str, float] = {}
         for key in keys:
@@ -231,7 +231,7 @@ def main() -> None:
     extras_total = round(sum(extras.values()), 3)
     extras_v3 = _time_block(EXTRAS_V3, "extra-v3")
     extras_v3_total = round(sum(extras_v3.values()), 3)
-    fresh = _time_block(FRESH, "fresh")
+    fresh = _time_block(FRESH_KEYS, "fresh")
 
     # Re-probe AFTER the timed loops: background load arriving mid-run
     # inflates late queries while the start-of-run probe shows an idle
@@ -252,54 +252,70 @@ def main() -> None:
         sf = float(sf_name)
     except ValueError:
         sf = sf_name
+    detail = {
+        "detail": {
+            "calibration": {
+                "probe": "range(2e8) two-sum codegen, median of 5",
+                "sec": cal_sec,
+                "ref_sec": CAL_REF_SEC,
+                "ratio": cal_ratio,
+                "post_sec": cal_post_sec,
+                "post_ratio": cal_post_ratio,
+            },
+            "queries_normalized": {
+                k: round(v / cal_ratio, 3) for k, v in timings.items()
+            },
+            "extras": extras,
+            "extras_total_normalized": round(extras_total / cal_ratio, 3),
+            "extras_v3": extras_v3,
+            "fresh": fresh,
+        }
+    }
+    summary = build_summary(
+        sf, timings, total, cal_ratio, extras_total, extras_v3_total, fresh
+    )
     # The driver keeps only the TAIL of stdout, so a single giant JSON
     # line loses its head — exactly what nulled BENCH_r08's "value"
     # (VERDICT r8 #3). Emit the bulky per-key detail FIRST (its loss is
     # tolerable), then the compact driver-contract summary as the LAST,
     # short line: a tail capture always keeps line ends, so the summary
     # survives intact and stays parseable.
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "calibration": {
-                        "probe": "range(2e8) two-sum codegen, median of 5",
-                        "sec": cal_sec,
-                        "ref_sec": CAL_REF_SEC,
-                        "ratio": cal_ratio,
-                        "post_sec": cal_post_sec,
-                        "post_ratio": cal_post_ratio,
-                    },
-                    "queries_normalized": {
-                        k: round(v / cal_ratio, 3) for k, v in timings.items()
-                    },
-                    "extras": extras,
-                    "extras_total_normalized": round(
-                        extras_total / cal_ratio, 3
-                    ),
-                    "extras_v3": extras_v3,
-                    "fresh": fresh,
-                }
-            }
-        )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "value_normalized": round(total / cal_ratio, 3),
-                "calibration_ratio": cal_ratio,
-                "extras_total": extras_total,
-                "extras_v3_total": extras_v3_total,
-                "fresh_total": round(sum(fresh.values()), 3),
-            }
-        )
-    )
+    print(json.dumps(detail))
+    print(json.dumps(summary))
     spark.stop()
+
+
+# Conservative bound on the driver's tail capture; the real window is
+# larger, but the summary has no business growing anywhere near it —
+# tests/test_fixtures_contract.py pins this with the full headline set.
+SUMMARY_LINE_BUDGET = 4096
+
+
+def build_summary(
+    sf,
+    timings: dict[str, float],
+    total: float,
+    cal_ratio: float,
+    extras_total: float,
+    extras_v3_total: float,
+    fresh: dict[str, float],
+) -> dict:
+    """The compact driver-contract result: everything the per-round
+    BENCH artifact must retain, and nothing bulky. Must stay within
+    SUMMARY_LINE_BUDGET when JSON-encoded (test-pinned) so the driver's
+    tail capture can never truncate the headline value again."""
+    return {
+        "metric": "headline_queries_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "value_normalized": round(total / cal_ratio, 3),
+        "calibration_ratio": cal_ratio,
+        "extras_total": extras_total,
+        "extras_v3_total": extras_v3_total,
+        "fresh_total": round(sum(fresh.values()), 3),
+    }
 
 
 if __name__ == "__main__":

@@ -68,3 +68,39 @@ def test_embeddings_contract(spark, sf_dir):
     assert r.null_vecs == 0, "NULL embedding vectors (drift?)"
     # every ANN path assumes a single fixed dimensionality
     assert r.n_dims == 1, "embedding dimensionality is not uniform"
+
+
+def test_bench_summary_line_stays_tail_safe():
+    # VERDICT r8 #3: the BENCH artifact is parsed from a TAIL capture of
+    # bench.py's stdout, so the LAST line must be the compact summary
+    # and must stay short. Build the summary exactly as bench.py does,
+    # with every headline/extras/fresh key populated at worst-case float
+    # widths, and pin the encoded size under the budget.
+    import json
+
+    import bench
+
+    fat = {k: 123.456 for k in bench.HEADLINE}
+    summary = bench.build_summary(
+        sf=0.1,
+        timings=fat,
+        total=sum(fat.values()),
+        cal_ratio=0.123,
+        extras_total=1234.567,
+        extras_v3_total=1234.567,
+        fresh={k: 123.456 for k in bench.FRESH_KEYS},
+    )
+    line = json.dumps(summary)
+    assert len(line) < bench.SUMMARY_LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    for field in (
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "sf",
+        "value_normalized",
+        "extras_total",
+        "extras_v3_total",
+    ):
+        assert field in parsed, field
