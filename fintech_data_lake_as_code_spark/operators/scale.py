@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.exact import exact_sum
+from ..functions.exact import cents, exact_sum
 from ..io import load, scratch_dir
 from ..registry import query
 
@@ -311,7 +311,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+        F.sum(cents(F.col("value"))).alias("sum_cents"),
     )
 
 
@@ -407,7 +407,7 @@ def sink_zorder_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+        F.sum(cents(F.col("value"))).alias("sum_cents"),
         F.min(F.unix_timestamp("ts")).alias("min_epoch"),
         F.max(F.unix_timestamp("ts")).alias("max_epoch"),
     )

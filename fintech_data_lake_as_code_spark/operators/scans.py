@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.exact import exact_sum
+from ..functions.exact import cents, exact_sum
 from ..io import load, scratch_dir
 from ..registry import query
 
@@ -381,11 +381,11 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = max(1, math.ceil(input_bytes / target))
     landed.repartition(n_files).write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = cents(F.col("value"))
     return back.agg(
         F.count("*").alias("n_rows"),
         F.sum("event_id").alias("id_sum"),
-        F.sum(cents).alias("value_cents"),
+        F.sum(c).alias("value_cents"),
     )
 
 
@@ -418,7 +418,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        cents(F.col("value")).alias("cents"),
         "event_type",
     )
     old_gen = ev.where(F.col("event_id") % 2 == 0).select(
@@ -598,7 +598,7 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("value_positive", F.col("value") <= 0),
         (
             "value_cap_300",
-            F.round(F.col("value") * 100, 0).cast("bigint")
+            cents(F.col("value"))
             > WAP_CAP_CENTS,
         ),
     ]
@@ -667,7 +667,7 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = back.agg(
             F.count("*").alias("n"),
             F.sum(
-                F.round(F.col("value") * 100, 0).cast("bigint")
+                cents(F.col("value"))
             ).alias("s"),
         ).collect()[0]
         rows.append((codec, int(r.n), int(r.s)))

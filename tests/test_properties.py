@@ -360,3 +360,87 @@ def test_bpe_segment_replace_is_canonical_application(words):
             merges,
             got[w],
         )
+
+
+def _uf_components(n_nodes: int, edge_list: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> min node id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    touched = {x for e in edge_list for x in e}
+    for x in touched:
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in comp.values() for x in members}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),
+            st.integers(min_value=0, max_value=39),
+        ),
+        min_size=1,
+        max_size=60,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(max_examples=12, deadline=None)
+def test_connected_components_match_union_find(spark, edges_list):
+    # the iterative min-label propagation + pointer-jumping loop (the
+    # machinery under dedup_cluster_cc) must agree with a driver-side
+    # union-find on ANY undirected graph, including the shapes its stall
+    # detector exists for: long chains, stars, mixed clique+chain — the
+    # random graphs here regularly contain all three
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edge_list = [(a, b) for a, b in edges_list if a != b]
+    sym = edge_list + [(b, a) for a, b in edge_list]
+    edges = spark.createDataFrame(sym, "node long, other long").distinct()
+    labels, rounds = connected_components(edges)
+    got = {r.node: r.label for r in labels.collect()}
+    assert got == _uf_components(40, edge_list)
+    assert rounds >= 1
+
+
+def test_release_local_checkpoint_frees_blocks_now(spark):
+    # io.release_local_checkpoint reaches through internal API
+    # (Dataset.logicalPlan -> LogicalRDD.rdd) to free a superseded
+    # checkpoint's storage immediately; if a Spark upgrade moves those
+    # internals the helper silently no-ops and the iterative loops
+    # regress to GC-timed eviction (the bimodal BENCH r8 ghost) — this
+    # test turns that silent regression loud.
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import release_local_checkpoint
+
+    def stored_ids() -> set[int]:
+        sc = spark.sparkContext
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = stored_ids()
+    df = (
+        spark.range(100_000)
+        .select(F.col("id"), (F.col("id") * 3).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    mine = stored_ids() - before
+    assert mine, "localCheckpoint stored no blocks?"
+    release_local_checkpoint(df)
+    assert not (stored_ids() & mine), (
+        "checkpoint blocks survived release_local_checkpoint — the "
+        "internal LogicalRDD path has moved; update io.py or iterative "
+        "loop storage goes back to GC-timed eviction"
+    )
