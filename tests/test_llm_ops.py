@@ -882,3 +882,49 @@ def test_relational_predicates_are_load_bearing(spark, sf_dir):
     assert any(r.floored_price == 100000.0 for r in cond)
     assert any(r.floored_price > 100000.0 for r in cond)
     assert {r.priority_norm == "none" for r in cond} == {True, False}
+
+
+def test_maxsim_ann_prunes_and_still_finds_true_top1(spark):
+    # With top_c strictly below the doc-label count the cap actually
+    # prunes — and on a corpus with real cluster structure (query label
+    # 2k and doc label 2k+1 share direction k) the collision ranking
+    # must still surface the TRUE top-1 for every query. This is the
+    # joint claim the fixture-scale tests can't make (top_c exceeds the
+    # fixture's doc-label count, so pruning is a no-op there).
+    from fintech_data_lake_as_code_spark.operators.similarity import (
+        maxsim_ann_scores,
+        sim_maxsim_multivector,  # noqa: F401  (shape reference)
+    )
+    from pyspark.sql.window import Window
+
+    dim, n_labels, members = 16, 12, 8
+    rows = []
+    vec_id = 0
+    for lab in range(n_labels):
+        axis = lab // 2  # query 2k and doc 2k+1 share direction k
+        for m in range(members):
+            v = [0.0] * dim
+            v[axis] = 10.0
+            for j in range(dim):
+                v[j] += ((lab * 7 + m * 13 + j * 29) % 5 - 2) * 0.1
+            rows.append((vec_id, lab, v))
+            vec_id += 1
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, label long, x array<double>"
+    )
+    ann = maxsim_ann_scores(vecs, F.col("label") % 2 == 0, top_c=2)
+    per_q = ann.groupBy("q_label").agg(F.count("*").alias("n")).collect()
+    # cap engaged: 6 doc labels exist, at most 2 scored per query
+    assert per_q and all(r.n <= 2 for r in per_q)
+    assert len(per_q) == 6  # every query label answered
+    # the true top-1 (the paired cluster) is among the scored candidates
+    w = Window.partitionBy("q_label").orderBy(
+        F.col("maxsim_bp").desc(), F.col("d_label")
+    )
+    top1 = {
+        r.q_label: r.d_label
+        for r in ann.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    }
+    assert top1 == {2 * k: 2 * k + 1 for k in range(6)}
