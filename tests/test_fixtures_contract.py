@@ -104,3 +104,27 @@ def test_bench_summary_line_stays_tail_safe():
         "extras_v3_total",
     ):
         assert field in parsed, field
+
+
+def test_bench_key_lists_exist_in_registry():
+    # bench.py skips unknown keys silently (queries.get -> continue), so
+    # a renamed/deleted key would just vanish from the timed totals and
+    # the regression record with it. Every frozen bench list must stay a
+    # subset of the registry, and the frozen lists must stay disjoint
+    # (a key timed twice would double-count in its block's total).
+    import bench
+    from fintech_data_lake_as_code_spark.registry import registry
+
+    keys = set(registry())
+    lists = {
+        "HEADLINE": bench.HEADLINE,
+        "EXTRAS": bench.EXTRAS,
+        "EXTRAS_V3": bench.EXTRAS_V3,
+        "FRESH_KEYS": bench.FRESH_KEYS,
+    }
+    for name, block in lists.items():
+        missing = set(block) - keys
+        assert not missing, f"{name} names unregistered keys: {missing}"
+        assert len(block) == len(set(block)), f"{name} has duplicates"
+    all_keys = [k for block in lists.values() for k in block]
+    assert len(all_keys) == len(set(all_keys)), "a key appears in two blocks"
