@@ -80,51 +80,20 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r08.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r09.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r8 fold the vintage
-# census is 2@r4 / 46@r5 / 46@r6 / 47@r7 / 50@r8 (CORRECTNESS_r08 was
-# 50/50 green; the two r4 keys are round 8's explicit deferrals and
-# grade first thing this round). Round 9's rank-(0,0) demand is 2 keys
-# (1 new: sim_maxsim_ann; 1 stale: text_bpe_tokenize, NULL-coalesce
-# semantics fix), so the prefix is exactly 2 rank-0 + 2 r4 + 46 r5 = 50
-# — no overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r5
-# after the r9 grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r9 fold the vintage
+# census is 46@r6 / 47@r7 / 49@r8 / 50@r9 (CORRECTNESS_r09 was 50/50
+# green: the 2 r4 deferrals + 46 r5 keys + text_bpe_tokenize stale +
+# sim_maxsim_ann new). Round 10's rank-(0,0) demand is 2 keys (1 new:
+# stream_dedup_incremental; 1 stale: scan_schema_evolution, legacy-row
+# rule alignment — it is r6-vintage, so its slot was already committed),
+# so the prefix is 2 rank-0 + 45 remaining r6 + 3 oldest r7 = 50 — no
+# overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r7 after
+# the r10 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 4 greens — the two explicit r8 deferrals, grade first in r9
-    **dict.fromkeys(
-        [
-            "agg_distinct", "project_rename_cast",
-        ],
-        4,
-    ),
-    # round 5 greens
-    **dict.fromkeys(
-        [
-            "agg_approx_distinct", "cdc_gdpr_erasure",
-            "datagen_account_sample", "datagen_customeractivity",
-            "fn_array", "fn_bitwise", "fn_hash", "fn_json",
-            "fn_map_struct", "graph_pagerank", "limit_topk",
-            "multimodal_cols", "multimodal_decode",
-            "multimodal_framesample", "rule_b10_cross_sell",
-            "sample_stratified_split",
-            "scan_jdbc", "scan_python_datasource",
-            "set_distinct_ops", "set_union_all", "sim_topk_cosine",
-            "sim_topk_lsh", "sort_multi",
-            "text_chunk", "text_fingerprint", "text_idf_rarity",
-            "text_langid", "text_pack_sequences", "text_quality",
-            "text_redact_pii", "text_stats", "token_count_bpe",
-            "topk_per_group", "udf_cogrouped", "udf_scalar_python",
-            "udf_vectorized_agg", "udtf_expand",
-            "win_asof_gap_fill", "win_distribution",
-            "win_funnel_conversion", "win_islands_consecutive",
-            "win_lag_lead", "win_range_interval", "win_ranking",
-            "win_running_frame", "win_sessionize",
-        ],
-        5,
-    ),
     # round 6 greens
     **dict.fromkeys(
         [
@@ -199,30 +168,57 @@ _VERDICT_ROUND: dict[str, int] = {
             "rule_b6_enquiry_intent", "rule_b7_regular_forex",
             "rule_b8_regular_investor", "rule_b9_large_investor",
             "stream_observe_metrics", "stream_python_datasource",
-            "stream_transform_with_state", "text_bpe_tokenize",
+            "stream_transform_with_state",
             "text_bpe_train", "win_rfm_score",
         ],
         8,
+    ),
+    # round 9 greens — freshest, grade last (CORRECTNESS_r09: 50/50)
+    **dict.fromkeys(
+        [
+            "agg_approx_distinct", "agg_distinct", "cdc_gdpr_erasure",
+            "datagen_account_sample", "datagen_customeractivity",
+            "fn_array", "fn_bitwise", "fn_hash", "fn_json",
+            "fn_map_struct", "graph_pagerank", "limit_topk",
+            "multimodal_cols", "multimodal_decode",
+            "multimodal_framesample", "project_rename_cast",
+            "rule_b10_cross_sell", "sample_stratified_split",
+            "scan_jdbc", "scan_python_datasource",
+            "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
+            "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
+            "text_bpe_tokenize", "text_chunk", "text_fingerprint",
+            "text_idf_rarity", "text_langid", "text_pack_sequences",
+            "text_quality", "text_redact_pii", "text_stats",
+            "token_count_bpe", "topk_per_group", "udf_cogrouped",
+            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
+            "win_asof_gap_fill", "win_distribution",
+            "win_funnel_conversion", "win_islands_consecutive",
+            "win_lag_lead", "win_range_interval", "win_ranking",
+            "win_running_frame", "win_sessionize",
+        ],
+        9,
     ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The r8 stale set was fully re-certified in r8
-# (CORRECTNESS_r08 50/50 green). Round-9 code change:
-# - text_bpe_tokenize: per-doc and corpus-level word/token sums now
-#   coalesce NULL text to 0 on the Spark side, mirroring the oracle's
-#   COALESCE — the r8 verdict predates the semantics fix (ADVICE r8 #3:
-#   an all-NULL-text source diverged, NULL vs 0).
+# never-graded keys. The r9 stale key (text_bpe_tokenize) was re-certified
+# in r9 (CORRECTNESS_r09 50/50 green). Round-10 code change:
+# - scan_schema_evolution: the legacy-row backfill rule now conditions on
+#   event_id parity on BOTH the Spark side and the oracle (previously the
+#   Spark side coalesced on channel NULLness while the oracle used parity
+#   — identical on current fixtures, divergent if a NULL event_type ever
+#   appears). r6-vintage, so the regrade costs no extra slot in r10.
 _STALE_REGRADE = frozenset(
     {
-        "text_bpe_tokenize",
+        "scan_schema_evolution",
     }
 )
 
-# Round 9 has no budget overflow: 2 rank-(0,0) keys (sim_maxsim_ann new
-# + the stale regrade above) + 2 deferred r4 keys + 46 r5-vintage keys
-# = exactly the 50-slot prefix, so nothing waits.
+# Round 10 has no budget overflow: 2 rank-(0,0) keys
+# (stream_dedup_incremental new + the stale regrade above, whose r6 slot
+# was already committed) + 45 remaining r6-vintage keys + 3 oldest r7
+# keys = exactly the 50-slot prefix, so nothing waits.
 # tests/test_registry_vintage.py pins that this deferral set is exactly
 # as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
