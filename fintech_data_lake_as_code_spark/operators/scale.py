@@ -137,20 +137,35 @@ def _bucketed_table(
     N_BUCKETS file groups). The layout is written ONCE per scale dir —
     that's the point of bucketing: pay the shuffle at write time, reuse it
     for every subsequent join. A later session re-registers the existing
-    files with bucketing DDL instead of rewriting them."""
+    files with bucketing DDL instead of rewriting them — but only while
+    the files' recorded layout (bucket count + key) matches the DDL this
+    code would declare today: registering old-layout files under new DDL
+    would silently mis-bucket the exchange-free join, so a _LAYOUT
+    fingerprint marker guards the reuse (the Derby-seed fingerprint
+    lesson from sources/jdbc.py, applied to bucket layouts)."""
     import os
     import re
 
     tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
     table = f"bkt_{tag}_{name}"
     path = scratch_dir(sf_dir, f"bucketed_{name}")
-    # a complete layout requires the _SUCCESS marker: bare parquet files
-    # may be the debris of an aborted write and must not be re-registered
-    have_files = os.path.exists(os.path.join(path, "_SUCCESS")) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
+    fingerprint = f"{N_BUCKETS}:{key}"
+    layout_marker = os.path.join(path, "_LAYOUT")
+    layout_ok = False
+    if os.path.exists(layout_marker):
+        with open(layout_marker) as fh:
+            layout_ok = fh.read().strip() == fingerprint
+    # a complete layout requires the _SUCCESS marker (bare parquet files
+    # may be the debris of an aborted write) AND a matching _LAYOUT
+    # fingerprint (files bucketed under an older N_BUCKETS/key must be
+    # rewritten, not re-registered)
+    have_files = (
+        layout_ok
+        and os.path.exists(os.path.join(path, "_SUCCESS"))
+        and any(f.endswith(".parquet") for f in os.listdir(path))
     )
     if spark.catalog.tableExists(table):
-        if have_files:
+        if have_files and _registered_layout_matches(spark, table, key):
             return spark.table(table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     if have_files:
@@ -172,7 +187,28 @@ def _bucketed_table(
             .mode("overwrite")
             .saveAsTable(table)
         )
+        with open(layout_marker, "w") as fh:
+            fh.write(fingerprint + "\n")
     return spark.table(table)
+
+
+def _registered_layout_matches(
+    spark: SparkSession, table: str, key: str
+) -> bool:
+    """True iff the already-registered catalog table declares exactly the
+    bucketing this code would declare today (N_BUCKETS buckets on `key`).
+    Within one session the constants cannot change, but the catalog may
+    outlive this module's idea of the layout (persistent metastore,
+    REPL re-import after an edit) — so trust DESCRIBE, not recency."""
+    rows = {
+        r.col_name.strip(): (r.data_type or "").strip()
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+        if r.col_name
+    }
+    return (
+        rows.get("Num Buckets") == str(N_BUCKETS)
+        and rows.get("Bucket Columns", "").strip("[]`' ") == key
+    )
 
 
 @query(
@@ -384,13 +420,22 @@ def sink_zorder_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_timestamp("ts")).alias("t_max"),
     ).first()
 
-    def rank8(col: F.Column, lo: int, hi: int) -> F.Column:
-        # proportional 0..255 bucket, exact integer arithmetic
-        span = max(hi - lo + 1, 1)
-        return ((col - F.lit(lo)) * 256 / F.lit(span)).cast("long")
-
-    ub = rank8(F.col("user_id"), bounds.u_min, bounds.u_max)
-    tb = rank8(F.unix_timestamp("ts"), bounds.t_min, bounds.t_max)
+    # proportional 0..255 rank per dimension in PURE int64 arithmetic:
+    # `div` is Spark's integral division, so no double round-trip — a
+    # scaled offset past 2^53 would silently lose low bits under `/`,
+    # and low bits are exactly what bit-interleaving consumes. Exact
+    # while (hi - lo + 1) * 256 fits in int64 (span < 2^55).
+    u_span = max(int(bounds.u_max) - int(bounds.u_min) + 1, 1)
+    t_span = max(int(bounds.t_max) - int(bounds.t_min) + 1, 1)
+    ev = ev.withColumn(
+        "_u_scaled",
+        (F.col("user_id").cast("long") - F.lit(int(bounds.u_min))) * F.lit(256),
+    ).withColumn(
+        "_t_scaled",
+        (F.unix_timestamp("ts") - F.lit(int(bounds.t_min))) * F.lit(256),
+    )
+    ub = F.expr(f"_u_scaled div {u_span}")
+    tb = F.expr(f"_t_scaled div {t_span}")
     z = sum(
         (F.shiftright(ub, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
         + (F.shiftright(tb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
@@ -398,6 +443,7 @@ def sink_zorder_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (
         ev.withColumn("z", z)
+        .drop("_u_scaled", "_t_scaled")
         .repartitionByRange(8, "z")
         .sortWithinPartitions("z")
         .write.mode("overwrite")

@@ -370,12 +370,24 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(64, "event_id").write.mode("overwrite").parquet(frag)
 
     landed = spark.read.parquet(frag)
-    import glob
     import math
-    import os
 
-    input_bytes = sum(
-        os.path.getsize(p) for p in glob.glob(f"{frag}/*.parquet")
+    # Size the input through the Hadoop FileSystem API, NOT a driver-local
+    # glob: on a non-local lake (s3a://, hdfs://) a local glob returns
+    # empty, input_bytes would read 0, and the "compaction" degrades to a
+    # repartition(1) single-writer full rewrite. df.inputFiles() is the
+    # scan's own file list (any FS scheme), and the byte count is a
+    # bounded per-file metadata loop — the same class of listing the scan
+    # planner already did.
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    input_bytes = 0
+    for uri in landed.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        input_bytes += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    assert input_bytes > 0, (
+        f"compaction input at {frag} lists no bytes — refusing to plan a "
+        "repartition(1) full rewrite from an empty size estimate"
     )
     target = 128 * 1024 * 1024
     n_files = max(1, math.ceil(input_bytes / target))
@@ -438,9 +450,16 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     back = spark.read.schema(evolved).json([out + "/gen1", out + "/gen2"])
+    # Bucket by the SAME rule the oracle states: generation membership
+    # (event_id parity — the split that wrote the two file sets), not
+    # channel NULLness. coalesce(channel) is identical on today's data
+    # but would silently fold a new-generation row whose channel is
+    # genuinely NULL into '__legacy__', while the oracle keeps it NULL.
     return (
         back.groupBy(
-            F.coalesce("channel", F.lit("__legacy__")).alias("channel")
+            F.when(F.col("event_id") % 2 == 1, F.col("channel"))
+            .otherwise(F.lit("__legacy__"))
+            .alias("channel")
         )
         .agg(
             F.count("*").alias("n_rows"),

@@ -54,9 +54,18 @@ def _datagen_fingerprint() -> str:
     generator module's source. A pre-existing Derby seed is only trusted
     while this matches what the marker recorded — a datagen change would
     otherwise serve STALE rows against the freshly recomputed oracle
-    (the bucketed-layout marker lesson, applied here)."""
-    with open(_datagen_module.__file__, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()
+    (the bucketed-layout marker lesson, applied here).
+
+    When the generator's source is unreadable (bytecode-only install,
+    zipimport), the fingerprint degrades to an unverifiable token that
+    never matches a marker: the seed is rewritten each session — paying
+    a reseed beats either failing the query or trusting a seed whose
+    provenance can't be checked."""
+    try:
+        with open(_datagen_module.__file__, "rb") as fh:
+            digest = hashlib.sha256(fh.read()).hexdigest()
+    except (OSError, TypeError, AttributeError):
+        return f"{N_ROWS}:<source-unverifiable:reseed>"
     return f"{N_ROWS}:{digest}"
 
 
@@ -68,8 +77,9 @@ def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = _derby_url(sf_dir)
     marker = os.path.join(scratch_dir(sf_dir, "derby"), "_LOADED")
     fingerprint = _datagen_fingerprint()
+    verifiable = "<source-unverifiable" not in fingerprint
     seeded = False
-    if os.path.exists(marker):
+    if verifiable and os.path.exists(marker):
         with open(marker) as fh:
             seeded = fh.read().strip() == fingerprint
     if not seeded:

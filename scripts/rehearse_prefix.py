@@ -54,6 +54,13 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     window = list(qs)[args.start : args.start + args.count]
+    if not window:
+        # a mistyped --start/--count would otherwise print "0/0 ok" and
+        # exit 0 — a silently-passing empty rehearsal is worse than none
+        ap.error(
+            f"empty rehearsal window: --start {args.start} --count "
+            f"{args.count} selects nothing from {len(qs)} registered keys"
+        )
     fails = 0
     for key in window:
         try:

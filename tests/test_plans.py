@@ -615,3 +615,85 @@ def test_b9_election_is_take_ordered(spark, sf_dir):
     # r8 review killed funnels all per-user totals through one reducer
     plan = formatted_plan(SPECS["rule_b9_large_investor"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_layout_fingerprint_guards_reuse(spark, sf_dir):
+    # A pre-existing bucket layout may only be re-registered while its
+    # recorded (N_BUCKETS, key) fingerprint matches the DDL this code
+    # declares today — old-layout files under new DDL would silently
+    # mis-bucket the exchange-free join (r10 latent finding; the Derby
+    # seed fingerprint is the template).
+    import os
+
+    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.operators.scale import (
+        N_BUCKETS,
+        _bucketed_table,
+    )
+
+    _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    path = scratch_dir(sf_dir, "bucketed_orders")
+    marker = os.path.join(path, "_LAYOUT")
+    with open(marker) as fh:
+        assert fh.read().strip() == f"{N_BUCKETS}:o_orderkey"
+
+    # matching marker + live table -> reuse, no rewrite
+    success = os.path.join(path, "_SUCCESS")
+    mtime = os.path.getmtime(success)
+    _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    assert os.path.getmtime(success) == mtime, "reuse path rewrote files"
+
+    # stale fingerprint (simulated DDL change) -> full rewrite, marker
+    # restored to the current layout
+    with open(marker, "w") as fh:
+        fh.write("4:o_custkey\n")
+    _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    with open(marker) as fh:
+        assert fh.read().strip() == f"{N_BUCKETS}:o_orderkey"
+    assert os.path.getmtime(success) > mtime, "stale layout was trusted"
+
+
+def test_schema_evolution_null_channel_matches_oracle(spark, tmp_path):
+    # r10 latent finding: the legacy-row rule must be GENERATION
+    # membership (event_id parity — the rule the oracle states), not
+    # channel NULLness. A new-generation row whose event_type is NULL
+    # stays a NULL channel in both engines instead of folding into
+    # '__legacy__' on one side only.
+    import datetime
+
+    import duckdb
+
+    from fintech_data_lake_as_code_spark.operators.scans import (
+        scan_schema_evolution,
+    )
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, ts, 10, None, 1.0),       # new gen, NULL channel
+        (2, ts, 11, "web", 2.0),      # legacy gen
+        (3, ts, 12, "mobile", 3.0),   # new gen
+        (4, ts, 13, None, 4.0),       # legacy gen (NULL irrelevant)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    )
+    sf = str(tmp_path)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {
+        r.channel: (r.n_rows, r.cents)
+        for r in scan_schema_evolution(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    exp = {
+        row[0]: tuple(row[1:3])
+        for row in con.execute(SPECS["scan_schema_evolution"].oracle).fetchall()
+    }
+    assert got == exp
+    assert got[None] == (1, 100)          # new-gen NULL stays NULL
+    assert got["__legacy__"] == (2, 600)  # parity, not NULLness
