@@ -85,10 +85,19 @@ EXTRAS_V3 = [
     "stream_python_datasource",
     "text_bpe_tokenize",
 ]
+# Headline-v4 (FROZEN round 10 — VERDICT r9 ask #4): round 9's one
+# sanctioned key graduates out of FRESH into its own tracked total
+# (`extras_v4_total`). Its number is contract-verification-dominated
+# (the registered query runs the ANN path PLUS the exact all-pairs form
+# to grade recall) — expect it large but stable. Do not append — new
+# keys go in FRESH_KEYS until the next freeze.
+EXTRAS_V4 = [
+    "sim_maxsim_ann",
+]
 # Rolling pool for keys added THIS round: timed and reported, not yet
 # part of any frozen total (they graduate at the next freeze).
 FRESH_KEYS = [
-    "sim_maxsim_ann",
+    "stream_dedup_incremental",
 ]
 
 
@@ -231,6 +240,8 @@ def main() -> None:
     extras_total = round(sum(extras.values()), 3)
     extras_v3 = _time_block(EXTRAS_V3, "extra-v3")
     extras_v3_total = round(sum(extras_v3.values()), 3)
+    extras_v4 = _time_block(EXTRAS_V4, "extra-v4")
+    extras_v4_total = round(sum(extras_v4.values()), 3)
     fresh = _time_block(FRESH_KEYS, "fresh")
 
     # Re-probe AFTER the timed loops: background load arriving mid-run
@@ -268,11 +279,19 @@ def main() -> None:
             "extras": extras,
             "extras_total_normalized": round(extras_total / cal_ratio, 3),
             "extras_v3": extras_v3,
+            "extras_v4": extras_v4,
             "fresh": fresh,
         }
     }
     summary = build_summary(
-        sf, timings, total, cal_ratio, extras_total, extras_v3_total, fresh
+        sf,
+        timings,
+        total,
+        cal_ratio,
+        extras_total,
+        extras_v3_total,
+        extras_v4_total,
+        fresh,
     )
     # The driver keeps only the TAIL of stdout, so a single giant JSON
     # line loses its head — exactly what nulled BENCH_r08's "value"
@@ -298,6 +317,7 @@ def build_summary(
     cal_ratio: float,
     extras_total: float,
     extras_v3_total: float,
+    extras_v4_total: float,
     fresh: dict[str, float],
 ) -> dict:
     """The compact driver-contract result: everything the per-round
@@ -314,6 +334,7 @@ def build_summary(
         "calibration_ratio": cal_ratio,
         "extras_total": extras_total,
         "extras_v3_total": extras_v3_total,
+        "extras_v4_total": extras_v4_total,
         "fresh_total": round(sum(fresh.values()), 3),
     }
 

@@ -896,6 +896,25 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is_new derives from doc_id alone, so it rides on top of the shared
     # cached shingle artifact instead of forcing a second materialization
     shingled = _shingled_corpus(spark, sf_dir).withColumn("is_new", is_new)
+    return incremental_pairs(shingled).select(
+        "id_a",
+        "id_b",
+        "jaccard_bp",
+        F.when(F.col("new_a") & F.col("new_b"), "new_new")
+        .otherwise("new_old")
+        .alias("pair_kind"),
+    )
+
+
+def incremental_pairs(shingled: DataFrame) -> DataFrame:
+    """The incremental PPJoin core, shared by `dedup_incremental` (one
+    planted batch over the cached corpus artifact) and
+    `stream_dedup_incremental` (every micro-batch against the accumulated
+    lake index). Input: (doc_id, n, hashes, is_new) where `hashes` is the
+    sorted xxhash64 shingle array and `is_new` marks the probe side.
+    Output: verified pairs touching at least one new doc — (id_a, id_b,
+    jaccard_bp, new_a, new_b), normalized id_a < id_b, old x old never
+    generated."""
     # NOTE: prefix/positional constants below mirror dedup_ngram_jaccard
     # (threshold 0.6 appears as *6/10, 6000 bp, and the 8*o >= 3*(na+nb)
     # bound) — change them together; the DuckDB oracles catch drift
@@ -962,9 +981,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             F.floor(F.col("n_shared") * 10000 / union_n).alias("jaccard_bp"),
-            F.when(F.col("new_a") & F.col("new_b"), "new_new")
-            .otherwise("new_old")
-            .alias("pair_kind"),
+            "new_a",
+            "new_b",
         )
     )
 

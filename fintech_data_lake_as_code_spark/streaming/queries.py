@@ -1367,3 +1367,193 @@ def observe_metrics_over(spark: SparkSession, src: str) -> DataFrame:
         "rule_id string, n_rows bigint, n_violations bigint,"
         " passed boolean",
     )
+
+
+# --- incremental cross-batch dedup as a stream -------------------------------
+
+
+def _docs_json_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Land the perturbed dedup corpus as JSON lines once per sf — the
+    documents-lake landing zone the dedup stream consumes (same
+    Firehose-object framing as `_events_json_dir`, same marker-skip).
+    Four hash-split files so `maxFilesPerTrigger=1` yields a real
+    multi-batch arrival order."""
+    import os
+
+    from ..operators.dedup import _corpus
+
+    out = scratch_dir(sf_dir, "stream_src_docs")
+    if not any(f.endswith(".json") for f in os.listdir(out)):
+        _corpus(spark, sf_dir).repartition(4, "doc_id").write.mode(
+            "overwrite"
+        ).json(out)
+    return out
+
+
+class IncrementalDedupIndex:
+    """foreachBatch worker for streaming near-dup detection: probe each
+    micro-batch against the ACCUMULATED shingle index, emit the verified
+    pairs, then admit the batch into the index.
+
+    Exactly-once effects on at-least-once delivery, the SnapshotMerger
+    discipline applied twice: every write is an idempotent OVERWRITE of a
+    batch_id-keyed subdirectory (`index/batch_N`, `pairs/batch_N`), so a
+    replayed micro-batch rewrites the same content instead of appending
+    duplicates, and the probe reads only index generations STRICTLY BELOW
+    its own batch_id — its own half-written debris is invisible to it.
+
+    Scale shape: per-batch cost is |batch| x bucket-depth against the
+    index (the `incremental_pairs` PPJoin core — prefix-filtered,
+    positionally pruned, equi-join only), never |corpus|^2; the index
+    grows append-only as one shingle-array parquet generation per batch,
+    which on a real lake is an object-store prefix the daily compactor
+    folds. Shingling each batch is the CPU-heavy step — it runs ONCE per
+    batch at admission time, and every later batch re-reads the stored
+    arrays instead of re-shingling history."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _dir(self, kind: str, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.root, kind, f"batch_{batch_id}")
+
+    def _index_before(self, batch_id: int) -> list[str]:
+        import glob
+        import os
+
+        return sorted(
+            d
+            for d in glob.glob(os.path.join(self.root, "index", "batch_*"))
+            if int(os.path.basename(d).rsplit("_", 1)[1]) < batch_id
+            and os.path.exists(os.path.join(d, "_SUCCESS"))
+        )
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import _shingles, incremental_pairs
+
+        spark = batch_df.sparkSession
+        # admit first (idempotent overwrite), then read the STORED arrays
+        # back: the shingled frame feeds four plan legs (two prefix
+        # sides, two verify sides) — one parquet generation beats four
+        # recomputations of the CPU-bound shingling
+        (
+            batch_df.select(
+                "doc_id", _shingles(F.col("text")).alias("shingles")
+            )
+            .withColumn("n", F.size("shingles"))
+            .withColumn(
+                "hashes",
+                F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
+            )
+            .select("doc_id", "n", "hashes")
+            .write.mode("overwrite")
+            .parquet(self._dir("index", batch_id))
+        )
+        fresh = spark.read.parquet(self._dir("index", batch_id)).withColumn(
+            "is_new", F.lit(True)
+        )
+        older = self._index_before(batch_id)
+        if older:
+            shingled = (
+                spark.read.parquet(*older)
+                .withColumn("is_new", F.lit(False))
+                .unionByName(fresh)
+            )
+        else:
+            shingled = fresh
+        (
+            incremental_pairs(shingled)
+            .select("id_a", "id_b", "jaccard_bp")
+            .write.mode("overwrite")
+            .parquet(self._dir("pairs", batch_id))
+        )
+
+
+from ..operators.dedup import _PERTURB_SQL as _DEDUP_PERTURB_SQL  # noqa: E402
+
+
+@query(
+    "stream_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS ({_DEDUP_PERTURB_SQL}),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM corpus
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM shingled
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(FLOOR(s.n_shared * 10000 / (sa.n + sb.n - s.n_shared)) AS BIGINT)
+             AS jaccard_bp
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE s.n_shared * 10000 >= 6000 * (sa.n + sb.n - s.n_shared)
+    """,
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental near-dup detection — `dedup_incremental`'s
+    probe-the-new-batch-only shape lifted into the lake's actual arrival
+    process (ref A2: the bronze zone grows by Firehose-buffered objects
+    continuously, lib/fin-transactions-stack.ts:192-206; a training-data
+    pipeline over it must catch duplicates AS documents land, not in a
+    nightly full-corpus pass). Each micro-batch is shingled once, probed
+    against the accumulated shingle index with the shared PPJoin core
+    (prefix-filtered + positionally pruned candidate equi-join, sorted-
+    hash-array verification — see `incremental_pairs`), and then admitted
+    to the index, so a pair (a, b) is emitted exactly once: by whichever
+    batch delivers the LATER of the two documents. The union of all
+    per-batch emissions is therefore arrival-order independent and equals
+    the batch all-pairs Jaccard >= 0.6 join — which is exactly the DuckDB
+    oracle (same naive string formulation as dedup_ngram_jaccard, so
+    every graded run also differentially certifies the hash-array
+    verification lane). Per-batch cost is |batch| x bucket-depth
+    regardless of corpus size; state lives in restart-surviving parquet
+    generations, not driver memory, and replayed batches are idempotent
+    overwrites (see `IncrementalDedupIndex`)."""
+    import os
+    import shutil
+
+    src = _docs_json_dir(spark, sf_dir)
+    root = scratch_dir(sf_dir, "stream_dedup_inc")
+    ckpt = scratch_dir(sf_dir, "stream_dedup_inc_ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    worker = IncrementalDedupIndex(root)
+    q = (
+        stream.writeStream.foreachBatch(worker.process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "incremental dedup stream did not drain within 300s"
+        )
+    return spark.read.parquet(os.path.join(root, "pairs", "batch_*"))

@@ -88,6 +88,7 @@ def test_bench_summary_line_stays_tail_safe():
         cal_ratio=0.123,
         extras_total=1234.567,
         extras_v3_total=1234.567,
+        extras_v4_total=1234.567,
         fresh={k: 123.456 for k in bench.FRESH_KEYS},
     )
     line = json.dumps(summary)
@@ -102,6 +103,7 @@ def test_bench_summary_line_stays_tail_safe():
         "value_normalized",
         "extras_total",
         "extras_v3_total",
+        "extras_v4_total",
     ):
         assert field in parsed, field
 
@@ -120,6 +122,7 @@ def test_bench_key_lists_exist_in_registry():
         "HEADLINE": bench.HEADLINE,
         "EXTRAS": bench.EXTRAS,
         "EXTRAS_V3": bench.EXTRAS_V3,
+        "EXTRAS_V4": bench.EXTRAS_V4,
         "FRESH_KEYS": bench.FRESH_KEYS,
     }
     for name, block in lists.items():

@@ -657,3 +657,49 @@ def test_observe_metrics_refuses_all_empty_feed(spark, tmp_path):
     (tmp / "b.json").write_text("")
     with _pytest.raises(RuntimeError, match="zero rows"):
         observe_metrics_over(spark, str(tmp))
+
+
+def test_stream_dedup_incremental_replay_and_order_independence(
+    spark, tmp_path
+):
+    """The streaming dedup worker must (1) emit each qualifying pair
+    exactly once — the union over batches equals the batch all-pairs
+    join regardless of how the corpus was cut into micro-batches or in
+    what order they arrive, and (2) treat a re-delivered batch (same
+    batch_id, Spark's crash-replay contract) as an idempotent overwrite,
+    both on the live worker and through a fresh post-crash instance."""
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        IncrementalDedupIndex,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about spark structured streaming"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        (5, "another unrelated document concerning parquet file layouts"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def run(root, batches):
+        w = IncrementalDedupIndex(str(root))
+        for bid, ids in enumerate(batches):
+            w.process(df.where(F.col("doc_id").isin(ids)), bid)
+        out = spark.read.parquet(str(root) + "/pairs/batch_*")
+        return {tuple(r) for r in out.collect()}, w
+
+    all_at_once, _ = run(tmp_path / "r1", [[1, 2, 3, 4, 5]])
+    split, w2 = run(tmp_path / "r2", [[3, 1], [5, 4], [2]])
+    reversed_split, _ = run(tmp_path / "r3", [[2], [5, 4], [3, 1]])
+    assert all_at_once == split == reversed_split
+    ids = {(a, b) for a, b, _ in all_at_once}
+    assert ids == {(1, 2), (1, 4), (2, 4)}
+
+    # replay batch 1 on the live worker and through a fresh instance
+    w2.process(df.where(F.col("doc_id").isin([5, 4])), 1)
+    again = spark.read.parquet(str(tmp_path / "r2") + "/pairs/batch_*")
+    assert {tuple(r) for r in again.collect()} == split
+    w3 = IncrementalDedupIndex(str(tmp_path / "r2"))
+    w3.process(df.where(F.col("doc_id").isin([5, 4])), 1)
+    again2 = spark.read.parquet(str(tmp_path / "r2") + "/pairs/batch_*")
+    assert {tuple(r) for r in again2.collect()} == split
