@@ -1402,14 +1402,17 @@ class IncrementalDedupIndex:
     duplicates, and the probe reads only index generations STRICTLY BELOW
     its own batch_id — its own half-written debris is invisible to it.
 
-    Scale shape: per-batch cost is |batch| x bucket-depth against the
-    index (the `incremental_pairs` PPJoin core — prefix-filtered,
-    positionally pruned, equi-join only), never |corpus|^2; the index
-    grows append-only as one shingle-array parquet generation per batch,
-    which on a real lake is an object-store prefix the daily compactor
-    folds. Shingling each batch is the CPU-heavy step — it runs ONCE per
-    batch at admission time, and every later batch re-reads the stored
-    arrays instead of re-shingling history."""
+    Scale shape: per-batch probe-side cost is |batch| x bucket-depth
+    (the `incremental_pairs` PPJoin core — prefix-filtered, positionally
+    pruned, equi-join only), never |corpus|^2; the index side is scanned
+    and shuffled into the candidate join but never recomputed — it grows
+    append-only as one shingle-array parquet generation per batch, which
+    on a real lake is an object-store prefix the daily compactor folds
+    (and, at cluster scale, lays out bucketed on the posting hash so the
+    recurring shuffle is batch-side only). Shingling each batch is the
+    CPU-heavy step — it runs ONCE per batch at admission time, and every
+    later batch re-reads the stored arrays instead of re-shingling
+    history."""
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -1437,9 +1440,15 @@ class IncrementalDedupIndex:
         # admit first (idempotent overwrite), then read the STORED arrays
         # back: the shingled frame feeds four plan legs (two prefix
         # sides, two verify sides) — one parquet generation beats four
-        # recomputations of the CPU-bound shingling
+        # recomputations of the CPU-bound shingling. Repartition by CPU
+        # budget first: a micro-batch arrives as ONE source file -> one
+        # partition, and shingling is CPU-bound string work (_corpus's
+        # rationale) — without the spread it runs on a single core.
         (
-            batch_df.select(
+            batch_df.repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            )
+            .select(
                 "doc_id", _shingles(F.col("text")).alias("shingles")
             )
             .withColumn("n", F.size("shingles"))
@@ -1520,10 +1529,16 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch all-pairs Jaccard >= 0.6 join — which is exactly the DuckDB
     oracle (same naive string formulation as dedup_ngram_jaccard, so
     every graded run also differentially certifies the hash-array
-    verification lane). Per-batch cost is |batch| x bucket-depth
-    regardless of corpus size; state lives in restart-surviving parquet
-    generations, not driver memory, and replayed batches are idempotent
-    overwrites (see `IncrementalDedupIndex`)."""
+    verification lane). Per-batch COMPUTE is |batch| x bucket-depth
+    (shingling, candidate generation and verification all probe-side);
+    the index side is storage-resident state that is re-read, never
+    re-shingled — its recurring per-batch cost is the scan + shuffle of
+    the accumulated prefix postings into the candidate equi-join, which
+    at cluster scale is what a bucketed-on-hash postings layout (the
+    join_bucketed_colocated trade: pay the shuffle once at admission)
+    reduces to batch-side-only shuffle. State lives in restart-surviving
+    parquet generations, not driver memory, and replayed batches are
+    idempotent overwrites (see `IncrementalDedupIndex`)."""
     import os
     import shutil
 
