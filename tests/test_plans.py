@@ -697,3 +697,34 @@ def test_schema_evolution_null_channel_matches_oracle(spark, tmp_path):
     assert got == exp
     assert got[None] == (1, 100)          # new-gen NULL stays NULL
     assert got["__legacy__"] == (2, 600)  # parity, not NULLness
+
+
+def test_stream_dedup_batch_probe_is_equijoin_only(spark):
+    # The all-key sweep pins the BATCH twin (dedup_incremental); the
+    # streaming worker's per-batch probe runs inside foreachBatch where
+    # the sweep can't see it — pin the same structural property on the
+    # shared core directly: candidate generation + verification must
+    # compile to equi-joins only, never a cartesian/nested-loop product.
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        _shingles,
+        incremental_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words shared by every document {i}") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    shingled = (
+        docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+        .withColumn(
+            "hashes",
+            F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
+        )
+        .withColumn("is_new", F.col("doc_id") % 2 == 1)
+    )
+    plan = formatted_plan(incremental_pairs(shingled))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
