@@ -75,6 +75,49 @@ def scratch_dir(sf_dir: str, key: str) -> str:
     return path
 
 
+def module_fingerprint(module) -> str | None:
+    """sha256 of a module's source file, or None when it can't be read
+    (bytecode-only install, zipimport). Seed/landing markers record this
+    so a derivation-code change invalidates the seeded artifact instead
+    of serving stale rows; None means "unverifiable — always reseed"."""
+    import hashlib
+
+    try:
+        with open(module.__file__, "rb") as fh:
+            return hashlib.sha256(fh.read()).hexdigest()
+    except (OSError, TypeError, AttributeError):
+        return None
+
+
+def seeded_landing(out: str, fingerprint: str | None, write) -> str:
+    """Marker-guarded write-once landing zone (the `_bucketed_table`
+    `_LAYOUT` discipline for seeded scratch data): the existing contents
+    of `out` are trusted only when BOTH parquet/json job commit finished
+    (`_SUCCESS` — bare data files may be the debris of an aborted write)
+    AND the recorded `_SEED` fingerprint matches the derivation code that
+    would write them today. Any mismatch — or an unverifiable fingerprint
+    (None) — reseeds via `write()` (an idempotent mode-overwrite job).
+    The reseed costs one landing write; trusting a stale or truncated
+    seed costs a silently wrong graded result every round after."""
+    marker = os.path.join(out, "_SEED")
+    ok = fingerprint is not None and os.path.exists(
+        os.path.join(out, "_SUCCESS")
+    )
+    if ok and os.path.exists(marker):
+        with open(marker) as fh:
+            ok = fh.read().strip() == fingerprint
+    else:
+        ok = False
+    if not ok:
+        write()
+        if fingerprint is not None:
+            with open(marker, "w") as fh:
+                fh.write(fingerprint + "\n")
+        elif os.path.exists(marker):
+            os.remove(marker)
+    return out
+
+
 def release_local_checkpoint(df: DataFrame) -> None:
     """Best-effort, immediate release of a localCheckpoint'd DataFrame's
     storage blocks.

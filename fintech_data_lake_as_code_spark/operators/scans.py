@@ -385,10 +385,15 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     for uri in landed.inputFiles():
         p = jvm.org.apache.hadoop.fs.Path(uri)
         input_bytes += p.getFileSystem(hconf).getFileStatus(p).getLen()
-    assert input_bytes > 0, (
-        f"compaction input at {frag} lists no bytes — refusing to plan a "
-        "repartition(1) full rewrite from an empty size estimate"
-    )
+    if input_bytes <= 0:
+        # a raise, not an assert: the guard must survive python -O, or an
+        # empty listing silently degrades compaction to a single-writer
+        # full rewrite (the observe_metrics empty-feed refusal convention)
+        raise RuntimeError(
+            f"compaction input at {frag} lists no bytes — refusing to "
+            "plan a repartition(1) full rewrite from an empty size "
+            "estimate"
+        )
     target = 128 * 1024 * 1024
     n_files = max(1, math.ceil(input_bytes / target))
     landed.repartition(n_files).write.mode("overwrite").parquet(out)

@@ -87,12 +87,13 @@ def _load_all_modules() -> None:
 # the oldest-verdict keys, newest last. After the r9 fold the vintage
 # census is 46@r6 / 47@r7 / 49@r8 / 50@r9 (CORRECTNESS_r09 was 50/50
 # green: the 2 r4 deferrals + 46 r5 keys + text_bpe_tokenize stale +
-# sim_maxsim_ann new). Round 10's rank-(0,0) demand is 2 keys (1 new:
-# stream_dedup_incremental; 1 stale: scan_schema_evolution, legacy-row
-# rule alignment — it is r6-vintage, so its slot was already committed),
-# so the prefix is 2 rank-0 + 45 remaining r6 + 3 oldest r7 = 50 — no
-# overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r7 after
-# the r10 grade (pinned by tests/test_registry_vintage.py).
+# sim_maxsim_ann new). Round 10's rank-(0,0) demand is 3 keys (1 new:
+# stream_dedup_incremental; 2 stale: scan_schema_evolution legacy-row
+# rule alignment — r6-vintage, slot already committed — and scan_jdbc
+# seeding-gate lifecycle), so the prefix is 3 rank-0 + 45 remaining r6
+# + 2 oldest r7 = 50 — no overflow, `_DEFER_NEXT_ROUND` is empty and
+# the floor lifts to r7 after the r10 grade (pinned by
+# tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
     # round 6 greens
     **dict.fromkeys(
@@ -203,21 +204,28 @@ _VERDICT_ROUND: dict[str, int] = {
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
 # never-graded keys. The r9 stale key (text_bpe_tokenize) was re-certified
-# in r9 (CORRECTNESS_r09 50/50 green). Round-10 code change:
+# in r9 (CORRECTNESS_r09 50/50 green). Round-10 code changes:
 # - scan_schema_evolution: the legacy-row backfill rule now conditions on
 #   event_id parity on BOTH the Spark side and the oracle (previously the
 #   Spark side coalesced on channel NULLness while the oracle used parity
 #   — identical on current fixtures, divergent if a NULL event_type ever
 #   appears). r6-vintage, so the regrade costs no extra slot in r10.
+# - scan_jdbc: the Derby seeding gate changed (unverifiable datagen
+#   source -> always-reseed with no marker, instead of raising). Behavior
+#   is identical wherever the source is readable — every grading env —
+#   but the r9 verdict predates the seeding-lifecycle code that ships, so
+#   it re-certifies rather than aging three rounds uncovered.
 _STALE_REGRADE = frozenset(
     {
         "scan_schema_evolution",
+        "scan_jdbc",
     }
 )
 
-# Round 10 has no budget overflow: 2 rank-(0,0) keys
-# (stream_dedup_incremental new + the stale regrade above, whose r6 slot
-# was already committed) + 45 remaining r6-vintage keys + 3 oldest r7
+# Round 10 has no budget overflow: 3 rank-(0,0) keys
+# (stream_dedup_incremental new + the two stale regrades above; the
+# schema-evolution slot was already committed at r6, scan_jdbc's takes
+# the place of one r7 key) + 45 remaining r6-vintage keys + 2 oldest r7
 # keys = exactly the 50-slot prefix, so nothing waits.
 # tests/test_registry_vintage.py pins that this deferral set is exactly
 # as large as the budget overflow.

@@ -27,14 +27,13 @@ Scale notes (100 TB / real OLTP source):
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import exact_sum
-from ..io import scratch_dir
+from ..io import module_fingerprint, scratch_dir
 from ..registry import query
 from . import datagen as _datagen_module
 from .datagen import CUSTOMERACTIVITY_ORACLE, N_ROWS, customeractivity
@@ -49,24 +48,20 @@ def _derby_url(sf_dir: str) -> str:
     return f"jdbc:derby:{db_path};create=true"
 
 
-def _datagen_fingerprint() -> str:
+def _datagen_fingerprint() -> str | None:
     """Identity of the seeded workload: row count + a hash of the
     generator module's source. A pre-existing Derby seed is only trusted
     while this matches what the marker recorded — a datagen change would
     otherwise serve STALE rows against the freshly recomputed oracle
     (the bucketed-layout marker lesson, applied here).
 
-    When the generator's source is unreadable (bytecode-only install,
-    zipimport), the fingerprint degrades to an unverifiable token that
-    never matches a marker: the seed is rewritten each session — paying
-    a reseed beats either failing the query or trusting a seed whose
-    provenance can't be checked."""
-    try:
-        with open(_datagen_module.__file__, "rb") as fh:
-            digest = hashlib.sha256(fh.read()).hexdigest()
-    except (OSError, TypeError, AttributeError):
-        return f"{N_ROWS}:<source-unverifiable:reseed>"
-    return f"{N_ROWS}:{digest}"
+    None when the generator's source is unreadable (bytecode-only
+    install, zipimport): the caller treats None as "unverifiable —
+    always reseed, record no marker". Paying a reseed per session beats
+    either failing the query or trusting a seed whose provenance can't
+    be checked."""
+    digest = module_fingerprint(_datagen_module)
+    return None if digest is None else f"{N_ROWS}:{digest}"
 
 
 def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,9 +72,8 @@ def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = _derby_url(sf_dir)
     marker = os.path.join(scratch_dir(sf_dir, "derby"), "_LOADED")
     fingerprint = _datagen_fingerprint()
-    verifiable = "<source-unverifiable" not in fingerprint
     seeded = False
-    if verifiable and os.path.exists(marker):
+    if fingerprint is not None and os.path.exists(marker):
         with open(marker) as fh:
             seeded = fh.read().strip() == fingerprint
     if not seeded:
@@ -107,8 +101,11 @@ def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .save()
         )
-        with open(marker, "w") as fh:
-            fh.write(fingerprint + "\n")
+        if fingerprint is not None:
+            with open(marker, "w") as fh:
+                fh.write(fingerprint + "\n")
+        elif os.path.exists(marker):
+            os.remove(marker)  # no false provenance in the marker file
     return (
         spark.read.format("jdbc")
         .option("url", url)

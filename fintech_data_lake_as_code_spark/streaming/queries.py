@@ -44,7 +44,9 @@ EVENTS_SCHEMA = T.StructType(
 
 def _events_json_dir(spark: SparkSession, sf_dir: str) -> str:
     """Land events as JSON lines once per sf (the Firehose-style bronze
-    landing zone the stream reads from).
+    landing zone the stream reads from). Reuse is `_SUCCESS`+fingerprint
+    guarded (`io.seeded_landing`): debris of an aborted landing write, or
+    files landed by an older loader, reseed instead of being trusted.
 
     The UTC pin below is load()'s contract re-applied HERE because the
     seeding write is marker-skipped on re-runs: if the landed files
@@ -52,13 +54,21 @@ def _events_json_dir(spark: SparkSession, sf_dir: str) -> str:
     a streaming query graded FIRST in a fresh non-UTC session would
     misread the UTC-naive timestamp strings in the caller's timezone
     (observed as a 5.5 h epoch skew under an Asia/Kolkata session)."""
+    from .. import io as _io_module
+    from ..io import module_fingerprint, seeded_landing
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = scratch_dir(sf_dir, "stream_src_events")
-    import os
-
-    if not any(f.endswith(".json") for f in os.listdir(out)):
-        load(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").json(out)
-    return out
+    # the landed content is fully determined by the fixture (static) and
+    # the loader's normalization (io.load) — fingerprint the loader
+    return seeded_landing(
+        out,
+        module_fingerprint(_io_module),
+        lambda: load(spark, sf_dir, "events")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(out),
+    )
 
 
 def _drain(stream_df: DataFrame, key: str, output_mode: str) -> DataFrame:
@@ -1375,19 +1385,27 @@ def observe_metrics_over(spark: SparkSession, src: str) -> DataFrame:
 def _docs_json_dir(spark: SparkSession, sf_dir: str) -> str:
     """Land the perturbed dedup corpus as JSON lines once per sf — the
     documents-lake landing zone the dedup stream consumes (same
-    Firehose-object framing as `_events_json_dir`, same marker-skip).
-    Four hash-split files so `maxFilesPerTrigger=1` yields a real
-    multi-batch arrival order."""
-    import os
-
+    Firehose-object framing as `_events_json_dir`, same
+    `_SUCCESS`+fingerprint-guarded reuse via `io.seeded_landing`: an
+    aborted landing write or a corpus-derivation change reseeds instead
+    of serving a truncated/stale corpus against a freshly recomputed
+    oracle). Four hash-split files so `maxFilesPerTrigger=1` yields a
+    real multi-batch arrival order."""
+    from ..io import module_fingerprint, seeded_landing
+    from ..operators import dedup as _dedup_module
     from ..operators.dedup import _corpus
 
     out = scratch_dir(sf_dir, "stream_src_docs")
-    if not any(f.endswith(".json") for f in os.listdir(out)):
-        _corpus(spark, sf_dir).repartition(4, "doc_id").write.mode(
-            "overwrite"
-        ).json(out)
-    return out
+    # landed content = fixture (static) + _corpus's perturbation —
+    # fingerprint the module that defines the derivation
+    return seeded_landing(
+        out,
+        module_fingerprint(_dedup_module),
+        lambda: _corpus(spark, sf_dir)
+        .repartition(4, "doc_id")
+        .write.mode("overwrite")
+        .json(out),
+    )
 
 
 class IncrementalDedupIndex:

@@ -444,3 +444,50 @@ def test_release_local_checkpoint_frees_blocks_now(spark):
         "internal LogicalRDD path has moved; update io.py or iterative "
         "loop storage goes back to GC-timed eviction"
     )
+
+
+def test_seeded_landing_trusts_only_committed_matching_seeds(tmp_path):
+    # io.seeded_landing: reuse requires BOTH _SUCCESS (job commit
+    # finished) and a matching _SEED fingerprint; an unverifiable
+    # fingerprint (None) must reseed every call and record no marker
+    # that could read as false provenance.
+    import os
+
+    from fintech_data_lake_as_code_spark.io import seeded_landing
+
+    out = str(tmp_path)
+    calls = []
+
+    def write():
+        calls.append(1)
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+
+    # cold: seeds once, then reuses
+    seeded_landing(out, "fp1", write)
+    seeded_landing(out, "fp1", write)
+    assert len(calls) == 1
+    # fingerprint change (derivation code edited): reseed
+    seeded_landing(out, "fp2", write)
+    assert len(calls) == 2
+    # aborted write (no _SUCCESS): reseed even though _SEED matches
+    os.remove(os.path.join(out, "_SUCCESS"))
+    seeded_landing(out, "fp2", write)
+    assert len(calls) == 3
+    # unverifiable: reseed every call, marker removed
+    seeded_landing(out, None, write)
+    seeded_landing(out, None, write)
+    assert len(calls) == 5
+    assert not os.path.exists(os.path.join(out, "_SEED"))
+
+
+def test_module_fingerprint_unreadable_source_returns_none():
+    import types
+
+    from fintech_data_lake_as_code_spark.io import module_fingerprint
+    from fintech_data_lake_as_code_spark import io as io_module
+
+    assert module_fingerprint(io_module) is not None
+    ghost = types.ModuleType("ghost")  # no __file__ at all
+    assert module_fingerprint(ghost) is None
+    ghost.__file__ = "/nonexistent/path/ghost.py"
+    assert module_fingerprint(ghost) is None
