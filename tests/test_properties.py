@@ -491,3 +491,80 @@ def test_module_fingerprint_unreadable_source_returns_none():
     assert module_fingerprint(ghost) is None
     ghost.__file__ = "/nonexistent/path/ghost.py"
     assert module_fingerprint(ghost) is None
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "spark structured streaming drains bounded sources",
+                "completely unrelated words about parquet layouts",
+            ]
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.data(),
+)
+@settings(max_examples=8, deadline=None)
+def test_incremental_pairs_emission_is_batch_cut_invariant(
+    spark, texts, data
+):
+    # The streaming dedup claim in one property: emitting, per batch,
+    # the pairs that touch a new doc (old side = all docs delivered
+    # earlier) yields — summed over ANY cut of the corpus into ordered
+    # batches — exactly the all-pairs result, each pair exactly once.
+    # This is the math stream_dedup_incremental's exactly-once story
+    # rests on; the deterministic streaming test covers the IO/replay
+    # mechanics, this covers the emission algebra on random corpora/cuts.
+    import pyspark.sql.functions as F
+
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        _shingles,
+        incremental_pairs,
+    )
+
+    docs = list(enumerate(texts))
+    cuts = sorted(
+        data.draw(
+            st.sets(
+                st.integers(min_value=1, max_value=len(docs) - 1), max_size=3
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(docs)]:
+        if c > prev:
+            batches.append(docs[prev:c])
+            prev = c
+
+    def shingled(rows, new_ids):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return (
+            df.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+            .withColumn("n", F.size("shingles"))
+            .withColumn(
+                "hashes",
+                F.array_sort(
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                ),
+            )
+            .withColumn("is_new", F.col("doc_id").isin(new_ids))
+        )
+
+    emitted = []
+    for k, batch in enumerate(batches):
+        seen = [r for b in batches[: k + 1] for r in b]
+        new_ids = [i for i, _ in batch]
+        rows = incremental_pairs(shingled(seen, new_ids)).collect()
+        emitted.extend((r.id_a, r.id_b, r.jaccard_bp) for r in rows)
+
+    all_ids = [i for i, _ in docs]
+    direct = {
+        (r.id_a, r.id_b, r.jaccard_bp)
+        for r in incremental_pairs(shingled(docs, all_ids)).collect()
+    }
+    assert len(emitted) == len(set(emitted)), "a pair emitted twice"
+    assert set(emitted) == direct
