@@ -65,6 +65,13 @@ HEAVY_KEYS = [
     # with the corpus and a non-near-dup replica fixture.)
     "text_repetition_gopher",
     "text_decontaminate",
+    # r10: the streaming twin of dedup_incremental — four micro-batches,
+    # each probing the accumulated shingle-index generations through the
+    # same PPJoin core. 10x corpus => 10x per-batch docs over the same
+    # batch count, so a healthy run grows ~linearly; an all-pairs
+    # regression in the per-batch probe (or an index side that starts
+    # re-shingling history) shows up as the quadratic signature.
+    "stream_dedup_incremental",
     # r8: the cut-point-binned RFM rework reads the replicated events
     # (10x users, same per-user event density) — guards the
     # distributed-rank path against any single-funnel regression
