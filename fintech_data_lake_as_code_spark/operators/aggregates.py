@@ -593,7 +593,9 @@ def merged_cms_sketch(spark: SparkSession, day_user: DataFrame):
         # day_user_counts filters nulls upstream; a NaN here means the
         # float64-with-NaN nullable path leaked through — int64-cast of
         # NaN is garbage, so fail loudly instead of corrupting counts
-        assert not pdf["user_id"].isna().any(), "NULL user_id reached CMS build"
+        # (a raise, not an assert: the guard must survive python -O)
+        if pdf["user_id"].isna().any():
+            raise ValueError("NULL user_id reached CMS build")
         x = pdf["user_id"].to_numpy(np.int64) % CMS_P
         cnt = pdf["cnt"].to_numpy(np.int64)
         for i, (a, b) in enumerate(CMS_AB):
