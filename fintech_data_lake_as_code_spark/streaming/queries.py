@@ -292,14 +292,26 @@ def stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC dedupe within watermark (ref A2: at-least-once delivery ->
     dropDuplicates on the transaction id). Source contains ~14% injected
     redeliveries; the drained output must contain each id exactly once."""
-    out = scratch_dir(sf_dir, "stream_dedupe_src")
-    import os
+    import sys
 
-    if not any(f.endswith(".json") for f in os.listdir(out)):
+    from ..io import module_fingerprint, seeded_landing
+
+    out = scratch_dir(sf_dir, "stream_dedupe_src")
+
+    def _seed():
         ev = load(spark, sf_dir, "events")
         dupes = ev.where(F.col("event_id") % 7 == 0)
         ev.unionByName(dupes).coalesce(4).write.mode("overwrite").json(out)
 
+    # _SUCCESS+fingerprint-guarded reuse (io.seeded_landing): the dupe
+    # injection is defined HERE, so this module's source is the seed's
+    # provenance
+    seeded_landing(out, module_fingerprint(sys.modules[__name__]), _seed)
+
+    # re-pin UTC for the marker-skip path (the _events_json_dir lesson):
+    # when the seed is reused, no load() runs before the stream parses
+    # the landed UTC-naive timestamp strings
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = spark.readStream.schema(EVENTS_SCHEMA).json(out)
     deduped = (
         stream.withWatermark("ts", "1 hour")
