@@ -728,3 +728,44 @@ def test_stream_dedup_batch_probe_is_equijoin_only(spark):
     plan = formatted_plan(incremental_pairs(shingled))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_registration_mismatch_rebuilds(spark, sf_dir):
+    # The in-session guard: a catalog table that declares DIFFERENT
+    # bucketing than this code's DDL (persistent metastore, REPL
+    # re-import after an edit) must be dropped and rebuilt, not trusted
+    # — DESCRIBE is the source of truth, not table existence.
+    import os
+    import re
+
+    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.operators.scale import (
+        N_BUCKETS,
+        _bucketed_table,
+        _registered_layout_matches,
+    )
+
+    _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    tag = re.sub(
+        r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir))
+    )
+    table = f"bkt_{tag}_orders"
+    assert _registered_layout_matches(spark, table, "o_orderkey")
+
+    # re-register the same table name with WRONG bucketing DDL over the
+    # same (valid) files — simulates a catalog that outlived a DDL edit
+    path = scratch_dir(sf_dir, "bucketed_orders")
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.table(table).schema.fields
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET"
+        f" CLUSTERED BY (o_custkey) SORTED BY (o_custkey)"
+        f" INTO {N_BUCKETS * 2} BUCKETS LOCATION '{path}'"
+    )
+    assert not _registered_layout_matches(spark, table, "o_orderkey")
+
+    _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    assert _registered_layout_matches(spark, table, "o_orderkey")
