@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import query
+from .exact import cents
 
 
 @query(
@@ -408,9 +409,7 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = F.parse_json(
         F.to_json(
             F.struct(
-                F.round(F.col("value") * 100, 0)
-                .cast("bigint")
-                .alias("amt"),
+                cents(F.col("value")).alias("amt"),
                 F.array("event_type").alias("tags"),
             )
         )
