@@ -80,51 +80,21 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r09.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r10.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r9 fold the vintage
-# census is 46@r6 / 47@r7 / 49@r8 / 50@r9 (CORRECTNESS_r09 was 50/50
-# green: the 2 r4 deferrals + 46 r5 keys + text_bpe_tokenize stale +
-# sim_maxsim_ann new). Round 10's rank-(0,0) demand is 3 keys (1 new:
-# stream_dedup_incremental; 2 stale: scan_schema_evolution legacy-row
-# rule alignment — r6-vintage, slot already committed — and scan_jdbc
-# seeding-gate lifecycle), so the prefix is 3 rank-0 + 45 remaining r6
-# + 2 oldest r7 = 50 — no overflow, `_DEFER_NEXT_ROUND` is empty and
-# the floor lifts to r7 after the r10 grade (pinned by
-# tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r10 fold the vintage
+# census is 45@r7 / 49@r8 / 49@r9 / 50@r10 (CORRECTNESS_r10 was 50/50
+# green: 3 rank-0 keys — stream_dedup_incremental new + the
+# scan_schema_evolution/scan_jdbc stale regrades — plus the 45 remaining
+# r6 keys and the 2 oldest r7 keys fn_url/fn_variant). Round 11's
+# rank-(0,0) demand is zero new keys, so the prefix is the 45-key r7
+# cohort + the 5 oldest r8 keys = exactly 50 — no overflow,
+# `_DEFER_NEXT_ROUND` is empty and the floor lifts to r8 after the r11
+# grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 6 greens
-    **dict.fromkeys(
-        [
-            "agg_approx_percentile", "agg_histogram_bins",
-            "agg_retention_cohort", "agg_rolling_distinct",
-            "agg_sketch_cms", "agg_sketch_hll",
-            "dedup_containment", "dedup_incremental",
-            "dedup_near_minhash", "dedup_ngram_jaccard",
-            "dedup_simhash", "join_asof_nearest",
-            "join_bucketed_colocated", "join_skew_salted",
-            "profile_columns", "sample_bootstrap_means",
-            "sample_split_leakage_safe", "sample_weighted_priority",
-            "scan_csv", "scan_json_corrupt",
-            "scan_json_lines", "scan_orc", "scan_parquet",
-            "scan_partition_pruned", "scan_schema_evolution",
-            "scan_text", "scan_xml", "set_bag_ops",
-            "sink_compacted", "sink_partitioned",
-            "sink_sorted_lake", "sink_zorder_lake",
-            "sql_pricing_summary", "stream_backfill_availablenow",
-            "stream_bronze_ingest", "stream_dedupe",
-            "stream_join_static",
-            "stream_rate_sim", "stream_session", "stream_sliding",
-            "stream_stateful_freeze", "stream_stream_join",
-            "stream_tumbling",
-            "stream_watermark_late", "text_decontaminate",
-            "text_ngram_freq",
-        ],
-        6,
-    ),
-    # round 7 greens
+    # round 7 greens — the r11 grading cohort (stalest)
     **dict.fromkeys(
         [
             "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
@@ -133,7 +103,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
             "dedup_semantic_cluster", "dq_expectations",
             "embedding_quantize_int8", "fn_collation", "fn_crypto",
-            "fn_try_ansi", "fn_url", "fn_variant", "graph_triangle_count",
+            "fn_try_ansi", "graph_triangle_count",
             "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
             "join_spatial_grid",
             "sample_negative_pairs", "sample_temperature_mix",
@@ -174,7 +144,7 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         8,
     ),
-    # round 9 greens — freshest, grade last (CORRECTNESS_r09: 50/50)
+    # round 9 greens
     **dict.fromkeys(
         [
             "agg_approx_distinct", "agg_distinct", "cdc_gdpr_erasure",
@@ -184,7 +154,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "multimodal_cols", "multimodal_decode",
             "multimodal_framesample", "project_rename_cast",
             "rule_b10_cross_sell", "sample_stratified_split",
-            "scan_jdbc", "scan_python_datasource",
+            "scan_python_datasource",
             "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
             "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
             "text_bpe_tokenize", "text_chunk", "text_fingerprint",
@@ -199,36 +169,61 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         9,
     ),
+    # round 10 greens — freshest, grade last (CORRECTNESS_r10: 50/50)
+    **dict.fromkeys(
+        [
+            "agg_approx_percentile", "agg_histogram_bins",
+            "agg_retention_cohort", "agg_rolling_distinct",
+            "agg_sketch_cms", "agg_sketch_hll",
+            "dedup_containment", "dedup_incremental",
+            "dedup_near_minhash", "dedup_ngram_jaccard",
+            "dedup_simhash", "fn_url", "fn_variant",
+            "join_asof_nearest",
+            "join_bucketed_colocated", "join_skew_salted",
+            "profile_columns", "sample_bootstrap_means",
+            "sample_split_leakage_safe", "sample_weighted_priority",
+            "scan_csv", "scan_jdbc", "scan_json_corrupt",
+            "scan_json_lines", "scan_orc", "scan_parquet",
+            "scan_partition_pruned", "scan_schema_evolution",
+            "scan_text", "scan_xml", "set_bag_ops",
+            "sink_compacted", "sink_partitioned",
+            "sink_sorted_lake", "sink_zorder_lake",
+            "sql_pricing_summary", "stream_backfill_availablenow",
+            "stream_bronze_ingest", "stream_dedup_incremental",
+            "stream_dedupe", "stream_join_static",
+            "stream_rate_sim", "stream_session", "stream_sliding",
+            "stream_stateful_freeze", "stream_stream_join",
+            "stream_tumbling",
+            "stream_watermark_late", "text_decontaminate",
+            "text_ngram_freq",
+        ],
+        10,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The r9 stale key (text_bpe_tokenize) was re-certified
-# in r9 (CORRECTNESS_r09 50/50 green). Round-10 code changes:
-# - scan_schema_evolution: the legacy-row backfill rule now conditions on
-#   event_id parity on BOTH the Spark side and the oracle (previously the
-#   Spark side coalesced on channel NULLness while the oracle used parity
-#   — identical on current fixtures, divergent if a NULL event_type ever
-#   appears). r6-vintage, so the regrade costs no extra slot in r10.
-# - scan_jdbc: the Derby seeding gate changed (unverifiable datagen
-#   source -> always-reseed with no marker, instead of raising). Behavior
-#   is identical wherever the source is readable — every grading env —
-#   but the r9 verdict predates the seeding-lifecycle code that ships, so
-#   it re-certifies rather than aging three rounds uncovered.
+# never-graded keys. The two r10 stale keys (scan_schema_evolution,
+# scan_jdbc) were re-certified in r10 (CORRECTNESS_r10 50/50 green).
+# Round-11 code changes are confined to the r7 grading cohort
+# (stream_foreachbatch_merge / stream_scd2_apply Hadoop-FS generation
+# listing, sink_write_audit_publish single-pass audit,
+# join_fuzzy_edit_distance lexicon reuse) — each already grades this
+# round by vintage, so no extra stale slots are needed. The
+# IncrementalDedupIndex._index_before listing change is shared plumbing
+# for stream_dedup_incremental (r10-vintage): behavior-neutral on a
+# local lake (same generations listed, same graded rows) but it is code
+# the r10 verdict predates, so it re-certifies rather than aging.
 _STALE_REGRADE = frozenset(
     {
-        "scan_schema_evolution",
-        "scan_jdbc",
+        "stream_dedup_incremental",
     }
 )
 
-# Round 10 has no budget overflow: 3 rank-(0,0) keys
-# (stream_dedup_incremental new + the two stale regrades above; the
-# schema-evolution slot was already committed at r6, scan_jdbc's takes
-# the place of one r7 key) + 45 remaining r6-vintage keys + 2 oldest r7
-# keys = exactly the 50-slot prefix, so nothing waits.
-# tests/test_registry_vintage.py pins that this deferral set is exactly
-# as large as the budget overflow.
+# Round 11 has no budget overflow: 1 rank-(0,0) stale regrade + the
+# 45-key r7 cohort + the 4 oldest r8 keys = exactly the 50-slot prefix,
+# so nothing waits. tests/test_registry_vintage.py pins that this
+# deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
 
