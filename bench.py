@@ -153,6 +153,19 @@ def main() -> None:
     from fintech_data_lake_as_code_spark.operators.dedup import _shingled_corpus
 
     _shingled_corpus(spark, sf_dir).selectExpr("sum(n)").collect()
+    # Seed the streaming landing zones untimed: a fingerprint-forced
+    # reseed (io/dedup derivation change since the last seed) is a
+    # one-time landing write that would otherwise land inside the first
+    # timed run of whichever streaming key touches it first — the
+    # r10 extras_v3 contamination suspect. Marker-guarded, so when the
+    # seeds are current these cost one marker read each.
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        _docs_json_dir,
+        _events_json_dir,
+    )
+
+    _events_json_dir(spark, sf_dir)
+    _docs_json_dir(spark, sf_dir)
     # One untimed pass of the iterative CC query: its first invocation
     # pays whole-stage-codegen compilation for the per-round loop plans
     # and the localCheckpoint machinery (observed 2x the steady-state
@@ -292,6 +305,7 @@ def main() -> None:
         extras_v3_total,
         extras_v4_total,
         fresh,
+        cal_post_ratio,
     )
     # The driver keeps only the TAIL of stdout, so a single giant JSON
     # line loses its head — exactly what nulled BENCH_r08's "value"
@@ -319,12 +333,22 @@ def build_summary(
     extras_v3_total: float,
     extras_v4_total: float,
     fresh: dict[str, float],
+    cal_post_ratio: float | None = None,
 ) -> dict:
     """The compact driver-contract result: everything the per-round
     BENCH artifact must retain, and nothing bulky. Must stay within
     SUMMARY_LINE_BUDGET when JSON-encoded (test-pinned) so the driver's
-    tail capture can never truncate the headline value again."""
-    return {
+    tail capture can never truncate the headline value again.
+
+    `calibration_post_ratio` is the end-of-run load probe: when it sits
+    far above `calibration_ratio`, background load arrived mid-run and
+    the LATE blocks (extras_v3/v4, fresh) are inflated while the early
+    headline stays flat — the exact r10 signature. It must live in the
+    summary, not the detail line, because the detail's head is what the
+    driver's tail capture truncates (r10's post-ratio was lost that
+    way, which is why the r10 extras regression took a round to
+    adjudicate)."""
+    out = {
         "metric": "headline_queries_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
@@ -337,6 +361,9 @@ def build_summary(
         "extras_v4_total": extras_v4_total,
         "fresh_total": round(sum(fresh.values()), 3),
     }
+    if cal_post_ratio is not None:
+        out["calibration_post_ratio"] = cal_post_ratio
+    return out
 
 
 if __name__ == "__main__":

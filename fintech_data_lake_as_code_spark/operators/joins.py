@@ -912,7 +912,12 @@ def join_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (first char; production uses phonetic keys or q-gram buckets —
     same plan), and the lexicon side broadcasts; levenshtein is a
     codegen expression. At 100 TB the probe side streams map-side
-    through the broadcast lexicon — zero shuffles."""
+    through the broadcast lexicon — zero shuffles. The lexicon is
+    elected with ONE corpus scan and collected to the driver (a bounded
+    designed collect: FUZZY_LEX strings — lexicon metadata, never data);
+    building both join legs from the collected literals keeps the two
+    plan subtrees from each re-running the full word-count TakeOrdered,
+    which exchange reuse does not cover."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -920,11 +925,14 @@ def join_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
-    lex = (
-        words.orderBy(F.desc("cnt"), "word")
+    lex_words = [
+        r.word
+        for r in words.orderBy(F.desc("cnt"), "word")
         .limit(FUZZY_LEX)
         .select("word")
-    )
+        .collect()
+    ]
+    lex = spark.createDataFrame([(w,) for w in lex_words], "word string")
     probes = lex.where(F.length("word") > 2).select(
         F.col("word").alias("orig"),
         F.concat(

@@ -205,10 +205,17 @@ def _registered_layout_matches(
         for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
         if r.col_name
     }
-    return (
-        rows.get("Num Buckets") == str(N_BUCKETS)
-        and rows.get("Bucket Columns", "").strip("[]`' ") == key
-    )
+    # DESCRIBE renders Bucket Columns as a bracketed, backtick-quoted
+    # list (e.g. "[`l_orderkey`]"). Parse it per element instead of a
+    # whole-string strip: a blanket strip("[]`' ") only survives a
+    # single-column key, and a future multi-column key (or one
+    # containing stripped characters) would silently never match —
+    # forcing a drop-and-rewrite of the layout every session.
+    raw = rows.get("Bucket Columns", "").strip()
+    if raw.startswith("[") and raw.endswith("]"):
+        raw = raw[1:-1]
+    cols = [c.strip().strip("`") for c in raw.split(",") if c.strip()]
+    return rows.get("Num Buckets") == str(N_BUCKETS) and cols == [key]
 
 
 @query(

@@ -626,13 +626,23 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             > WAP_CAP_CENTS,
         ),
     ]
+    # ONE conditional-aggregate scan audits every rule (dq_expectations'
+    # shape, aggregates.py:1033) — a per-rule pre-scan pays the full
+    # staged-file read once per rule, and at 100 TB the audit must cost
+    # one scan regardless of how many expectations the suite carries.
+    # The bounded collect is the audit verdict: one row, len(rules)+1
+    # counters.
+    audit = staged.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.when(viol, 1).otherwise(0)).alias(f"v_{i}")
+            for i, (_, viol) in enumerate(rules)
+        ],
+    ).collect()[0]
     rows = []
-    for rule, viol in rules:
-        stats = staged.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(viol, 1).otherwise(0)).alias("v"),
-        ).collect()[0]
-        ok = int(stats.v) == 0
+    for i, (rule, _) in enumerate(rules):
+        n_viol = int(audit[f"v_{i}"])
+        ok = n_viol == 0
         target = scratch_dir(
             sf_dir, f"wap_{'published' if ok else 'quarantine'}_{rule}"
         )
@@ -642,8 +652,8 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 rule,
-                int(stats.n),
-                int(stats.v),
+                int(audit.n),
+                n_viol,
                 ok,
                 n_target if ok else 0,
                 0 if ok else n_target,

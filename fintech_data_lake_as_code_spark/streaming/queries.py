@@ -791,6 +791,55 @@ def _latest_per_user(df: DataFrame) -> DataFrame:
     )
 
 
+def _committed_batch_dirs(root: str, prefix: str) -> list[tuple[int, str]]:
+    """List `<root>/<prefix><N>` generation directories bearing parquet's
+    `_SUCCESS` commit marker, sorted by N, through the Hadoop FileSystem
+    API of the active session — NOT a driver-local `os.listdir`/`glob`,
+    which silently returns empty on a non-local lake (s3a://, hdfs://)
+    and would make a restarted query "resume from nothing" (the
+    `sink_compacted` listing discipline, operators/scans.py:376)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        # a raise, not a [] fallback: no-session is a harness bug, and an
+        # empty listing here IS the resume-from-nothing failure mode
+        raise RuntimeError(
+            f"no active SparkSession to list generations under {root}"
+        )
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not (name.startswith(prefix) and name[len(prefix):].isdigit()):
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if fs.exists(marker):
+            out.append((int(name[len(prefix):]), st.getPath().toString()))
+    return sorted(out)
+
+
+def _commit_marker_exists(dir_path: str) -> bool:
+    """`_SUCCESS` presence through the Hadoop FS API (any scheme) — the
+    replay short-circuit must see markers on a non-local lake too, or a
+    redelivered batch re-runs its merge (harmless content-wise, since
+    every write is an idempotent overwrite, but wasted work)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"no active SparkSession to probe commit marker in {dir_path}"
+        )
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(dir_path + "/_SUCCESS")
+    return bool(marker.getFileSystem(hconf).exists(marker))
+
+
 class SnapshotMerger:
     """foreachBatch merge target with EXACTLY-ONCE effects on top of
     Spark's at-least-once batch delivery. Two properties make replay
@@ -802,8 +851,9 @@ class SnapshotMerger:
       redelivered batch carries the SAME batch_id, so a committed
       version short-circuits and a half-written one (no marker) is
       simply rewritten from the same inputs;
-    - the previous snapshot is recovered from DISK (the newest committed
-      version below this batch_id), never from driver memory, so a
+    - the previous snapshot is recovered from STORAGE (the newest
+      committed version below this batch_id, listed via the Hadoop FS
+      API so any lake scheme works), never from driver memory, so a
       RESTARTED query resumes from the surviving snapshot instead of
       silently re-merging against nothing.
 
@@ -815,16 +865,7 @@ class SnapshotMerger:
         self.root = root
 
     def _committed(self) -> list[tuple[int, str]]:
-        import os
-
-        out = []
-        if os.path.isdir(self.root):
-            for name in os.listdir(self.root):
-                if name.startswith("v") and name[1:].isdigit() and os.path.exists(
-                    os.path.join(self.root, name, "_SUCCESS")
-                ):
-                    out.append((int(name[1:]), os.path.join(self.root, name)))
-        return sorted(out)
+        return _committed_batch_dirs(self.root, "v")
 
     def latest_dir(self, below: int | None = None) -> str | None:
         cands = [
@@ -835,10 +876,8 @@ class SnapshotMerger:
         return cands[-1][1] if cands else None
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         new_dir = f"{self.root}/v{batch_id}"
-        if os.path.exists(os.path.join(new_dir, "_SUCCESS")):
+        if _commit_marker_exists(new_dir):
             return  # replayed batch: effects already committed
         b = _latest_per_user(batch_df)
         prev_dir = self.latest_dir(below=batch_id)
@@ -1152,10 +1191,8 @@ class Scd2Merger(SnapshotMerger):
     buckets at 100 TB."""
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         new_dir = f"{self.root}/v{batch_id}"
-        if os.path.exists(os.path.join(new_dir, "_SUCCESS")):
+        if _commit_marker_exists(new_dir):
             return  # replayed batch: effects already committed
         raw_cols = ["user_id", "event_id", "ts", "event_type", "value"]
         batch = batch_df.select(*raw_cols)
@@ -1403,16 +1440,22 @@ def _docs_json_dir(spark: SparkSession, sf_dir: str) -> str:
     of serving a truncated/stale corpus against a freshly recomputed
     oracle). Four hash-split files so `maxFilesPerTrigger=1` yields a
     real multi-batch arrival order."""
+    from .. import io as _io_module
     from ..io import module_fingerprint, seeded_landing
     from ..operators import dedup as _dedup_module
     from ..operators.dedup import _corpus
 
     out = scratch_dir(sf_dir, "stream_src_docs")
-    # landed content = fixture (static) + _corpus's perturbation —
-    # fingerprint the module that defines the derivation
+    # landed content = fixture (static) + io.load's normalization +
+    # _corpus's perturbation — fingerprint BOTH deriving modules (an
+    # io.py load change must reseed here just as it does for
+    # _events_json_dir); either unreadable -> None -> always reseed
+    fp_io = module_fingerprint(_io_module)
+    fp_dedup = module_fingerprint(_dedup_module)
+    fp = None if fp_io is None or fp_dedup is None else f"{fp_io}:{fp_dedup}"
     return seeded_landing(
         out,
-        module_fingerprint(_dedup_module),
+        fp,
         lambda: _corpus(spark, sf_dir)
         .repartition(4, "doc_id")
         .write.mode("overwrite")
@@ -1453,15 +1496,18 @@ class IncrementalDedupIndex:
         return os.path.join(self.root, kind, f"batch_{batch_id}")
 
     def _index_before(self, batch_id: int) -> list[str]:
-        import glob
         import os
 
-        return sorted(
+        # Hadoop-FS listing, not glob: a driver-local glob lists nothing
+        # on s3a://-style roots and the probe would silently see an
+        # empty index (every historical duplicate missed)
+        return [
             d
-            for d in glob.glob(os.path.join(self.root, "index", "batch_*"))
-            if int(os.path.basename(d).rsplit("_", 1)[1]) < batch_id
-            and os.path.exists(os.path.join(d, "_SUCCESS"))
-        )
+            for bid, d in _committed_batch_dirs(
+                os.path.join(self.root, "index"), "batch_"
+            )
+            if bid < batch_id
+        ]
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import _shingles, incremental_pairs

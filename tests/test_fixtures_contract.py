@@ -90,6 +90,7 @@ def test_bench_summary_line_stays_tail_safe():
         extras_v3_total=1234.567,
         extras_v4_total=1234.567,
         fresh={k: 123.456 for k in bench.FRESH_KEYS},
+        cal_post_ratio=12.345,
     )
     line = json.dumps(summary)
     assert len(line) < bench.SUMMARY_LINE_BUDGET, len(line)
@@ -104,6 +105,7 @@ def test_bench_summary_line_stays_tail_safe():
         "extras_total",
         "extras_v3_total",
         "extras_v4_total",
+        "calibration_post_ratio",
     ):
         assert field in parsed, field
 

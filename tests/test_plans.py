@@ -637,20 +637,25 @@ def test_bucketed_layout_fingerprint_guards_reuse(spark, sf_dir):
     with open(marker) as fh:
         assert fh.read().strip() == f"{N_BUCKETS}:o_orderkey"
 
-    # matching marker + live table -> reuse, no rewrite
-    success = os.path.join(path, "_SUCCESS")
-    mtime = os.path.getmtime(success)
+    # matching marker + live table -> reuse, no rewrite. Evidence is a
+    # sentinel file, not _SUCCESS mtimes: the overwrite job clears the
+    # layout directory, so the sentinel survives IFF nothing rewrote —
+    # robust on filesystems with coarse (1 s) mtime granularity, where
+    # a rewrite inside the same second passes an == compare spuriously.
+    sentinel = os.path.join(path, "_TEST_SENTINEL")
+    with open(sentinel, "w") as fh:
+        fh.write("reuse-evidence\n")
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
-    assert os.path.getmtime(success) == mtime, "reuse path rewrote files"
+    assert os.path.exists(sentinel), "reuse path rewrote files"
 
     # stale fingerprint (simulated DDL change) -> full rewrite, marker
-    # restored to the current layout
+    # restored to the current layout, sentinel swept with the old files
     with open(marker, "w") as fh:
         fh.write("4:o_custkey\n")
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     with open(marker) as fh:
         assert fh.read().strip() == f"{N_BUCKETS}:o_orderkey"
-    assert os.path.getmtime(success) > mtime, "stale layout was trusted"
+    assert not os.path.exists(sentinel), "stale layout was trusted"
 
 
 def test_schema_evolution_null_channel_matches_oracle(spark, tmp_path):
