@@ -632,10 +632,7 @@ def fn_try_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.round(
-            F.expr(
-                "try_divide(cast(round(value * 100, 0) as bigint),"
-                " user_id % 5)"
-            ),
+            F.try_divide(cents(F.col("value")), F.col("user_id") % 5),
             4,
         ).alias("safe_div"),
         F.expr("try_cast(event_type as int)").alias("type_as_int"),

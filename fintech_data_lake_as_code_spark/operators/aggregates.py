@@ -1257,7 +1257,7 @@ def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(unix_timestamp(ts) - unix_timestamp("
             "timestamp '2024-01-01 00:00:00')) div 3600"
         ).alias("x"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+        cents(F.col("value")).alias("y"),
     )
     s = pts.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -1371,9 +1371,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
-        F.sum(
-            F.round(F.col("value") * 100, 0).cast("bigint")
-        ).alias("t")
+        F.sum(cents(F.col("value"))).alias("t")
     )
     w = Window.partitionBy("event_type").orderBy("t", "user_id")
     ranked = totals.withColumn("r", F.row_number().over(w))
@@ -1421,10 +1419,10 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a scalar subquery (1-row broadcast). Cents (not dollars) so
     sub-dollar amounts keep a meaningful leading digit."""
     ev = load(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = cents(F.col("value"))
     digits = ev.select(
-        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("d")
-    ).where(cents > 0)
+        F.substring(c.cast("string"), 1, 1).cast("bigint").alias("d")
+    ).where(c > 0)
     total = digits.agg(F.count("*").alias("tot"))
     return (
         digits.groupBy("d")
@@ -1479,9 +1477,7 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
-        F.sum(
-            F.round(F.col("value") * 100, 0).cast("bigint")
-        ).alias("t")
+        F.sum(cents(F.col("value"))).alias("t")
     )
     g = totals.agg(
         F.count("*").alias("n"), F.sum("t").alias("grand")

@@ -609,8 +609,6 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory publish in a real table format — modeled here as a
     rewrite because plain parquet has no atomic rename, which is
     exactly the gap WAP + table formats close at 100 TB."""
-    import shutil
-
     staged_dir = scratch_dir(sf_dir, "wap_staging")
     ev = load(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
     ev.select("event_id", "user_id", "value").write.mode(
@@ -646,7 +644,7 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = scratch_dir(
             sf_dir, f"wap_{'published' if ok else 'quarantine'}_{rule}"
         )
-        shutil.rmtree(target, ignore_errors=True)
+        # mode("overwrite") already clears the target; no pre-rmtree
         staged.write.mode("overwrite").parquet(target)
         n_target = spark.read.parquet(target).count()
         rows.append(

@@ -892,15 +892,29 @@ def _bmp_dir(spark: SparkSession, sf_dir: str) -> str:
     sessions — background bench plus pytest — both passing a plain
     marker check was a real race). POSIX rename onto the empty
     `scratch_dir`-created target succeeds; losing a publish race fails
-    ENOTEMPTY, and the winner's marker makes that loss benign."""
+    ENOTEMPTY, and the winner's marker makes that loss benign.
+
+    The `_SEEDED` marker records the deriving module's fingerprint
+    (`io.module_fingerprint` of THIS module — `_encode_bmp` and the
+    sampling predicate live here), checked by CONTENT: a bare
+    existence check would serve stale BMPs against a freshly
+    recomputed oracle after a derivation change (the io.seeded_landing
+    lesson, kept rename-atomic because binaryFile listing races are
+    real here)."""
     import os
     import shutil
+    import sys
 
-    from ..io import scratch_dir
+    from ..io import module_fingerprint, scratch_dir
 
     out = scratch_dir(sf_dir, "bmp_files")
     marker = os.path.join(out, "_SEEDED")
-    if not os.path.exists(marker):
+    fp = module_fingerprint(sys.modules[__name__])
+    seeded = False
+    if fp is not None and os.path.exists(marker):
+        with open(marker) as fh:
+            seeded = fh.read().strip() == fp
+    if not seeded:
         tmp = f"{out}.tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         d = (
@@ -923,16 +937,25 @@ def _bmp_dir(spark: SparkSession, sf_dir: str) -> str:
 
         d.mapInPandas(write_files, "n int").agg(F.sum("n")).collect()
         with open(os.path.join(tmp, "_SEEDED"), "w") as fh:
-            fh.write("ok\n")
+            # an unreadable module source records a token no future
+            # content check matches -> always reseed (the
+            # seeded_landing "unverifiable" convention)
+            fh.write((fp or "unverifiable") + "\n")
         try:
             os.rename(tmp, out)
         except OSError:
-            if os.path.exists(marker):
-                # a concurrent seeder published first; writes are
-                # deterministic, so defer to the winner
+            fresh = False
+            if fp is not None and os.path.exists(marker):
+                with open(marker) as fh:
+                    fresh = fh.read().strip() == fp
+            if fresh:
+                # a concurrent seeder with the SAME derivation
+                # published first; writes are deterministic, so defer
+                # to the winner
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
-                # stale partial (crashed pre-atomic seeding): replace it
+                # stale partial (crashed pre-atomic seeding) or a seed
+                # from an older derivation: replace it
                 shutil.rmtree(out, ignore_errors=True)
                 os.rename(tmp, out)
     return out

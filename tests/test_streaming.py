@@ -417,6 +417,48 @@ def test_foreachbatch_merge_replay_is_idempotent(spark, tmp_path):
     shutil.rmtree(root, ignore_errors=True)
 
 
+def test_committed_batch_dirs_lists_only_committed_generations(
+    spark, tmp_path
+):
+    """The Hadoop-FS generation lister behind every foreachBatch worker
+    (r10 latent finding: driver-local os/glob lists nothing on a
+    non-local lake): only `<prefix><N>` DIRECTORIES carrying a _SUCCESS
+    marker count, sorted by N, and the returned paths must be readable
+    by spark.read.parquet (they come back as file:/ URIs)."""
+    import os
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        _commit_marker_exists,
+        _committed_batch_dirs,
+    )
+
+    root = str(tmp_path / "gens")
+    # nothing there yet — and a missing root is an empty listing, not
+    # an error (first batch of a fresh query)
+    assert _committed_batch_dirs(root, "v") == []
+
+    df = spark.range(3).selectExpr("id AS k")
+    df.write.mode("overwrite").parquet(os.path.join(root, "v0"))
+    df.write.mode("overwrite").parquet(os.path.join(root, "v10"))
+    # torn generation: files but no _SUCCESS -> invisible
+    torn = os.path.join(root, "v5")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    # foreign names and plain files -> invisible
+    os.makedirs(os.path.join(root, "vNaN"))
+    os.makedirs(os.path.join(root, "other_3"))
+    with open(os.path.join(root, "v7"), "w") as fh:
+        fh.write("a FILE named like a generation")
+
+    got = _committed_batch_dirs(root, "v")
+    assert [bid for bid, _ in got] == [0, 10]
+    for _, d in got:
+        assert spark.read.parquet(d).count() == 3
+    assert _commit_marker_exists(os.path.join(root, "v10"))
+    assert not _commit_marker_exists(torn)
+
+
 import pytest as _pytest
 
 
