@@ -894,22 +894,30 @@ def _bmp_dir(spark: SparkSession, sf_dir: str) -> str:
     `scratch_dir`-created target succeeds; losing a publish race fails
     ENOTEMPTY, and the winner's marker makes that loss benign.
 
-    The `_SEEDED` marker records the deriving module's fingerprint
-    (`io.module_fingerprint` of THIS module — `_encode_bmp` and the
-    sampling predicate live here), checked by CONTENT: a bare
-    existence check would serve stale BMPs against a freshly
-    recomputed oracle after a derivation change (the io.seeded_landing
-    lesson, kept rename-atomic because binaryFile listing races are
-    real here)."""
+    The `_SEEDED` marker records BOTH deriving modules' fingerprints
+    (this module — `_encode_bmp` and the sampling predicate — plus
+    io.py, whose load() normalization the payload flows through),
+    checked by CONTENT: a bare existence check would serve stale BMPs
+    against a freshly recomputed oracle after a derivation change (the
+    io.seeded_landing lesson, kept rename-atomic because binaryFile
+    listing races are real here); either module unreadable -> None ->
+    always reseed."""
     import os
     import shutil
     import sys
 
+    from .. import io as _io_module
     from ..io import module_fingerprint, scratch_dir
 
     out = scratch_dir(sf_dir, "bmp_files")
     marker = os.path.join(out, "_SEEDED")
-    fp = module_fingerprint(sys.modules[__name__])
+    fp_io = module_fingerprint(_io_module)
+    fp_self = module_fingerprint(sys.modules[__name__])
+    fp = (
+        None
+        if fp_io is None or fp_self is None
+        else f"{fp_io}:{fp_self}"
+    )
     seeded = False
     if fp is not None and os.path.exists(marker):
         with open(marker) as fh:

@@ -88,9 +88,11 @@ def _load_all_modules() -> None:
 # census is 45@r7 / 49@r8 / 49@r9 / 50@r10 (CORRECTNESS_r10 was 50/50
 # green: 3 rank-0 keys — stream_dedup_incremental new + the
 # scan_schema_evolution/scan_jdbc stale regrades — plus the 45 remaining
-# r6 keys and the 2 oldest r7 keys fn_url/fn_variant). Round 11's
-# rank-(0,0) demand is zero new keys, so the prefix is the 45-key r7
-# cohort + the 5 oldest r8 keys = exactly 50 — no overflow,
+# r6 keys and the 2 oldest r7 keys fn_url/fn_variant). Round 11 adds
+# zero NEW keys; its one rank-(0,0) demand is the stream_dedup_incremental
+# stale regrade (see _STALE_REGRADE), so the prefix is 1 stale + the
+# 45-key r7 cohort + the 4 oldest r8 keys (fn_string, fn_datetime,
+# fn_math_decimal, fn_conditional) = exactly 50 — no overflow,
 # `_DEFER_NEXT_ROUND` is empty and the floor lifts to r8 after the r11
 # grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {

@@ -791,24 +791,47 @@ def _latest_per_user(df: DataFrame) -> DataFrame:
     )
 
 
-def _committed_batch_dirs(root: str, prefix: str) -> list[tuple[int, str]]:
-    """List `<root>/<prefix><N>` generation directories bearing parquet's
-    `_SUCCESS` commit marker, sorted by N, through the Hadoop FileSystem
-    API of the active session — NOT a driver-local `os.listdir`/`glob`,
-    which silently returns empty on a non-local lake (s3a://, hdfs://)
-    and would make a restarted query "resume from nothing" (the
-    `sink_compacted` listing discipline, operators/scans.py:376)."""
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        # a raise, not a [] fallback: no-session is a harness bug, and an
-        # empty listing here IS the resume-from-nothing failure mode
-        raise RuntimeError(
-            f"no active SparkSession to list generations under {root}"
-        )
+def _fs_for(spark: SparkSession, path_str: str):
+    """(jvm, FileSystem, Path) for `path_str` via the session's JVM.
+    Classic deployments only — Spark Connect exposes no `_jvm`; these
+    foreachBatch workers run on the driver of a classic cluster, where
+    the Hadoop FS API is the one listing that works on every lake
+    scheme (file://, s3a://, hdfs://)."""
     jvm = spark._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(root)
-    fs = path.getFileSystem(hconf)
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jvm, path.getFileSystem(hconf), path
+
+
+def _required_session(spark: SparkSession | None) -> SparkSession:
+    """The explicitly passed session, else the active one. Workers pass
+    `batch_df.sparkSession` (getActiveSession is thread-local state a
+    foreachBatch callback thread is not guaranteed to see on every
+    runtime); the fallback serves driver-main-thread callers like the
+    post-drain snapshot read."""
+    if spark is not None:
+        return spark
+    active = SparkSession.getActiveSession()
+    if active is None:
+        # a raise, not a [] fallback: no-session is a harness bug, and
+        # an empty listing IS the resume-from-nothing failure mode
+        raise RuntimeError(
+            "no SparkSession passed and none active — cannot reach the "
+            "Hadoop FileSystem API"
+        )
+    return active
+
+
+def _committed_batch_dirs(
+    spark: SparkSession, root: str, prefix: str
+) -> list[tuple[int, str]]:
+    """List `<root>/<prefix><N>` generation directories bearing parquet's
+    `_SUCCESS` commit marker, sorted by N, through the Hadoop FileSystem
+    API — NOT a driver-local `os.listdir`/`glob`, which silently returns
+    empty on a non-local lake (s3a://, hdfs://) and would make a
+    restarted query "resume from nothing" (the `sink_compacted` listing
+    discipline, operators/scans.py:376)."""
+    jvm, fs, path = _fs_for(spark, root)
     if not fs.exists(path):
         return []
     out = []
@@ -824,20 +847,13 @@ def _committed_batch_dirs(root: str, prefix: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _commit_marker_exists(dir_path: str) -> bool:
+def _commit_marker_exists(spark: SparkSession, dir_path: str) -> bool:
     """`_SUCCESS` presence through the Hadoop FS API (any scheme) — the
     replay short-circuit must see markers on a non-local lake too, or a
     redelivered batch re-runs its merge (harmless content-wise, since
     every write is an idempotent overwrite, but wasted work)."""
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise RuntimeError(
-            f"no active SparkSession to probe commit marker in {dir_path}"
-        )
-    jvm = spark._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    marker = jvm.org.apache.hadoop.fs.Path(dir_path + "/_SUCCESS")
-    return bool(marker.getFileSystem(hconf).exists(marker))
+    _, fs, marker = _fs_for(spark, dir_path + "/_SUCCESS")
+    return bool(fs.exists(marker))
 
 
 class SnapshotMerger:
@@ -864,23 +880,30 @@ class SnapshotMerger:
     def __init__(self, root: str):
         self.root = root
 
-    def _committed(self) -> list[tuple[int, str]]:
-        return _committed_batch_dirs(self.root, "v")
+    def _committed(
+        self, spark: SparkSession | None = None
+    ) -> list[tuple[int, str]]:
+        return _committed_batch_dirs(_required_session(spark), self.root, "v")
 
-    def latest_dir(self, below: int | None = None) -> str | None:
+    def latest_dir(
+        self,
+        below: int | None = None,
+        spark: SparkSession | None = None,
+    ) -> str | None:
         cands = [
             (bid, d)
-            for bid, d in self._committed()
+            for bid, d in self._committed(spark)
             if below is None or bid < below
         ]
         return cands[-1][1] if cands else None
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         new_dir = f"{self.root}/v{batch_id}"
-        if _commit_marker_exists(new_dir):
+        if _commit_marker_exists(spark, new_dir):
             return  # replayed batch: effects already committed
         b = _latest_per_user(batch_df)
-        prev_dir = self.latest_dir(below=batch_id)
+        prev_dir = self.latest_dir(below=batch_id, spark=spark)
         if prev_dir is not None:
             prev = batch_df.sparkSession.read.parquet(prev_dir)
             merged = _latest_per_user(prev.unionByName(b))
@@ -1191,12 +1214,13 @@ class Scd2Merger(SnapshotMerger):
     buckets at 100 TB."""
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         new_dir = f"{self.root}/v{batch_id}"
-        if _commit_marker_exists(new_dir):
+        if _commit_marker_exists(spark, new_dir):
             return  # replayed batch: effects already committed
         raw_cols = ["user_id", "event_id", "ts", "event_type", "value"]
         batch = batch_df.select(*raw_cols)
-        prev_dir = self.latest_dir(below=batch_id)
+        prev_dir = self.latest_dir(below=batch_id, spark=spark)
         if prev_dir is None:
             merged = _scd2_rows(batch)
         else:
@@ -1495,7 +1519,7 @@ class IncrementalDedupIndex:
 
         return os.path.join(self.root, kind, f"batch_{batch_id}")
 
-    def _index_before(self, batch_id: int) -> list[str]:
+    def _index_before(self, spark: SparkSession, batch_id: int) -> list[str]:
         import os
 
         # Hadoop-FS listing, not glob: a driver-local glob lists nothing
@@ -1504,7 +1528,7 @@ class IncrementalDedupIndex:
         return [
             d
             for bid, d in _committed_batch_dirs(
-                os.path.join(self.root, "index"), "batch_"
+                spark, os.path.join(self.root, "index"), "batch_"
             )
             if bid < batch_id
         ]
@@ -1539,7 +1563,7 @@ class IncrementalDedupIndex:
         fresh = spark.read.parquet(self._dir("index", batch_id)).withColumn(
             "is_new", F.lit(True)
         )
-        older = self._index_before(batch_id)
+        older = self._index_before(spark, batch_id)
         if older:
             shingled = (
                 spark.read.parquet(*older)

@@ -435,7 +435,7 @@ def test_committed_batch_dirs_lists_only_committed_generations(
     root = str(tmp_path / "gens")
     # nothing there yet — and a missing root is an empty listing, not
     # an error (first batch of a fresh query)
-    assert _committed_batch_dirs(root, "v") == []
+    assert _committed_batch_dirs(spark, root, "v") == []
 
     df = spark.range(3).selectExpr("id AS k")
     df.write.mode("overwrite").parquet(os.path.join(root, "v0"))
@@ -451,12 +451,12 @@ def test_committed_batch_dirs_lists_only_committed_generations(
     with open(os.path.join(root, "v7"), "w") as fh:
         fh.write("a FILE named like a generation")
 
-    got = _committed_batch_dirs(root, "v")
+    got = _committed_batch_dirs(spark, root, "v")
     assert [bid for bid, _ in got] == [0, 10]
     for _, d in got:
         assert spark.read.parquet(d).count() == 3
-    assert _commit_marker_exists(os.path.join(root, "v10"))
-    assert not _commit_marker_exists(torn)
+    assert _commit_marker_exists(spark, os.path.join(root, "v10"))
+    assert not _commit_marker_exists(spark, torn)
 
 
 import pytest as _pytest
