@@ -617,6 +617,22 @@ def test_b9_election_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_fuzzy_join_plan_scans_corpus_zero_times(spark, sf_dir):
+    # The lexicon is elected with ONE corpus scan and collected
+    # (bounded: FUZZY_LEX strings); the RETURNED plan joins two local
+    # relations built from the collected literals — a corpus FileScan
+    # in it would mean a plan subtree re-runs the word-count
+    # TakeOrdered per leg (the r11 latent finding this pins closed).
+    plan = formatted_plan(
+        SPECS["join_fuzzy_edit_distance"].fn(spark, sf_dir)
+    )
+    assert "Scan parquet" not in plan, plan
+    # driver-local literals compile to a local scan (LocalTableScan or
+    # Scan ExistingRDD depending on the createDataFrame path)
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_bucketed_layout_fingerprint_guards_reuse(spark, sf_dir):
     # A pre-existing bucket layout may only be re-registered while its
     # recorded (N_BUCKETS, key) fingerprint matches the DDL this code
