@@ -261,6 +261,43 @@ def test_bmp_codec_roundtrip_and_rejects_garbage():
         _decode_image_real(b"GIF89a not a bitmap at all....................")
 
 
+def test_bmp_dir_reseeds_on_stale_fingerprint(spark, sf_dir):
+    # _bmp_dir's _SEEDED marker is checked by CONTENT (io+text module
+    # fingerprints): a seed left by an older derivation must be
+    # REPLACED through the rename-failure branch (rename onto the
+    # non-empty stale dir raises, the stale marker does not match
+    # today's fingerprint, so the loser sweeps and republishes),
+    # never trusted (r11 latent finding).
+    import glob
+    import os
+
+    from fintech_data_lake_as_code_spark.operators.text import _bmp_dir
+
+    out = _bmp_dir(spark, sf_dir)
+    marker = os.path.join(out, "_SEEDED")
+    with open(marker) as fh:
+        fresh_fp = fh.read().strip()
+    assert ":" in fresh_fp  # io-fingerprint : text-fingerprint
+    n_files = len(glob.glob(os.path.join(out, "*.bmp")))
+    assert n_files > 0
+
+    # same fingerprint -> reuse (sentinel survives)
+    sentinel = os.path.join(out, "_TEST_SENTINEL")
+    with open(sentinel, "w") as fh:
+        fh.write("x")
+    assert _bmp_dir(spark, sf_dir) == out
+    assert os.path.exists(sentinel)
+
+    # stale fingerprint -> full reseed: marker restored, sentinel swept
+    with open(marker, "w") as fh:
+        fh.write("derivation-from-an-older-round\n")
+    assert _bmp_dir(spark, sf_dir) == out
+    with open(marker) as fh:
+        assert fh.read().strip() == fresh_fp
+    assert not os.path.exists(sentinel)
+    assert len(glob.glob(os.path.join(out, "*.bmp"))) == n_files
+
+
 def test_decontaminate_excludes_benchmark_and_bounds_share(spark, sf_dir):
     from fintech_data_lake_as_code_spark.operators.text import (
         DECONTAM_BENCH_MOD,
