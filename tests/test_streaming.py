@@ -701,6 +701,28 @@ def test_observe_metrics_refuses_all_empty_feed(spark, tmp_path):
         observe_metrics_over(spark, str(tmp))
 
 
+def test_docs_landing_fingerprints_both_deriving_modules(spark, sf_dir):
+    # ADVICE r10: the landed dedup corpus derives from io.load's
+    # normalization AND dedup's perturbation — the _SEED marker must
+    # bind BOTH module fingerprints so a change to either reseeds
+    # (a single-module fingerprint silently served a stale corpus
+    # against a freshly recomputed oracle).
+    import os
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        _docs_json_dir,
+    )
+
+    src = _docs_json_dir(spark, sf_dir)
+    with open(os.path.join(src, "_SEED")) as fh:
+        fp = fh.read().strip()
+    parts = fp.split(":")
+    assert len(parts) == 2, fp
+    assert all(
+        len(p) == 64 and set(p) <= set("0123456789abcdef") for p in parts
+    ), fp
+
+
 def test_stream_dedup_incremental_replay_and_order_independence(
     spark, tmp_path
 ):
