@@ -1024,6 +1024,21 @@ _TWS_TOPK_STATE = T.StructType(
 )
 
 
+def _py_cents(value: float) -> int:
+    """Half-away-from-zero integer cents — the Python-side mirror of
+    `exact.cents` (Spark F.round HALF_UP / DuckDB ROUND). Python's
+    builtin round() BANKER'S-rounds ties (round(100.5) == 100), so a
+    double landing exactly on .5 after *100 would put the stateful
+    fold one cent off the JVM/oracle lanes. Fixture doubles never hit
+    an exact tie (2-dp-generated), but a stateful operator must not
+    depend on that. int() truncates toward zero, so adding a
+    sign-matched 0.5 implements half-AWAY for either sign."""
+    import math
+
+    scaled = value * 100
+    return int(scaled + math.copysign(0.5, scaled))
+
+
 def _topk_step(state_rows, pdf):
     """Shared per-key transition (pure python, unit-testable without any
     state server): fold this batch's rows in (ts, event_id) order through
@@ -1041,7 +1056,7 @@ def _topk_step(state_rows, pdf):
     state = list(state_rows)
     out = []
     for r in pdf.sort_values(["ts", "event_id"]).itertuples(index=False):
-        cents = int(round(r.value * 100))
+        cents = _py_cents(r.value)
         n_better = sum(
             1
             for (sc, sid) in state

@@ -701,6 +701,28 @@ def test_observe_metrics_refuses_all_empty_feed(spark, tmp_path):
         observe_metrics_over(spark, str(tmp))
 
 
+def test_py_cents_rounds_half_away_like_the_jvm_and_oracle():
+    # The Python-side stateful folds must scale cents exactly like
+    # Spark's F.round (HALF_UP) and DuckDB's ROUND (half away from
+    # zero); Python's builtin round() banker's-rounds ties and would
+    # drift one cent on an exact .5 double.
+    import duckdb
+
+    from fintech_data_lake_as_code_spark.streaming.queries import _py_cents
+
+    cases = [0.125, 1.005, 2.675, 0.0, 3.14, 100.555, -0.125, -2.675]
+    con = duckdb.connect()
+    for v in cases:
+        (exp,) = con.execute(
+            "SELECT CAST(ROUND(? * 100, 0) AS BIGINT)", [v]
+        ).fetchone()
+        assert _py_cents(v) == exp, (v, _py_cents(v), exp)
+    # the tie case builtin round() gets wrong (banker's): 0.125*100
+    # is exactly 12.5 in binary floating point
+    assert _py_cents(0.125) == 13 and round(0.125 * 100) == 12
+    assert _py_cents(-0.125) == -13
+
+
 def test_docs_landing_fingerprints_both_deriving_modules(spark, sf_dir):
     # ADVICE r10: the landed dedup corpus derives from io.load's
     # normalization AND dedup's perturbation — the _SEED marker must
