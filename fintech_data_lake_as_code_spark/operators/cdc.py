@@ -592,11 +592,13 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two max_by-style reduces + one full-outer join, all on
     user_id — one shuffle key end to end; the old-side scan prunes to
     `ts <= cut` via pushdown."""
+    from ..functions.exact import cents as _cents
+
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "ts",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        _cents(F.col("value")).alias("cents"),
     )
     b = ev.agg(
         F.min(F.unix_timestamp("ts")).alias("mn"),
