@@ -245,8 +245,17 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(batches):
         for b in batches:
+            # round_mode matters: pyarrow defaults to half_to_even
+            # (banker's), which diverges from Spark F.round / DuckDB
+            # ROUND (both half away from zero) on every exact .5
+            # double — half_towards_infinity is the away-from-zero
+            # mode (the streaming _py_cents convention, Arrow lane)
             cents = pc.cast(
-                pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()
+                pc.round(
+                    pc.multiply(b.column("value"), 100.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
             )
             # no pc.mod kernel: x % 97 == x - (x // 97) * 97 (cents >= 0;
             # pyarrow integer divide IS integer division)
