@@ -84,44 +84,17 @@ def _load_all_modules() -> None:
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r10 fold the vintage
-# census is 45@r7 / 49@r8 / 49@r9 / 50@r10 (CORRECTNESS_r10 was 50/50
-# green: 3 rank-0 keys — stream_dedup_incremental new + the
-# scan_schema_evolution/scan_jdbc stale regrades — plus the 45 remaining
-# r6 keys and the 2 oldest r7 keys fn_url/fn_variant). Round 11 adds
-# zero NEW keys; its one rank-(0,0) demand is the stream_dedup_incremental
-# stale regrade (see _STALE_REGRADE), so the prefix is 1 stale + the
-# 45-key r7 cohort + the 4 oldest r8 keys (fn_string, fn_datetime,
-# fn_math_decimal, fn_conditional) = exactly 50 — no overflow,
-# `_DEFER_NEXT_ROUND` is empty and the floor lifts to r8 after the r11
-# grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r11 fold the vintage
+# census is 45@r8 / 49@r9 / 49@r10 / 50@r11 (CORRECTNESS_r11 was 50/50
+# green: the stream_dedup_incremental stale regrade + the 45-key r7
+# cohort + the 4 oldest r8 keys fn_string/fn_datetime/fn_math_decimal/
+# fn_conditional). Round 12 adds zero NEW keys; its rank-(0,0) demand is
+# the two stale regrades in _STALE_REGRADE, so the prefix is 2 stale +
+# the 45-key r8 cohort + the 3 oldest r9 keys = exactly 50 — no
+# overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r9
+# after the r12 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 7 greens — the r11 grading cohort (stalest)
-    **dict.fromkeys(
-        [
-            "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
-            "agg_kanonymity", "agg_mode_exact", "agg_pareto_8020",
-            "agg_regression_ols", "cdc_snapshot_diff", "dedup_cluster_cc",
-            "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
-            "dedup_semantic_cluster", "dq_expectations",
-            "embedding_quantize_int8", "fn_collation", "fn_crypto",
-            "fn_try_ansi", "graph_triangle_count",
-            "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
-            "join_spatial_grid",
-            "sample_negative_pairs", "sample_temperature_mix",
-            "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
-            "sim_topk_ivf_kmeans", "sink_compression_codecs",
-            "sink_write_audit_publish", "sql_recursive_cte",
-            "stream_foreachbatch_merge", "stream_scd2_apply",
-            "stream_tws_topk_state", "subquery_family",
-            "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
-            "win_anomaly_zscore", "win_drawdown", "win_ewma",
-            "win_match_recognize", "win_resample_interp",
-            "win_transition_matrix",
-        ],
-        7,
-    ),
-    # round 8 greens — freshest, grade last (CORRECTNESS_r08: 50/50)
+    # round 8 greens — the r12 grading cohort (stalest)
     **dict.fromkeys(
         [
             "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
@@ -130,8 +103,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "cdc_envelope_roundtrip", "cdc_incremental_agg",
             "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
             "dedup_exact", "filter_null_domain", "filter_pred",
-            "fn_conditional", "fn_datetime", "fn_math_decimal",
-            "fn_string", "join_anti", "join_asof_backward",
+            "join_anti", "join_asof_backward",
             "join_asof_interval", "join_broadcast", "join_cross_topk",
             "join_inner_equi", "join_left_right_full", "join_multiway",
             "join_range_banded", "join_scd2_pointintime", "join_semi",
@@ -191,7 +163,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "sink_compacted", "sink_partitioned",
             "sink_sorted_lake", "sink_zorder_lake",
             "sql_pricing_summary", "stream_backfill_availablenow",
-            "stream_bronze_ingest", "stream_dedup_incremental",
+            "stream_bronze_ingest",
             "stream_dedupe", "stream_join_static",
             "stream_rate_sim", "stream_session", "stream_sliding",
             "stream_stateful_freeze", "stream_stream_join",
@@ -201,31 +173,51 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         10,
     ),
+    # round 11 greens — freshest, grade last (CORRECTNESS_r11: 50/50)
+    **dict.fromkeys(
+        [
+            "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
+            "agg_kanonymity", "agg_mode_exact", "agg_pareto_8020",
+            "agg_regression_ols", "cdc_snapshot_diff", "dedup_cluster_cc",
+            "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
+            "dedup_semantic_cluster", "dq_expectations",
+            "embedding_quantize_int8", "fn_collation", "fn_conditional",
+            "fn_crypto", "fn_datetime", "fn_math_decimal", "fn_string",
+            "fn_try_ansi", "graph_triangle_count",
+            "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
+            "join_spatial_grid",
+            "sample_negative_pairs", "sample_temperature_mix",
+            "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
+            "sim_topk_ivf_kmeans", "sink_compression_codecs",
+            "sink_write_audit_publish", "sql_recursive_cte",
+            "stream_dedup_incremental",
+            "stream_foreachbatch_merge", "stream_scd2_apply",
+            "stream_tws_topk_state", "subquery_family",
+            "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
+            "win_anomaly_zscore", "win_drawdown", "win_ewma",
+            "win_match_recognize", "win_resample_interp",
+            "win_transition_matrix",
+        ],
+        11,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The two r10 stale keys (scan_schema_evolution,
-# scan_jdbc) were re-certified in r10 (CORRECTNESS_r10 50/50 green).
-# Round-11 code changes are confined to the r7 grading cohort
-# (stream_foreachbatch_merge / stream_scd2_apply Hadoop-FS generation
-# listing, sink_write_audit_publish single-pass audit,
-# join_fuzzy_edit_distance lexicon reuse) — each already grades this
-# round by vintage, so no extra stale slots are needed. The
-# IncrementalDedupIndex._index_before listing change is shared plumbing
-# for stream_dedup_incremental (r10-vintage): behavior-neutral on a
-# local lake (same generations listed, same graded rows) but it is code
-# the r10 verdict predates, so it re-certifies rather than aging.
-_STALE_REGRADE = frozenset(
-    {
-        "stream_dedup_incremental",
-    }
-)
+# never-graded keys. The r11 stale key (stream_dedup_incremental) was
+# re-certified in r11 (CORRECTNESS_r11 50/50 green). Round-12 code
+# changes confined to the r8 grading cohort (the cdc latest-state helper
+# extraction for cdc_merge_upsert/cdc_incremental_agg, the stats_corr
+# exact-cents swap, the stream_transform_with_state _py_cents swap, the
+# as-of Window-import tidy) need no stale slots — those keys grade this
+# round by vintage. Stale entries below are keys OUTSIDE the r8 cohort
+# whose defining code changes this round.
+_STALE_REGRADE = frozenset()
 
-# Round 11 has no budget overflow: 1 rank-(0,0) stale regrade + the
-# 45-key r7 cohort + the 4 oldest r8 keys = exactly the 50-slot prefix,
-# so nothing waits. tests/test_registry_vintage.py pins that this
-# deferral set is exactly as large as the budget overflow.
+# Round 12 has no budget overflow: the rank-(0,0) stale regrades + the
+# 45-key r8 cohort + the oldest r9 keys fill the 50-slot prefix, so
+# nothing waits. tests/test_registry_vintage.py pins that this deferral
+# set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
 
