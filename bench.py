@@ -94,11 +94,17 @@ EXTRAS_V3 = [
 EXTRAS_V4 = [
     "sim_maxsim_ann",
 ]
-# Rolling pool for keys added THIS round: timed and reported, not yet
-# part of any frozen total (they graduate at the next freeze).
-FRESH_KEYS = [
+# Headline-v5 (FROZEN round 12): round 10's one sanctioned key
+# graduates out of FRESH into its own tracked total
+# (`extras_v5_total`). Its number is micro-batch-dominated — four real
+# foreachBatch probe+admit cycles per run — expect it large but stable.
+# Do not append — new keys go in FRESH_KEYS until the next freeze.
+EXTRAS_V5 = [
     "stream_dedup_incremental",
 ]
+# Rolling pool for keys added THIS round: timed and reported, not yet
+# part of any frozen total (they graduate at the next freeze).
+FRESH_KEYS: list[str] = []
 
 
 def main() -> None:
@@ -255,6 +261,8 @@ def main() -> None:
     extras_v3_total = round(sum(extras_v3.values()), 3)
     extras_v4 = _time_block(EXTRAS_V4, "extra-v4")
     extras_v4_total = round(sum(extras_v4.values()), 3)
+    extras_v5 = _time_block(EXTRAS_V5, "extra-v5")
+    extras_v5_total = round(sum(extras_v5.values()), 3)
     fresh = _time_block(FRESH_KEYS, "fresh")
 
     # Re-probe AFTER the timed loops: background load arriving mid-run
@@ -293,6 +301,7 @@ def main() -> None:
             "extras_total_normalized": round(extras_total / cal_ratio, 3),
             "extras_v3": extras_v3,
             "extras_v4": extras_v4,
+            "extras_v5": extras_v5,
             "fresh": fresh,
         }
     }
@@ -304,6 +313,7 @@ def main() -> None:
         extras_total,
         extras_v3_total,
         extras_v4_total,
+        extras_v5_total,
         fresh,
         cal_post_ratio,
     )
@@ -332,6 +342,7 @@ def build_summary(
     extras_total: float,
     extras_v3_total: float,
     extras_v4_total: float,
+    extras_v5_total: float,
     fresh: dict[str, float],
     cal_post_ratio: float | None = None,
 ) -> dict:
@@ -359,6 +370,7 @@ def build_summary(
         "extras_total": extras_total,
         "extras_v3_total": extras_v3_total,
         "extras_v4_total": extras_v4_total,
+        "extras_v5_total": extras_v5_total,
         "fresh_total": round(sum(fresh.values()), 3),
     }
     if cal_post_ratio is not None:

@@ -89,6 +89,7 @@ def test_bench_summary_line_stays_tail_safe():
         extras_total=1234.567,
         extras_v3_total=1234.567,
         extras_v4_total=1234.567,
+        extras_v5_total=1234.567,
         fresh={k: 123.456 for k in bench.FRESH_KEYS},
         cal_post_ratio=12.345,
     )
@@ -105,6 +106,7 @@ def test_bench_summary_line_stays_tail_safe():
         "extras_total",
         "extras_v3_total",
         "extras_v4_total",
+        "extras_v5_total",
         "calibration_post_ratio",
     ):
         assert field in parsed, field
@@ -125,6 +127,7 @@ def test_bench_key_lists_exist_in_registry():
         "EXTRAS": bench.EXTRAS,
         "EXTRAS_V3": bench.EXTRAS_V3,
         "EXTRAS_V4": bench.EXTRAS_V4,
+        "EXTRAS_V5": bench.EXTRAS_V5,
         "FRESH_KEYS": bench.FRESH_KEYS,
     }
     for name, block in lists.items():
