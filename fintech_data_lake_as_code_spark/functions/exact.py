@@ -30,6 +30,15 @@ def cents(col: Column, decimals: int = 2) -> Column:
     return F.round(col * (10 ** decimals), 0).cast("long")
 
 
+def cents_dec(col: Column, decimals: int = 2) -> Column:
+    """`cents` with a DECIMAL(38,0) accumulator type — for moment-style
+    aggregations (sums of squared/multiplied cents) whose products
+    overflow BIGINT long before the raw sums do. Same rounding, wider
+    ring; this IS the "switch the accumulator to DECIMAL(38,0)" scale
+    path the module docstring describes."""
+    return F.round(col * (10 ** decimals), 0).cast("decimal(38,0)")
+
+
 def unscale(col: Column, decimals: int = 2) -> Column:
     return col.cast("double") / (10 ** decimals)
 

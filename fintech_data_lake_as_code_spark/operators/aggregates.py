@@ -483,8 +483,10 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_corr(li: DataFrame) -> DataFrame:
     """Moments-first corr/covar over any lineitem-shaped frame — see
     agg_stats_corr for the design; degenerate groups yield NULL."""
-    x = F.round(F.col("l_quantity") * 100, 0).cast("decimal(38,0)")
-    y = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+    from ..functions.exact import cents_dec
+
+    x = cents_dec(F.col("l_quantity"))
+    y = cents_dec(F.col("l_extendedprice"))
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(x).alias("sx"),

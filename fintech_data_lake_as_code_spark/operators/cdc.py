@@ -71,6 +71,18 @@ _OPERATION_SQL = """
 """
 
 
+def _latest_state(df: DataFrame, *fields: Column) -> DataFrame:
+    """Latest row per user — the one reduce every CDC consumer builds on.
+
+    max_by over (ts, event_id) keyed on user_id (one shuffle, no sort;
+    partial-aggregated map-side), projected to the given PRE-ALIASED
+    columns plus user_id. Shared by cdc_merge_upsert, incremental_agg
+    and cdc_snapshot_diff, which differ only in which attributes of the
+    winning row they carry."""
+    picked = F.max_by(F.struct(*fields), F.struct("ts", "event_id"))
+    return df.groupBy("user_id").agg(picked.alias("s")).select("user_id", "s.*")
+
+
 @query(
     "cdc_envelope_roundtrip",
     oracle=f"""
@@ -232,6 +244,8 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (valid_from <= t < valid_to) need no null handling."""
     from pyspark.sql.window import Window
 
+    from ..functions.exact import cents as _cents
+
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     open_end = F.lit(9223372036854775807)
@@ -239,7 +253,7 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_type",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+        _cents(F.col("value")).alias("value_cents"),
         F.unix_timestamp("ts").alias("valid_from_epoch"),
         F.coalesce(nxt, open_end).alias("valid_to_epoch"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
@@ -296,34 +310,28 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_bucketed_colocated). The batch is pre-reduced to its latest
     action per key (max_by on ts,event_id) so at-least-once redelivery
     collapses before the join."""
+    from ..functions.exact import cents as _cents
+
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
-
-    def latest(df: DataFrame, *extra: str) -> DataFrame:
-        picked = F.max_by(
-            F.struct(
-                cents.alias("value_cents"),
-                F.unix_timestamp("ts").alias("ts_epoch"),
-                *[F.col(c).alias(c) for c in extra],
-            ),
-            F.struct("ts", "event_id"),
-        )
-        return df.groupBy("user_id").agg(picked.alias("s"))
-
-    snap = latest(ev.where(F.col("event_id") % 2 == 0)).select(
-        "user_id",
-        F.col("s.value_cents").alias("s_cents"),
-        F.col("s.ts_epoch").alias("s_epoch"),
+    picked = (
+        _cents(F.col("value")).alias("value_cents"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
     )
-    batch = latest(
+    snap = _latest_state(ev.where(F.col("event_id") % 2 == 0), *picked).select(
+        "user_id",
+        F.col("value_cents").alias("s_cents"),
+        F.col("ts_epoch").alias("s_epoch"),
+    )
+    batch = _latest_state(
         ev.where(F.col("event_id") % 2 == 1).withColumn("op", _operation(k)),
-        "op",
+        *picked,
+        F.col("op").alias("op"),
     ).select(
         "user_id",
-        F.col("s.value_cents").alias("b_cents"),
-        F.col("s.ts_epoch").alias("b_epoch"),
-        F.col("s.op").alias("op"),
+        F.col("value_cents").alias("b_cents"),
+        F.col("ts_epoch").alias("b_epoch"),
+        "op",
     )
     hit = F.col("op").isNotNull()
     return (
@@ -398,23 +406,18 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_agg(ev: DataFrame) -> DataFrame:
     """Z-set incremental aggregate over any events changelog — see
     cdc_incremental_agg for the full design."""
+    from ..functions.exact import cents as _cents
+
     k = F.get_json_object("props", "$.k").cast("int")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
-
-    def latest(df: DataFrame, *extra: str) -> DataFrame:
-        picked = F.max_by(
-            F.struct(
-                F.col("event_type").alias("event_type"),
-                cents.alias("cents"),
-                *[F.col(c).alias(c) for c in extra],
-            ),
-            F.struct("ts", "event_id"),
-        )
-        return df.groupBy("user_id").agg(picked.alias("s")).select("user_id", "s.*")
-
-    snap = latest(ev.where(F.col("event_id") % 2 == 0))
-    batch = latest(
-        ev.where(F.col("event_id") % 2 == 1).withColumn("op", _operation(k)), "op"
+    picked = (
+        F.col("event_type").alias("event_type"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    snap = _latest_state(ev.where(F.col("event_id") % 2 == 0), *picked)
+    batch = _latest_state(
+        ev.where(F.col("event_id") % 2 == 1).withColumn("op", _operation(k)),
+        *picked,
+        F.col("op").alias("op"),
     )
     # the MV state as stored before the batch arrives (in production this
     # is a table read, not a recompute — it exists here to close the demo)
@@ -606,16 +609,10 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     cut = (b.mn + b.mx) // 2
 
+    picked = (F.col("event_id").alias("event_id"), F.col("cents").alias("cents"))
+
     def latest(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct("event_id", "cents"), F.struct("ts", "event_id")
-                ).alias("s")
-            )
-            .select("user_id", "s.event_id", "s.cents")
-        )
+        return _latest_state(df, *picked)
 
     old = latest(ev.where(F.unix_timestamp("ts") <= F.lit(cut))).select(
         F.col("user_id").alias("o_user"),

@@ -262,7 +262,6 @@ def join_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user (ref B2 session pairing, setupTables.py:32). Expressed as an
     ignore-nulls last_value window — one shuffle on user_id, no join."""
     ev = load(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
 
     w = (
         Window.partitionBy("user_id")
@@ -341,7 +340,6 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-equal-time pick is deterministic; order rows sort before event rows
     at the same instant, making the match inclusive (ties with the DuckDB
     ASOF oracle's >= bound)."""
-    from pyspark.sql.window import Window
 
     od = (
         load(spark, sf_dir, "orders")

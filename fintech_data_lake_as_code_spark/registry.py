@@ -211,8 +211,16 @@ _VERDICT_ROUND: dict[str, int] = {
 # exact-cents swap, the stream_transform_with_state _py_cents swap, the
 # as-of Window-import tidy) need no stale slots — those keys grade this
 # round by vintage. Stale entries below are keys OUTSIDE the r8 cohort
-# whose defining code changes this round.
-_STALE_REGRADE = frozenset()
+# whose defining code changes this round: cdc_snapshot_diff (r11) now
+# routes its latest-state reduce through the shared cdc._latest_state
+# helper — output-identical (same winning rows, same columns) but code
+# its r11 verdict predates, so it re-certifies rather than aging (same
+# caution as r11's stream_dedup_incremental).
+_STALE_REGRADE = frozenset(
+    {
+        "cdc_snapshot_diff",
+    }
+)
 
 # Round 12 has no budget overflow: the rank-(0,0) stale regrades + the
 # 45-key r8 cohort + the oldest r9 keys fill the 50-slot prefix, so

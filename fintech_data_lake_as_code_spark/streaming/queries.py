@@ -697,7 +697,7 @@ def make_running_totals_processor():
             for pdf in [pd.concat(list(rows)).sort_values(["ts", "event_id"])]:
                 for r in pdf.itertuples(index=False):
                     n += 1
-                    cents += int(round(r.value * 100))
+                    cents += _py_cents(r.value)
                     out.append((int(r.event_id), int(key[0]), n, cents))
             self._totals.update((n, cents))
             yield pd.DataFrame(
@@ -737,7 +737,7 @@ def _running_totals_apiws(stream: DataFrame) -> DataFrame:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for r in pdf.itertuples(index=False):
                 n += 1
-                cents += int(round(r.value * 100))
+                cents += _py_cents(r.value)
                 out.append((int(r.event_id), int(key[0]), n, cents))
         state.update((n, cents))
         yield pd.DataFrame(
