@@ -971,7 +971,7 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on a derived int — the cheapest shuffle there is; at 100 TB
     the result is N_BINS+2 rows regardless of input size."""
     li = load(spark, sf_dir, "lineitem")
-    cents_col = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents_col = cents(F.col("l_extendedprice"))
     span = HIST_HI_CENTS - HIST_LO_CENTS
     bucket = (
         F.when(F.col("cents") < HIST_LO_CENTS, F.lit(-1))

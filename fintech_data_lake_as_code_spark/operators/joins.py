@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.exact import exact_sum
+from ..functions.exact import cents, exact_sum
 from ..io import load
 from ..registry import query
 
@@ -719,7 +719,7 @@ def scd2_pointintime(ev: DataFrame) -> DataFrame:
         F.col("ts").alias("ts_full"),
         "event_id",
         F.col("event_type").alias("profile_type"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("profile_cents"),
+        cents(F.col("value")).alias("profile_cents"),
     )
     fact = ev.where(F.col("event_type") == "purchase").select(
         "user_id",

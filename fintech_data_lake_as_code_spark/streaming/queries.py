@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.exact import cents as _cents
 from ..io import load, scratch_dir
 from ..registry import query
 
@@ -627,7 +628,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         F.unix_timestamp("view_ts").alias("view_epoch"),
         F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
-        F.round(F.col("p_value") * 100, 0).cast("bigint").alias("purchase_cents"),
+        _cents(F.col("p_value")).alias("purchase_cents"),
     )
     return _drain(joined, "stream_stream_join", "append")
 
@@ -1309,7 +1310,7 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+        _cents(F.col("value")).alias("value_cents"),
         "valid_from_epoch",
         "valid_to_epoch",
         "is_current",
