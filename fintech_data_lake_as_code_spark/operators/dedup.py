@@ -906,20 +906,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def incremental_pairs(shingled: DataFrame) -> DataFrame:
-    """The incremental PPJoin core, shared by `dedup_incremental` (one
-    planted batch over the cached corpus artifact) and
-    `stream_dedup_incremental` (every micro-batch against the accumulated
-    lake index). Input: (doc_id, n, hashes, is_new) where `hashes` is the
-    sorted xxhash64 shingle array and `is_new` marks the probe side.
-    Output: verified pairs touching at least one new doc — (id_a, id_b,
-    jaccard_bp, new_a, new_b), normalized id_a < id_b, old x old never
-    generated."""
-    # NOTE: prefix/positional constants below mirror dedup_ngram_jaccard
-    # (threshold 0.6 appears as *6/10, 6000 bp, and the 8*o >= 3*(na+nb)
-    # bound) — change them together; the DuckDB oracles catch drift
+def _prefix_postings(shingled: DataFrame) -> DataFrame:
+    """PPJoin prefix postings of a shingled frame — one row per (doc,
+    sorted prefix position): (doc_id, n, is_new, pos, h). Prefix length
+    is n - ceil(0.6*n) + 1 (threshold 0.6): two sets can reach 0.6
+    Jaccard only if their prefixes share at least one hash. The
+    streaming index stores these per batch at admission (bucketed on h,
+    see streaming/queries.IncrementalDedupIndex) so history is read
+    back columnar instead of re-sliced/re-exploded every micro-batch."""
+    # NOTE: prefix/positional constants here and in _candidate_ids
+    # mirror dedup_ngram_jaccard (threshold 0.6 appears as *6/10,
+    # 6000 bp, and the 8*o >= 3*(na+nb) bound) — change them together;
+    # the DuckDB oracles catch drift
     prefix_len = F.col("n") - ((F.col("n") * 6 + 9) / 10).cast("long") + 1
-    pref = shingled.select(
+    return shingled.select(
         "doc_id",
         "n",
         "is_new",
@@ -927,6 +927,14 @@ def incremental_pairs(shingled: DataFrame) -> DataFrame:
             "pos0", "h"
         ),
     ).select("doc_id", "n", "is_new", (F.col("pos0") + 1).alias("pos"), "h")
+
+
+def _candidate_ids(probe: DataFrame, index: DataFrame) -> DataFrame:
+    """Normalized candidate (id_a, id_b) pairs from ONE prefix-postings
+    equi-join: probe-side prefixes against index-side prefixes on the
+    shared hash, positionally pruned. NOT deduplicated — callers apply
+    `.distinct()` after assembling their candidate union (a pair
+    surfaces once per shared prefix hash)."""
     # symmetric PPJoin bound (orientation-free): a match at sorted
     # positions (i, j) caps overlap at 1 + min(na - i, nb - j)
     overlap_ub = F.lit(1) + F.least(
@@ -939,15 +947,15 @@ def incremental_pairs(shingled: DataFrame) -> DataFrame:
     # the predicate reads as part of the candidate-pair definition. The
     # asymmetry that matters at scale is the ALGORITHM's: the probe side
     # shrinks with the batch while the index side is the whole corpus.
-    cand = (
-        pref.alias("a")
+    return (
+        probe.alias("a")
         .join(
-            pref.alias("b"),
+            index.alias("b"),
             F.col("a.is_new")
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             # never generate old x old; new x new arrives once per
-            # orientation and collapses in the distinct below
+            # orientation and collapses in the caller's distinct
             & (F.col("b.n") * 10 >= F.col("a.n") * 6)
             & (F.col("a.n") * 10 >= F.col("b.n") * 6)
             & (overlap_ub * 8 >= (F.col("a.n") + F.col("b.n")) * 3),
@@ -956,8 +964,29 @@ def incremental_pairs(shingled: DataFrame) -> DataFrame:
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
         )
-        .distinct()
     )
+
+
+def incremental_pairs(
+    shingled: DataFrame, cand: DataFrame | None = None
+) -> DataFrame:
+    """The incremental PPJoin core, shared by `dedup_incremental` (one
+    planted batch over the cached corpus artifact) and
+    `stream_dedup_incremental` (every micro-batch against the accumulated
+    lake index). Input: (doc_id, n, hashes, is_new) where `hashes` is the
+    sorted xxhash64 shingle array and `is_new` marks the probe side.
+    Output: verified pairs touching at least one new doc — (id_a, id_b,
+    jaccard_bp, new_a, new_b), normalized id_a < id_b, old x old never
+    generated.
+
+    `cand` overrides candidate generation: the streaming worker assembles
+    its own candidate union so the index side can come from the bucketed
+    postings table (exchange-free scan) instead of being re-derived from
+    `shingled`; it must be a distinct (id_a, id_b) frame. Default is the
+    self-join of this frame's own prefix postings."""
+    if cand is None:
+        pref = _prefix_postings(shingled)
+        cand = _candidate_ids(pref, pref).distinct()
     sa = shingled.select(
         F.col("doc_id").alias("id_a"),
         F.col("hashes").alias("h_a"),

@@ -215,10 +215,17 @@ _VERDICT_ROUND: dict[str, int] = {
 # routes its latest-state reduce through the shared cdc._latest_state
 # helper — output-identical (same winning rows, same columns) but code
 # its r11 verdict predates, so it re-certifies rather than aging (same
-# caution as r11's stream_dedup_incremental).
+# caution as r11's stream_dedup_incremental). stream_dedup_incremental
+# (r11) changed substantively: its index postings now live in a
+# batch_id-partitioned, hash-bucketed catalog table so the per-batch
+# candidate join no longer shuffles the accumulated index (emitted
+# pairs are unchanged — the replay/order-invariance suite and the
+# DuckDB oracle both stay green — but the worker's storage layout and
+# probe plan are new code).
 _STALE_REGRADE = frozenset(
     {
         "cdc_snapshot_diff",
+        "stream_dedup_incremental",
     }
 )
 

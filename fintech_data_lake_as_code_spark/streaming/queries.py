@@ -1503,6 +1503,13 @@ def _docs_json_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+# Bucket count of the streaming dedup postings table. Local-mode sized;
+# on a cluster pick ~(executor cores x executors) so every core owns a
+# bucket — the constant is a layout property, so changing it only takes
+# effect for NEW stream roots (the table DDL is written once per root).
+N_POSTING_BUCKETS = 16
+
+
 class IncrementalDedupIndex:
     """foreachBatch worker for streaming near-dup detection: probe each
     micro-batch against the ACCUMULATED shingle index, emit the verified
@@ -1510,25 +1517,41 @@ class IncrementalDedupIndex:
 
     Exactly-once effects on at-least-once delivery, the SnapshotMerger
     discipline applied twice: every write is an idempotent OVERWRITE of a
-    batch_id-keyed subdirectory (`index/batch_N`, `pairs/batch_N`), so a
-    replayed micro-batch rewrites the same content instead of appending
-    duplicates, and the probe reads only index generations STRICTLY BELOW
-    its own batch_id — its own half-written debris is invisible to it.
+    batch_id-keyed subdirectory (`index/batch_N`, `pairs/batch_N`) or a
+    batch_id-keyed partition of the postings table (INSERT OVERWRITE
+    PARTITION), so a replayed micro-batch rewrites the same content
+    instead of appending duplicates, and the probe reads only index
+    generations/partitions STRICTLY BELOW its own batch_id — its own
+    half-written debris is invisible to it. (A torn postings partition
+    can only belong to the in-flight batch_id: batches commit serially,
+    and the checkpoint commits only after process() returns.)
 
     Scale shape: per-batch probe-side cost is |batch| x bucket-depth
     (the `incremental_pairs` PPJoin core — prefix-filtered, positionally
-    pruned, equi-join only), never |corpus|^2; the index side is scanned
-    and shuffled into the candidate join but never recomputed — it grows
-    append-only as one shingle-array parquet generation per batch, which
-    on a real lake is an object-store prefix the daily compactor folds
-    (and, at cluster scale, lays out bucketed on the posting hash so the
-    recurring shuffle is batch-side only). Shingling each batch is the
-    CPU-heavy step — it runs ONCE per batch at admission time, and every
-    later batch re-reads the stored arrays instead of re-shingling
-    history."""
+    pruned, equi-join only), never |corpus|^2. The index side is stored
+    TWICE at admission, each form matched to its consumer:
+
+    - `index/batch_N` parquet arrays (doc_id, n, hashes) feed the
+      verification joins — shingling runs ONCE per batch, at admission;
+      later batches re-read the stored arrays, never re-shingle history;
+    - the `postings` catalog table (doc_id, n, pos, h), PARTITIONED BY
+      batch_id and CLUSTERED BY h into N_POSTING_BUCKETS buckets, feeds
+      the candidate join: the accumulated prefix postings scan with
+      HashPartitioning(h) already satisfied, so the candidate equi-join
+      shuffles ONLY the fresh batch's postings — the recurring per-batch
+      exchange is batch-side, not corpus-side (the join_bucketed_colocated
+      trade applied to streaming state; pinned by
+      tests/test_plans.py::test_stream_dedup_index_scan_is_exchange_free).
+    """
 
     def __init__(self, root: str) -> None:
+        import hashlib
+
         self.root = root
+        # catalog identity is per-root: concurrent tests/streams on
+        # different roots must not share (or clobber) one table
+        digest = hashlib.sha256(root.encode()).hexdigest()[:12]
+        self.table = f"dedup_postings_{digest}"
 
     def _dir(self, kind: str, batch_id: int) -> str:
         import os
@@ -1549,17 +1572,41 @@ class IncrementalDedupIndex:
             if bid < batch_id
         ]
 
+    def _ensure_postings_table(self, spark: SparkSession) -> None:
+        import os
+
+        loc = os.path.join(self.root, "postings")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.table}"
+            " (doc_id BIGINT, n INT, pos INT, h BIGINT)"
+            " USING PARQUET PARTITIONED BY (batch_id INT)"
+            f" CLUSTERED BY (h) SORTED BY (h) INTO {N_POSTING_BUCKETS} BUCKETS"
+            f" LOCATION '{loc}'"
+        )
+
+    def drop_postings_table(self, spark: SparkSession) -> None:
+        """Forget any prior run's catalog entry for this root: the table
+        metadata outlives the root directory (persistent metastore), so
+        a fresh run that rmtree'd the root must also drop the table or
+        the first insert would resurrect a location with stale DDL."""
+        spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.dedup import _shingles, incremental_pairs
+        from ..operators.dedup import (
+            _candidate_ids,
+            _prefix_postings,
+            _shingles,
+            incremental_pairs,
+        )
 
         spark = batch_df.sparkSession
         # admit first (idempotent overwrite), then read the STORED arrays
-        # back: the shingled frame feeds four plan legs (two prefix
-        # sides, two verify sides) — one parquet generation beats four
-        # recomputations of the CPU-bound shingling. Repartition by CPU
-        # budget first: a micro-batch arrives as ONE source file -> one
-        # partition, and shingling is CPU-bound string work (_corpus's
-        # rationale) — without the spread it runs on a single core.
+        # back: the shingled frame feeds the plan's verify legs — one
+        # parquet generation beats recomputing the CPU-bound shingling.
+        # Repartition by CPU budget first: a micro-batch arrives as ONE
+        # source file -> one partition, and shingling is CPU-bound string
+        # work (_corpus's rationale) — without the spread it runs on a
+        # single core.
         (
             batch_df.repartition(
                 spark.sparkContext.defaultParallelism, "doc_id"
@@ -1579,6 +1626,20 @@ class IncrementalDedupIndex:
         fresh = spark.read.parquet(self._dir("index", batch_id)).withColumn(
             "is_new", F.lit(True)
         )
+        # admit this batch's prefix postings into the bucketed table —
+        # static-partition INSERT OVERWRITE, so replay rewrites partition
+        # batch_id=N instead of appending duplicates
+        self._ensure_postings_table(spark)
+        fresh_pref = _prefix_postings(fresh)
+        view = f"{self.table}_fresh"
+        fresh_pref.select("doc_id", "n", "pos", "h").createOrReplaceTempView(
+            view
+        )
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {self.table}"
+            f" PARTITION (batch_id = {int(batch_id)})"
+            f" SELECT doc_id, n, pos, h FROM {view}"
+        )
         older = self._index_before(spark, batch_id)
         if older:
             shingled = (
@@ -1586,10 +1647,28 @@ class IncrementalDedupIndex:
                 .withColumn("is_new", F.lit(False))
                 .unionByName(fresh)
             )
+            # candidate pairs: fresh x accumulated comes off the bucketed
+            # postings scan (partition-pruned to strictly-below batches,
+            # exchange-free on the index side); fresh x fresh is the tiny
+            # within-batch self-join. The two legs are disjoint by pair
+            # kind (one-old vs both-new), distinct only collapses the
+            # per-shared-hash multiplicity within each leg.
+            old_pref = (
+                spark.table(self.table)
+                .where(F.col("batch_id") < int(batch_id))
+                .drop("batch_id")
+                .withColumn("is_new", F.lit(False))
+            )
+            cand = (
+                _candidate_ids(fresh_pref, old_pref)
+                .unionByName(_candidate_ids(fresh_pref, fresh_pref))
+                .distinct()
+            )
         else:
             shingled = fresh
+            cand = _candidate_ids(fresh_pref, fresh_pref).distinct()
         (
-            incremental_pairs(shingled)
+            incremental_pairs(shingled, cand=cand)
             .select("id_a", "id_b", "jaccard_bp")
             .write.mode("overwrite")
             .parquet(self._dir("pairs", batch_id))
@@ -1648,13 +1727,14 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification lane). Per-batch COMPUTE is |batch| x bucket-depth
     (shingling, candidate generation and verification all probe-side);
     the index side is storage-resident state that is re-read, never
-    re-shingled — its recurring per-batch cost is the scan + shuffle of
-    the accumulated prefix postings into the candidate equi-join, which
-    at cluster scale is what a bucketed-on-hash postings layout (the
-    join_bucketed_colocated trade: pay the shuffle once at admission)
-    reduces to batch-side-only shuffle. State lives in restart-surviving
-    parquet generations, not driver memory, and replayed batches are
-    idempotent overwrites (see `IncrementalDedupIndex`)."""
+    re-shingled — and its prefix postings are stored BUCKETED on the
+    posting hash (the join_bucketed_colocated trade: pay each posting's
+    shuffle once, at admission), so the recurring candidate-join
+    exchange is batch-side only; the accumulated index scan arrives
+    already hash-partitioned. State lives in restart-surviving parquet
+    generations plus a batch_id-partitioned catalog table, not driver
+    memory, and replayed batches are idempotent overwrites (see
+    `IncrementalDedupIndex`)."""
     import os
     import shutil
 
@@ -1676,6 +1756,9 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     worker = IncrementalDedupIndex(root)
+    # the catalog table outlives the rmtree'd root — drop it so the run
+    # starts from batch 0 with a freshly-declared layout
+    worker.drop_postings_table(spark)
     q = (
         stream.writeStream.foreachBatch(worker.process)
         .option("checkpointLocation", ckpt)

@@ -751,6 +751,68 @@ def test_stream_dedup_batch_probe_is_equijoin_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_stream_dedup_index_scan_is_exchange_free(spark, tmp_path):
+    # The streaming dedup candidate join must read the ACCUMULATED
+    # postings off the bucketed catalog table with no exchange on the
+    # index side — only the fresh batch's postings shuffle. This is the
+    # property that keeps the recurring per-batch shuffle batch-sized
+    # while the index grows without bound (join_bucketed_colocated's
+    # trade applied to streaming state). Broadcast off so the SMJ path
+    # exposes the exchanges.
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        _candidate_ids,
+        _prefix_postings,
+        _shingles,
+    )
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        IncrementalDedupIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i} shares these common words with every sibling {i % 3}")
+            for i in range(12)
+        ],
+        "doc_id bigint, text string",
+    )
+    w = IncrementalDedupIndex(str(tmp_path / "root"))
+    w.process(docs.where(F.col("doc_id") < 6), 0)
+    w.process(docs.where((F.col("doc_id") >= 6) & (F.col("doc_id") < 9)), 1)
+    # assemble batch 2's candidate probe exactly as process() does
+    fresh = (
+        docs.where(F.col("doc_id") >= 9)
+        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+        .withColumn(
+            "hashes",
+            F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
+        )
+        .select("doc_id", "n", "hashes")
+        .withColumn("is_new", F.lit(True))
+    )
+    old_pref = (
+        spark.table(w.table)
+        .where(F.col("batch_id") < 2)
+        .drop("batch_id")
+        .withColumn("is_new", F.lit(False))
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(_candidate_ids(_prefix_postings(fresh), old_pref))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the index side is a bucketed scan, partition-pruned to the
+    # strictly-below batches...
+    assert "SelectedBucketsCount" in plan, plan
+    assert "batch_id" in plan and "dynamicpruning" not in plan.lower(), plan
+    # ...and the ONLY hash exchange in the whole candidate join is the
+    # fresh side being laid out to the table's bucketing
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
 def test_bucketed_registration_mismatch_rebuilds(spark, sf_dir):
     # The in-session guard: a catalog table that declares DIFFERENT
     # bucketing than this code's DDL (persistent metastore, REPL
