@@ -1503,11 +1503,13 @@ def _docs_json_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-# Bucket count of the streaming dedup postings table. Local-mode sized;
-# on a cluster pick ~(executor cores x executors) so every core owns a
+# Bucket count of the streaming dedup postings table. Local-mode sized
+# (matches operators/scale.N_BUCKETS — per-batch insert overhead grows
+# with bucket-file count, so keep it small where batches are small); on
+# a cluster pick ~(executor cores x executors) so every core owns a
 # bucket — the constant is a layout property, so changing it only takes
 # effect for NEW stream roots (the table DDL is written once per root).
-N_POSTING_BUCKETS = 16
+N_POSTING_BUCKETS = 8
 
 
 class IncrementalDedupIndex:
@@ -1552,6 +1554,7 @@ class IncrementalDedupIndex:
         # different roots must not share (or clobber) one table
         digest = hashlib.sha256(root.encode()).hexdigest()[:12]
         self.table = f"dedup_postings_{digest}"
+        self._table_ensured = False
 
     def _dir(self, kind: str, batch_id: int) -> str:
         import os
@@ -1575,14 +1578,24 @@ class IncrementalDedupIndex:
     def _ensure_postings_table(self, spark: SparkSession) -> None:
         import os
 
+        # once per worker lifetime: CREATE IF NOT EXISTS is a metastore
+        # round-trip, and the worker runs once per micro-batch
+        if self._table_ensured:
+            return
         loc = os.path.join(self.root, "postings")
+        # no SORTED BY: with one file per (partition, bucket) per batch a
+        # multi-batch bucket holds several files, so the sort-merge join
+        # cannot consume the stored order anyway — it re-sorts its
+        # (exchange-free) inputs — and the write-side sort would be pure
+        # per-admission cost
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.table}"
             " (doc_id BIGINT, n INT, pos INT, h BIGINT)"
             " USING PARQUET PARTITIONED BY (batch_id INT)"
-            f" CLUSTERED BY (h) SORTED BY (h) INTO {N_POSTING_BUCKETS} BUCKETS"
+            f" CLUSTERED BY (h) INTO {N_POSTING_BUCKETS} BUCKETS"
             f" LOCATION '{loc}'"
         )
+        self._table_ensured = True
 
     def drop_postings_table(self, spark: SparkSession) -> None:
         """Forget any prior run's catalog entry for this root: the table
@@ -1630,11 +1643,10 @@ class IncrementalDedupIndex:
         # static-partition INSERT OVERWRITE, so replay rewrites partition
         # batch_id=N instead of appending duplicates
         self._ensure_postings_table(spark)
-        fresh_pref = _prefix_postings(fresh)
         view = f"{self.table}_fresh"
-        fresh_pref.select("doc_id", "n", "pos", "h").createOrReplaceTempView(
-            view
-        )
+        _prefix_postings(fresh).select(
+            "doc_id", "n", "pos", "h"
+        ).createOrReplaceTempView(view)
         spark.sql(
             f"INSERT OVERWRITE TABLE {self.table}"
             f" PARTITION (batch_id = {int(batch_id)})"
@@ -1647,26 +1659,28 @@ class IncrementalDedupIndex:
                 .withColumn("is_new", F.lit(False))
                 .unionByName(fresh)
             )
-            # candidate pairs: fresh x accumulated comes off the bucketed
-            # postings scan (partition-pruned to strictly-below batches,
-            # exchange-free on the index side); fresh x fresh is the tiny
-            # within-batch self-join. The two legs are disjoint by pair
-            # kind (one-old vs both-new), distinct only collapses the
-            # per-shared-hash multiplicity within each leg.
-            old_pref = (
-                spark.table(self.table)
-                .where(F.col("batch_id") < int(batch_id))
-                .drop("batch_id")
-                .withColumn("is_new", F.lit(False))
-            )
-            cand = (
-                _candidate_ids(fresh_pref, old_pref)
-                .unionByName(_candidate_ids(fresh_pref, fresh_pref))
-                .distinct()
-            )
         else:
             shingled = fresh
-            cand = _candidate_ids(fresh_pref, fresh_pref).distinct()
+        # candidate pairs: BOTH join sides read back off the bucketed
+        # table (the probe its own just-committed partition, the index
+        # every partition up to and including it), so each arrives
+        # already hash-partitioned on h and the candidate equi-join runs
+        # with NO exchange on either side — postings are derived and
+        # shuffled exactly once per document, at admission. old x old
+        # never forms (the probe side is this batch only); new x new
+        # arrives once per orientation and collapses in the distinct.
+        stored = spark.table(self.table)
+        fresh_pref = (
+            stored.where(F.col("batch_id") == int(batch_id))
+            .drop("batch_id")
+            .withColumn("is_new", F.lit(True))
+        )
+        index_pref = (
+            stored.where(F.col("batch_id") <= int(batch_id))
+            .drop("batch_id")
+            .withColumn("is_new", F.lit(False))
+        )
+        cand = _candidate_ids(fresh_pref, index_pref).distinct()
         (
             incremental_pairs(shingled, cand=cand)
             .select("id_a", "id_b", "jaccard_bp")

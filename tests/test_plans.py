@@ -752,20 +752,17 @@ def test_stream_dedup_batch_probe_is_equijoin_only(spark):
 
 
 def test_stream_dedup_index_scan_is_exchange_free(spark, tmp_path):
-    # The streaming dedup candidate join must read the ACCUMULATED
-    # postings off the bucketed catalog table with no exchange on the
-    # index side — only the fresh batch's postings shuffle. This is the
-    # property that keeps the recurring per-batch shuffle batch-sized
-    # while the index grows without bound (join_bucketed_colocated's
-    # trade applied to streaming state). Broadcast off so the SMJ path
-    # exposes the exchanges.
+    # The streaming dedup candidate join reads BOTH sides off the
+    # bucketed postings table (probe = its own just-committed partition,
+    # index = every partition up to it), so the join runs with NO
+    # exchange on either side: each document's postings are shuffled
+    # exactly once, at admission. This is the property that keeps the
+    # recurring per-batch shuffle batch-sized while the index grows
+    # without bound (join_bucketed_colocated's trade applied to
+    # streaming state). Broadcast off so the SMJ path exposes exchanges.
     from pyspark.sql import functions as F
 
-    from fintech_data_lake_as_code_spark.operators.dedup import (
-        _candidate_ids,
-        _prefix_postings,
-        _shingles,
-    )
+    from fintech_data_lake_as_code_spark.operators.dedup import _candidate_ids
     from fintech_data_lake_as_code_spark.streaming.queries import (
         IncrementalDedupIndex,
     )
@@ -780,37 +777,30 @@ def test_stream_dedup_index_scan_is_exchange_free(spark, tmp_path):
     w = IncrementalDedupIndex(str(tmp_path / "root"))
     w.process(docs.where(F.col("doc_id") < 6), 0)
     w.process(docs.where((F.col("doc_id") >= 6) & (F.col("doc_id") < 9)), 1)
-    # assemble batch 2's candidate probe exactly as process() does
-    fresh = (
-        docs.where(F.col("doc_id") >= 9)
-        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .withColumn("n", F.size("shingles"))
-        .withColumn(
-            "hashes",
-            F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
-        )
-        .select("doc_id", "n", "hashes")
+    w.process(docs.where(F.col("doc_id") >= 9), 2)
+    # assemble batch 2's candidate join exactly as process() does
+    stored = spark.table(w.table)
+    fresh_pref = (
+        stored.where(F.col("batch_id") == 2)
+        .drop("batch_id")
         .withColumn("is_new", F.lit(True))
     )
-    old_pref = (
-        spark.table(w.table)
-        .where(F.col("batch_id") < 2)
+    index_pref = (
+        stored.where(F.col("batch_id") <= 2)
         .drop("batch_id")
         .withColumn("is_new", F.lit(False))
     )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = formatted_plan(_candidate_ids(_prefix_postings(fresh), old_pref))
+        plan = formatted_plan(_candidate_ids(fresh_pref, index_pref))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    # the index side is a bucketed scan, partition-pruned to the
-    # strictly-below batches...
-    assert "SelectedBucketsCount" in plan, plan
+    # both sides are bucketed scans, partition-pruned by batch_id...
+    assert plan.count("SelectedBucketsCount") == 2, plan
     assert "batch_id" in plan and "dynamicpruning" not in plan.lower(), plan
-    # ...and the ONLY hash exchange in the whole candidate join is the
-    # fresh side being laid out to the table's bucketing
-    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    # ...and the candidate join contains NO exchange at all
+    assert "Exchange" not in plan, plan
 
 
 def test_bucketed_registration_mismatch_rebuilds(spark, sf_dir):
