@@ -417,6 +417,49 @@ def test_foreachbatch_merge_replay_is_idempotent(spark, tmp_path):
     shutil.rmtree(root, ignore_errors=True)
 
 
+def test_stream_dedup_postings_table_matches_stored_arrays(spark, tmp_path):
+    """The streaming dedup index stores its state TWICE (shingle arrays
+    for verification, bucketed prefix postings for candidates); the two
+    must never drift: after any batch sequence — including a replay —
+    the postings table must equal the prefix postings derivable from the
+    committed arrays, batch for batch."""
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        _prefix_postings,
+    )
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        IncrementalDedupIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"document {i} holds a handful of shared words plus tag {i % 4}")
+            for i in range(10)
+        ],
+        "doc_id bigint, text string",
+    )
+    w = IncrementalDedupIndex(str(tmp_path / "root"))
+    w.process(docs.where(F.col("doc_id") < 4), 0)
+    w.process(docs.where((F.col("doc_id") >= 4) & (F.col("doc_id") < 7)), 1)
+    w.process(docs.where(F.col("doc_id") >= 7), 2)
+    w.process(docs.where((F.col("doc_id") >= 4) & (F.col("doc_id") < 7)), 1)
+
+    stored = {
+        (r.batch_id, r.doc_id, r.n, r.pos, r.h)
+        for r in spark.table(w.table).collect()
+    }
+    expected = set()
+    for bid in (0, 1, 2):
+        arrays = spark.read.parquet(
+            str(tmp_path / "root" / "index" / f"batch_{bid}")
+        ).withColumn("is_new", F.lit(True))
+        expected |= {
+            (bid, r.doc_id, r.n, r.pos, r.h)
+            for r in _prefix_postings(arrays).collect()
+        }
+    assert stored == expected
+    assert len(stored) == len(expected) > 0
+
+
 def test_committed_batch_dirs_lists_only_committed_generations(
     spark, tmp_path
 ):
