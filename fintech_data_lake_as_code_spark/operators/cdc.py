@@ -165,20 +165,19 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     changelog = ev.withColumn("operation", _operation(k))
-    latest = F.max_by(
-        F.struct("event_type", "value", "ts", "operation"),
-        F.struct("ts", "event_id"),
-    )
+    # payload projections commute with max_by (the comparator is the
+    # separate (ts, event_id) struct), so the per-row round/epoch can
+    # ride inside the shared reduce
     return (
-        changelog.groupBy("user_id")
-        .agg(latest.alias("s"))
-        .where(F.col("s.operation") != "delete")
-        .select(
-            "user_id",
-            F.col("s.event_type").alias("last_type"),
-            F.round("s.value", 2).alias("last_value"),
-            F.unix_timestamp(F.col("s.ts")).alias("last_ts_epoch"),
+        _latest_state(
+            changelog,
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            F.unix_timestamp("ts").alias("last_ts_epoch"),
+            F.col("operation").alias("operation"),
         )
+        .where(F.col("operation") != "delete")
+        .select("user_id", "last_type", "last_value", "last_ts_epoch")
     )
 
 
