@@ -568,3 +568,43 @@ def test_incremental_pairs_emission_is_batch_cut_invariant(
     }
     assert len(emitted) == len(set(emitted)), "a pair emitted twice"
     assert set(emitted) == direct
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+)
+@settings(max_examples=300, deadline=None)
+def test_ppjoin_prefix_filter_is_lossless_at_threshold(sa, sb):
+    # The mathematical core every dedup strategy rests on, in the
+    # ENGINE'S OWN integer arithmetic (operators/dedup.py
+    # _prefix_postings/_candidate_ids — prefix length n - ceil(0.6n) + 1
+    # via (6n+9)//10, size-ratio pruning nb*10 >= na*6 both ways, and
+    # the symmetric positional bound 8*(1 + min(na-i, nb-j)) >=
+    # 3*(na+nb)): NO pair whose exact Jaccard clears the 0.6 gate may
+    # ever be pruned out of candidate generation. Pure Python on random
+    # small "hash" sets — a change to the constants that silently drops
+    # true pairs fails here without needing a Spark job.
+    A, B = sorted(sa), sorted(sb)
+    na, nb = len(A), len(B)
+    o = len(sa & sb)
+    if not o * 10000 >= 6000 * (na + nb - o):
+        return  # below the verify gate — candidate generation owes nothing
+    # the size-ratio prune must admit every qualifying pair
+    assert nb * 10 >= na * 6 and na * 10 >= nb * 6
+    # prefix postings exactly as _prefix_postings derives them
+    pa = na - (6 * na + 9) // 10 + 1
+    pb = nb - (6 * nb + 9) // 10 + 1
+    pos_a = {h: i for i, h in enumerate(A[:pa], start=1)}
+    fired = False
+    for j, h in enumerate(B[:pb], start=1):
+        i = pos_a.get(h)
+        if i is None:
+            continue
+        if 8 * (1 + min(na - i, nb - j)) >= 3 * (na + nb):
+            fired = True
+            break
+    assert fired, (
+        f"qualifying pair pruned: na={na} nb={nb} overlap={o} "
+        f"prefixes={A[:pa]}/{B[:pb]}"
+    )
