@@ -92,6 +92,8 @@ def test_bench_summary_line_stays_tail_safe():
         extras_v5_total=1234.567,
         fresh={k: 123.456 for k in bench.FRESH_KEYS},
         cal_post_ratio=12.345,
+        shuffle_ratio=12.345,
+        shuffle_post_ratio=12.345,
     )
     line = json.dumps(summary)
     assert len(line) < bench.SUMMARY_LINE_BUDGET, len(line)
@@ -108,6 +110,8 @@ def test_bench_summary_line_stays_tail_safe():
         "extras_v4_total",
         "extras_v5_total",
         "calibration_post_ratio",
+        "calibration_shuffle_ratio",
+        "calibration_shuffle_post_ratio",
     ):
         assert field in parsed, field
 
