@@ -460,6 +460,29 @@ def test_stream_dedup_postings_table_matches_stored_arrays(spark, tmp_path):
     assert len(stored) == len(expected) > 0
 
 
+def test_stream_dedup_worker_survives_empty_batches(spark, tmp_path):
+    """An empty micro-batch (legal under several sources/triggers) must
+    admit an empty generation and emit zero pairs without disturbing
+    the pairs other batches emit."""
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        IncrementalDedupIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    w = IncrementalDedupIndex(str(tmp_path / "root"))
+    w.process(docs.where(F.col("doc_id") == 1), 0)
+    w.process(docs.where(F.lit(False)), 1)  # empty batch
+    w.process(docs.where(F.col("doc_id") == 2), 2)
+    out = spark.read.parquet(str(tmp_path / "root") + "/pairs/batch_*")
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+
 def test_committed_batch_dirs_lists_only_committed_generations(
     spark, tmp_path
 ):
