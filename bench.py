@@ -114,7 +114,9 @@ EXTRAS_V5 = [
 ]
 # Rolling pool for keys added THIS round: timed and reported, not yet
 # part of any frozen total (they graduate at the next freeze).
-FRESH_KEYS: list[str] = []
+FRESH_KEYS = [
+    "scan_avro",
+]
 
 
 def main() -> None:

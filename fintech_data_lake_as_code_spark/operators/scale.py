@@ -94,33 +94,52 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_avro",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Avro source/sink round-trip — UNREGISTERED, environment-gated (the
-    one mainstream lake format whose datasource is an external module:
-    pyspark bundles avro-*.jar but not spark-avro, and a no-network
-    sandbox can't fetch it, see compat.avro_supported). Registered keys
-    must grade identically in every environment, so this operator ships
-    callable-but-ungraded: where the module is present (clusters with
-    --packages org.apache.spark:spark-avro_2.13 or a vendored jar) it is
-    the row-oriented round-trip sibling of scan_csv/scan_orc; where it
-    is absent it raises a loud, documented error instead of a misleading
-    datasource-lookup failure. tests/test_plans.py exercises whichever
-    branch this environment provides."""
+    """Avro source/sink round-trip — the row-oriented sibling of
+    scan_csv/scan_orc. The `avro` datasource is the one mainstream lake
+    format shipped as an EXTERNAL module (pyspark bundles avro-*.jar but
+    not spark-avro; a no-network environment can't fetch it, see
+    compat.avro_supported), so for eleven rounds this operator was
+    environment-gated and unregistered. It now grades identically
+    everywhere: where the native module is loadable it is preferred
+    (compression codecs, Hadoop-FS paths); where it is absent the
+    engine's own from-scratch Avro object-container codec serves the
+    round-trip through the Spark 4 Python DataSource API
+    (`sources/avro.py` — `pyavro` format, one reader task per container
+    file, one container file per writer task, spec-compatible files
+    differentially certified against the JVM's bundled org.apache.avro
+    reference implementation). Both branches write the same rows and
+    reduce to the same exact-cents aggregate."""
+    import shutil
+
     from ..compat import avro_supported
 
-    if not avro_supported(spark):
-        raise RuntimeError(
-            "the 'avro' datasource is not loadable in this session: the "
-            "external spark-avro module is not on the classpath (launch "
-            "with --packages org.apache.spark:spark-avro_2.13:<spark "
-            "version> or vendor the jar); see compat.avro_supported"
-        )
     out = scratch_dir(sf_dir, "scan_avro")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    o.write.mode("overwrite").format("avro").save(out)
-    back = spark.read.format("avro").load(out)
+    if avro_supported(spark):
+        o.write.mode("overwrite").format("avro").save(out)
+        back = spark.read.format("avro").load(out)
+    else:
+        from ..sources.avro import register_pyavro
+
+        register_pyavro(spark)
+        shutil.rmtree(out, ignore_errors=True)
+        # spread the write across tasks: one container file per task is
+        # the format's parallelism unit on the read side too
+        o.repartition(8).write.format("pyavro").mode("overwrite").save(out)
+        back = spark.read.format("pyavro").load(out)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         exact_sum(F.col("o_totalprice")).alias("sum_price"),

@@ -88,11 +88,13 @@ def _load_all_modules() -> None:
 # census is 45@r8 / 49@r9 / 49@r10 / 50@r11 (CORRECTNESS_r11 was 50/50
 # green: the stream_dedup_incremental stale regrade + the 45-key r7
 # cohort + the 4 oldest r8 keys fn_string/fn_datetime/fn_math_decimal/
-# fn_conditional). Round 12 adds zero NEW keys; its rank-(0,0) demand is
-# the two stale regrades in _STALE_REGRADE, so the prefix is 2 stale +
-# the 45-key r8 cohort + the 3 oldest r9 keys = exactly 50 — no
-# overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r9
-# after the r12 grade (pinned by tests/test_registry_vintage.py).
+# fn_conditional). Round 12 adds ONE new key (scan_avro — registered
+# now that the pure-Python pyavro fallback makes it grade identically
+# everywhere); with the two stale regrades in _STALE_REGRADE the
+# rank-(0,0) demand is 3, so the prefix is 3 rank-0 + the 45-key r8
+# cohort + the 2 oldest r9 keys = exactly 50 — no overflow,
+# `_DEFER_NEXT_ROUND` is empty and the floor lifts to r9 after the r12
+# grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
     # round 8 greens — the r12 grading cohort (stalest)
     **dict.fromkeys(

@@ -1,0 +1,363 @@
+"""Pure-Python Avro object-container codec behind the Spark 4 Python
+DataSource API.
+
+The `avro` lake format is the one mainstream format whose Spark
+datasource is an EXTERNAL module (spark-avro): pyspark bundles the
+avro-*.jar core libraries but not the datasource, and a no-network
+environment cannot fetch it — which is why `scan_avro` was
+environment-gated for eleven rounds. This module closes that gap from
+first principles: a from-scratch implementation of the Avro object
+container file format (the public Apache Avro 1.x specification —
+magic `Obj\\x01`, metadata map carrying `avro.schema`/`avro.codec`,
+16-byte sync-marker-delimited blocks, zigzag-varint primitives) exposed
+as a `pyavro` batch DataSource with a partition-parallel reader (one
+input partition per container file, rows decoded executor-side) and a
+writer (one container file per task). Null codec only — the honest
+subset a fallback needs; compression belongs to the native module.
+
+Supported schema subset: a record of primitive fields (long, int,
+double, float, string, boolean, bytes), each written as the nullable
+union `["null", T]` exactly like spark-avro writes nullable columns —
+so files written here are readable by any Avro implementation and vice
+versa. `tests/test_fixtures_contract.py` differentially certifies both
+directions against the JVM's bundled org.apache.avro reference
+implementation (write here / read there, write there / read here).
+
+IO note: Python DataSource workers run outside the JVM, so there is no
+Hadoop FileSystem handle executor-side — file IO is plain `open()`,
+which on a cluster means the format's paths must be on a
+POSIX-reachable mount (or an fsspec adapter slotted into `_open`); the
+native spark-avro module remains the right choice where its jar is
+loadable (`operators/scale.py::scan_avro` probes and prefers it).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from typing import Iterator
+
+MAGIC = b"Obj\x01"
+# Per spec the sync marker is any 16 bytes, unique per writer instance;
+# a fixed deterministic marker keeps files byte-reproducible
+SYNC = bytes.fromhex("73706172:6b2d6772:61667420:61767231".replace(":", ""))
+BLOCK_ROWS = 1000
+
+# spark simpleString type <-> avro primitive type
+_SPARK_TO_AVRO = {
+    "bigint": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+_AVRO_TO_SPARK = {v: k for k, v in _SPARK_TO_AVRO.items()}
+
+
+# --- primitive encoders/decoders (Avro binary encoding, public spec) ---------
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    u = (v << 1) ^ (v >> 63)  # zigzag; arithmetic shift handles the sign
+    while u > 0x7F:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    u, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _write_value(out: bytearray, avro_type: str, v) -> None:
+    if avro_type in ("long", "int"):
+        _write_long(out, int(v))
+    elif avro_type == "double":
+        out += struct.pack("<d", float(v))
+    elif avro_type == "float":
+        out += struct.pack("<f", float(v))
+    elif avro_type == "string":
+        b = v.encode("utf-8")
+        _write_long(out, len(b))
+        out += b
+    elif avro_type == "bytes":
+        b = bytes(v)
+        _write_long(out, len(b))
+        out += b
+    elif avro_type == "boolean":
+        out.append(1 if v else 0)
+    else:
+        raise ValueError(f"unsupported avro type {avro_type!r}")
+
+
+def _read_value(buf: bytes, pos: int, avro_type: str):
+    if avro_type in ("long", "int"):
+        return _read_long(buf, pos)
+    if avro_type == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if avro_type == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if avro_type == "string":
+        n, pos = _read_long(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if avro_type == "bytes":
+        n, pos = _read_long(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if avro_type == "boolean":
+        return buf[pos] == 1, pos + 1
+    raise ValueError(f"unsupported avro type {avro_type!r}")
+
+
+# --- container files ----------------------------------------------------------
+
+
+def schema_json(fields: list[tuple[str, str]], name: str = "spark_row") -> str:
+    """Avro record schema for (name, avro primitive type) fields — every
+    field a nullable union, the way spark-avro maps nullable columns."""
+    return json.dumps(
+        {
+            "type": "record",
+            "name": name,
+            "fields": [{"name": n, "type": ["null", t]} for n, t in fields],
+        }
+    )
+
+
+def _union_base(t) -> str:
+    """Base primitive of a field type that may be `T` or `["null", T]`."""
+    if isinstance(t, str):
+        return t
+    if isinstance(t, list):
+        non_null = [x for x in t if x != "null"]
+        if len(non_null) == 1 and isinstance(non_null[0], str):
+            return non_null[0]
+    raise ValueError(f"unsupported avro field type {t!r}")
+
+
+def parse_schema(text: str) -> list[tuple[str, str, bool]]:
+    """(name, base type, nullable) per field of a record schema."""
+    sch = json.loads(text)
+    if sch.get("type") != "record":
+        raise ValueError(f"not a record schema: {text[:80]}")
+    return [
+        (
+            f["name"],
+            _union_base(f["type"]),
+            isinstance(f["type"], list) and "null" in f["type"],
+        )
+        for f in sch["fields"]
+    ]
+
+
+def write_container(path: str, fields: list[tuple[str, str]], rows) -> int:
+    """Write rows (tuples, field order) as one Avro object container file
+    with the null codec. Returns the row count."""
+    header = bytearray()
+    header += MAGIC
+    meta = [
+        ("avro.schema", schema_json(fields).encode("utf-8")),
+        ("avro.codec", b"null"),
+    ]
+    _write_long(header, len(meta))
+    for k, v in meta:
+        _write_value(header, "string", k)
+        _write_value(header, "bytes", v)
+    _write_long(header, 0)  # map terminator
+    header += SYNC
+
+    n_total = 0
+    with open(path, "wb") as fh:
+        fh.write(bytes(header))
+        block = bytearray()
+        n_block = 0
+
+        def flush() -> None:
+            nonlocal block, n_block
+            if not n_block:
+                return
+            head = bytearray()
+            _write_long(head, n_block)
+            _write_long(head, len(block))
+            fh.write(bytes(head))
+            fh.write(bytes(block))
+            fh.write(SYNC)
+            block, n_block = bytearray(), 0
+
+        for row in rows:
+            for (name, t), v in zip(fields, row):
+                if v is None:
+                    _write_long(block, 0)  # union branch: null
+                else:
+                    _write_long(block, 1)  # union branch: T
+                    _write_value(block, t, v)
+            n_block += 1
+            n_total += 1
+            if n_block >= BLOCK_ROWS:
+                flush()
+        flush()
+    return n_total
+
+
+def read_container(path: str):
+    """Yield (fields, row) decoding of one container file: first item is
+    the parsed field list, subsequent items are row tuples."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:4] != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    pos = 4
+    meta = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count block carries a byte size
+            n, pos = -n, _read_long(buf, pos)[1]
+        for _ in range(n):
+            k, pos = _read_value(buf, pos, "string")
+            v, pos = _read_value(buf, pos, "bytes")
+            meta[k] = v
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec != "null":
+        raise ValueError(
+            f"{path}: codec {codec!r} not supported by the fallback reader "
+            "(write with avro.codec=null, or use the native spark-avro module)"
+        )
+    fields = parse_schema(meta["avro.schema"].decode("utf-8"))
+    sync = buf[pos : pos + 16]
+    pos += 16
+    yield fields
+    while pos < len(buf):
+        n_rows, pos = _read_long(buf, pos)
+        size, pos = _read_long(buf, pos)
+        end = pos + size
+        for _ in range(n_rows):
+            row = []
+            for _, t, nullable in fields:
+                if nullable:
+                    branch, pos = _read_long(buf, pos)
+                    if branch == 0:
+                        row.append(None)
+                        continue
+                v, pos = _read_value(buf, pos, t)
+                row.append(v)
+            yield tuple(row)
+        if pos != end:
+            raise ValueError(f"{path}: block decoded {pos - (end - size)}B, declared {size}B")
+        if buf[pos : pos + 16] != sync:
+            raise ValueError(f"{path}: sync marker mismatch after block")
+        pos += 16
+
+
+# --- the pyavro DataSource ----------------------------------------------------
+
+
+def _container_paths(root: str) -> list[str]:
+    if os.path.isfile(root):
+        return [root]
+    return sorted(
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.endswith(".avro")
+    )
+
+
+def register_pyavro(spark) -> None:
+    """Register the `pyavro` batch format on this session (idempotent)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    class _FilePart(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.root = options["path"]
+
+        def partitions(self):
+            # one task per container file — the same parallelism contract
+            # as file splits (avro blocks are further splittable by sync
+            # marker; per-file is the honest granularity for a fallback)
+            return [_FilePart(p) for p in _container_paths(self.root)]
+
+        def read(self, part):
+            it = read_container(part.path)
+            next(it)  # field list
+            yield from it
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options, schema, overwrite):
+            self.root = options["path"]
+            self.fields = [
+                (f.name, _SPARK_TO_AVRO[f.dataType.simpleString()])
+                for f in schema.fields
+            ]
+            # driver-side, once per write job: implement overwrite here —
+            # the Python datasource API delegates mode semantics to the
+            # source (commit() later drops the _SUCCESS marker)
+            import shutil
+
+            if overwrite:
+                shutil.rmtree(self.root, ignore_errors=True)
+            os.makedirs(self.root, exist_ok=True)
+
+        def write(self, rows: Iterator) -> WriterCommitMessage:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            final = os.path.join(self.root, f"part-{pid:05d}.avro")
+            # task-attempt temp + atomic rename: a retried task must not
+            # leave a torn container behind the final name
+            tmp = final + f".inprogress-{os.getpid()}"
+            write_container(tmp, self.fields, (tuple(r) for r in rows))
+            os.replace(tmp, final)
+            return WriterCommitMessage()
+
+        def commit(self, messages) -> None:
+            with open(os.path.join(self.root, "_SUCCESS"), "w"):
+                pass
+
+        def abort(self, messages) -> None:
+            pass
+
+    class AvroFallbackSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyavro"
+
+        def schema(self):
+            # self-describing format: the schema lives in the container
+            # header (like a parquet footer) — read one header driver-side
+            paths = _container_paths(self.options["path"])
+            if not paths:
+                raise FileNotFoundError(
+                    f"no .avro container files under {self.options['path']!r}"
+                )
+            fields = next(read_container(paths[0]))
+            return ", ".join(f"{n} {_AVRO_TO_SPARK[t]}" for n, t, _ in fields)
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options, schema, overwrite)
+
+    spark.dataSource.register(AvroFallbackSource)

@@ -1,0 +1,147 @@
+"""The pure-Python Avro fallback (sources/avro.py): codec round-trip
+properties, the pyavro DataSource contract, and — the load-bearing part —
+byte-level SPEC COMPATIBILITY certified differentially against the JVM's
+bundled org.apache.avro reference implementation (pyspark ships
+avro-1.12 core even though the spark-avro datasource is absent): files
+we write must read back identically through the reference reader, and
+files the reference writes must read back identically through ours."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fintech_data_lake_as_code_spark.sources.avro import (
+    read_container,
+    register_pyavro,
+    schema_json,
+    write_container,
+)
+
+FIELDS = [("k", "long"), ("s", "string"), ("v", "double"), ("b", "boolean")]
+
+row_st = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    st.one_of(st.none(), st.text(max_size=20)),
+    st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+    ),
+    st.one_of(st.none(), st.booleans()),
+)
+
+
+@given(st.lists(row_st, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_codec_roundtrip_is_identity(tmp_path_factory, rows):
+    path = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    n = write_container(path, FIELDS, rows)
+    it = read_container(path)
+    fields = next(it)
+    assert [(f[0], f[1]) for f in fields] == FIELDS
+    assert list(it) == rows and n == len(rows)
+
+
+def _jvm_read(spark, path):
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    rows = []
+    while reader.hasNext():
+        rec = reader.__next__() if hasattr(reader, "__next__") else reader.next()
+        vals = []
+        for name, _ in FIELDS:
+            v = rec.get(name)
+            # avro strings come back as org.apache.avro.util.Utf8
+            if v is not None and not isinstance(v, (int, float, bool, str)):
+                v = v.toString()
+            vals.append(v)
+        rows.append(tuple(vals))
+    reader.close()
+    return rows
+
+
+def test_our_files_read_back_through_the_reference_jvm_reader(spark, tmp_path):
+    rows = [
+        (1, "abc", 1.5, True),
+        (-(2**62), "", -0.0, False),
+        (None, None, None, None),
+        (7, "héllo wörld", 2.25, None),
+    ]
+    path = str(tmp_path / "ours.avro")
+    write_container(path, FIELDS, rows)
+    assert _jvm_read(spark, path) == rows
+
+
+def test_reference_jvm_files_read_back_through_our_decoder(spark, tmp_path):
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json(FIELDS))
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    path = str(tmp_path / "theirs.avro")
+    writer.create(schema, jvm.java.io.File(path))
+    # long values stay OUTSIDE int32 range: py4j boxes a Python int as
+    # java.lang.Integer when it fits, and Integer is "not in union
+    # [null, long]" for the reference writer
+    rows = [
+        (2**40 + 5, "ref", 0.125, True),
+        (-(2**40) - 1, None, 1e300, False),
+        (None, "only-string", None, None),
+    ]
+    for k, s, v, b in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("k", k)
+        rec.put("s", s)
+        rec.put("v", v)
+        rec.put("b", b)
+        writer.append(rec)
+    writer.close()
+    it = read_container(path)
+    next(it)
+    assert list(it) == rows
+
+
+def test_pyavro_datasource_roundtrip_and_parallelism(spark, tmp_path):
+    register_pyavro(spark)
+    df = spark.createDataFrame(
+        [(i, f"s{i}", i * 1.25, i % 2 == 0) for i in range(2500)],
+        "k bigint, s string, v double, b boolean",
+    )
+    out = str(tmp_path / "ds")
+    df.repartition(4).write.format("pyavro").mode("overwrite").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.format("pyavro").load(out)
+    # one read task per container file — the format's parallelism unit
+    assert back.rdd.getNumPartitions() == 4
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    # overwrite replaces, never appends
+    df.limit(10).repartition(1).write.format("pyavro").mode(
+        "overwrite"
+    ).save(out)
+    assert spark.read.format("pyavro").load(out).count() == 10
+
+
+def test_pyavro_refuses_compressed_containers(spark, tmp_path):
+    # the fallback is null-codec only and must say so loudly, not
+    # misdecode: hand a deflate-tagged container to the reader
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json(FIELDS))
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    path = str(tmp_path / "deflate.avro")
+    writer.create(schema, jvm.java.io.File(path))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("k", 2**40)  # outside int32 so py4j boxes it as Long
+    writer.append(rec)
+    writer.close()
+    with pytest.raises(ValueError, match="codec"):
+        next(read_container(path))

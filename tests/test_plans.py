@@ -450,35 +450,27 @@ def test_nearest_asof_is_one_window_pass(spark, sf_dir):
 
 
 def test_avro_gate_is_honest(spark, sf_dir):
-    # environment-gated operator: where spark-avro is on the classpath
-    # the round-trip must work and agree with the parquet truth; where it
-    # isn't, the operator must fail with the documented loud error (and
-    # the probe must say so) — green either way, no skip
-    import pytest
+    # scan_avro grades identically in every environment: where spark-avro
+    # is on the classpath the native round-trip runs; where it isn't, the
+    # pure-Python pyavro fallback serves the same rows. Either branch
+    # must agree with the parquet truth — green either way, no skip.
+    from pyspark.sql import functions as F
 
-    from fintech_data_lake_as_code_spark.compat import avro_supported
+    from fintech_data_lake_as_code_spark.io import load
     from fintech_data_lake_as_code_spark.operators.scale import scan_avro
 
-    if avro_supported(spark):
-        from pyspark.sql import functions as F
-
-        from fintech_data_lake_as_code_spark.io import load
-
-        got = {
-            r.o_orderstatus: (r.n_orders, r.sum_price)
-            for r in scan_avro(spark, sf_dir).collect()
-        }
-        exp = {
-            r.o_orderstatus: r.n
-            for r in load(spark, sf_dir, "orders")
-            .groupBy("o_orderstatus")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        assert {k: v[0] for k, v in got.items()} == exp
-    else:
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            scan_avro(spark, sf_dir)
+    got = {
+        r.o_orderstatus: (r.n_orders, r.sum_price)
+        for r in scan_avro(spark, sf_dir).collect()
+    }
+    exp = {
+        r.o_orderstatus: r.n
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == exp
 
 
 def test_scd2_pointintime_is_window_only(spark, sf_dir):
