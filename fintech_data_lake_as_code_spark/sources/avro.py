@@ -12,8 +12,9 @@ magic `Obj\\x01`, metadata map carrying `avro.schema`/`avro.codec`,
 16-byte sync-marker-delimited blocks, zigzag-varint primitives) exposed
 as a `pyavro` batch DataSource with a partition-parallel reader (one
 input partition per container file, rows decoded executor-side) and a
-writer (one container file per task). Null codec only — the honest
-subset a fallback needs; compression belongs to the native module.
+writer (one container file per task). Codecs: null and deflate (raw
+DEFLATE per spec, stdlib zlib) — snappy/zstandard need external libs
+and belong to the native module; the reader refuses them loudly.
 
 Supported schema subset: a record of primitive fields (long, int,
 double, float, string, boolean, bytes), each written as the nullable
@@ -161,14 +162,18 @@ def parse_schema(text: str) -> list[tuple[str, str, bool]]:
     ]
 
 
-def write_container(path: str, fields: list[tuple[str, str]], rows) -> int:
-    """Write rows (tuples, field order) as one Avro object container file
-    with the null codec. Returns the row count."""
+def write_container(
+    path: str, fields: list[tuple[str, str]], rows, codec: str = "null"
+) -> int:
+    """Write rows (tuples, field order) as one Avro object container
+    file with the null or deflate codec. Returns the row count."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported write codec {codec!r}")
     header = bytearray()
     header += MAGIC
     meta = [
         ("avro.schema", schema_json(fields).encode("utf-8")),
-        ("avro.codec", b"null"),
+        ("avro.codec", codec.encode()),
     ]
     _write_long(header, len(meta))
     for k, v in meta:
@@ -187,11 +192,17 @@ def write_container(path: str, fields: list[tuple[str, str]], rows) -> int:
             nonlocal block, n_block
             if not n_block:
                 return
+            data = bytes(block)
+            if codec == "deflate":
+                import zlib
+
+                co = zlib.compressobj(wbits=-15)
+                data = co.compress(data) + co.flush()
             head = bytearray()
             _write_long(head, n_block)
-            _write_long(head, len(block))
+            _write_long(head, len(data))
             fh.write(bytes(head))
-            fh.write(bytes(block))
+            fh.write(data)
             fh.write(SYNC)
             block, n_block = bytearray(), 0
 
@@ -230,10 +241,11 @@ def read_container(path: str):
             v, pos = _read_value(buf, pos, "bytes")
             meta[k] = v
     codec = meta.get("avro.codec", b"null").decode()
-    if codec != "null":
+    if codec not in ("null", "deflate"):
         raise ValueError(
             f"{path}: codec {codec!r} not supported by the fallback reader "
-            "(write with avro.codec=null, or use the native spark-avro module)"
+            "(null and deflate are; use the native spark-avro module for "
+            "snappy/zstandard)"
         )
     fields = parse_schema(meta["avro.schema"].decode("utf-8"))
     sync = buf[pos : pos + 16]
@@ -242,20 +254,31 @@ def read_container(path: str):
     while pos < len(buf):
         n_rows, pos = _read_long(buf, pos)
         size, pos = _read_long(buf, pos)
-        end = pos + size
+        if codec == "deflate":
+            # per spec: raw DEFLATE, no zlib header/checksum (wbits=-15)
+            import zlib
+
+            block = zlib.decompress(buf[pos : pos + size], -15)
+            pos += size
+        else:
+            block = buf[pos : pos + size]
+            pos += size
+        bpos, bend = 0, len(block)
         for _ in range(n_rows):
             row = []
             for _, t, nullable in fields:
                 if nullable:
-                    branch, pos = _read_long(buf, pos)
+                    branch, bpos = _read_long(block, bpos)
                     if branch == 0:
                         row.append(None)
                         continue
-                v, pos = _read_value(buf, pos, t)
+                v, bpos = _read_value(block, bpos, t)
                 row.append(v)
             yield tuple(row)
-        if pos != end:
-            raise ValueError(f"{path}: block decoded {pos - (end - size)}B, declared {size}B")
+        if bpos != bend:
+            raise ValueError(
+                f"{path}: block decoded {bpos}B of {bend}B declared"
+            )
         if buf[pos : pos + 16] != sync:
             raise ValueError(f"{path}: sync marker mismatch after block")
         pos += 16

@@ -128,20 +128,55 @@ def test_pyavro_datasource_roundtrip_and_parallelism(spark, tmp_path):
     assert spark.read.format("pyavro").load(out).count() == 10
 
 
-def test_pyavro_refuses_compressed_containers(spark, tmp_path):
-    # the fallback is null-codec only and must say so loudly, not
-    # misdecode: hand a deflate-tagged container to the reader
+def test_deflate_containers_interop_both_directions(spark, tmp_path):
+    # deflate (raw DEFLATE per spec) is the codec real avro files
+    # mostly use — certify it differentially like the null codec
+    rows = [(2**40 + i, f"row {i}", i * 0.5, i % 3 == 0) for i in range(2200)]
+    ours = str(tmp_path / "ours-deflate.avro")
+    write_container(ours, FIELDS, rows, codec="deflate")
+    assert _jvm_read(spark, ours) == rows
+
     jvm = spark._jvm
     schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json(FIELDS))
     writer = jvm.org.apache.avro.file.DataFileWriter(
         jvm.org.apache.avro.generic.GenericDatumWriter(schema)
     )
     writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
-    path = str(tmp_path / "deflate.avro")
-    writer.create(schema, jvm.java.io.File(path))
-    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
-    rec.put("k", 2**40)  # outside int32 so py4j boxes it as Long
-    writer.append(rec)
+    theirs = str(tmp_path / "theirs-deflate.avro")
+    writer.create(schema, jvm.java.io.File(theirs))
+    for k, s, v, b in rows[:500]:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("k", k)
+        rec.put("s", s)
+        rec.put("v", v)
+        rec.put("b", b)
+        writer.append(rec)
     writer.close()
-    with pytest.raises(ValueError, match="codec"):
+    it = read_container(theirs)
+    next(it)
+    assert list(it) == rows[:500]
+
+
+def test_pyavro_refuses_unknown_codecs(tmp_path):
+    # snappy/zstandard need external libraries: the reader must refuse
+    # loudly, never misdecode. Build a snappy-tagged header with the
+    # module's own primitives.
+    from fintech_data_lake_as_code_spark.sources import avro as A
+
+    path = str(tmp_path / "snappy.avro")
+    header = bytearray()
+    header += A.MAGIC
+    meta = [
+        ("avro.schema", schema_json(FIELDS).encode()),
+        ("avro.codec", b"snappy"),
+    ]
+    A._write_long(header, len(meta))
+    for k, v in meta:
+        A._write_value(header, "string", k)
+        A._write_value(header, "bytes", v)
+    A._write_long(header, 0)
+    header += A.SYNC
+    with open(path, "wb") as fh:
+        fh.write(bytes(header))
+    with pytest.raises(ValueError, match="snappy"):
         next(read_container(path))
