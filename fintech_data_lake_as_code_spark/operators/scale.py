@@ -120,8 +120,6 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     differentially certified against the JVM's bundled org.apache.avro
     reference implementation). Both branches write the same rows and
     reduce to the same exact-cents aggregate."""
-    import shutil
-
     from ..compat import avro_supported
 
     out = scratch_dir(sf_dir, "scan_avro")
@@ -135,9 +133,9 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources.avro import register_pyavro
 
         register_pyavro(spark)
-        shutil.rmtree(out, ignore_errors=True)
         # spread the write across tasks: one container file per task is
-        # the format's parallelism unit on the read side too
+        # the format's parallelism unit on the read side too; mode
+        # overwrite clears the target inside the pyavro writer
         o.repartition(8).write.format("pyavro").mode("overwrite").save(out)
         back = spark.read.format("pyavro").load(out)
     return back.groupBy("o_orderstatus").agg(

@@ -221,80 +221,127 @@ def write_container(
     return n_total
 
 
+def _read_long_fh(fh) -> int | None:
+    """Varint zigzag long read directly off a file handle; None at EOF
+    (only legal between blocks)."""
+    u, shift = 0, 0
+    while True:
+        b = fh.read(1)
+        if not b:
+            if shift == 0:
+                return None
+            raise ValueError("truncated varint at end of file")
+        byte = b[0]
+        u |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return (u >> 1) ^ -(u & 1)
+        shift += 7
+
+
+def _read_exact(fh, n: int | None, what: str) -> bytes:
+    if n is None:
+        raise ValueError(f"truncated container: missing length before {what}")
+    b = fh.read(n)
+    if len(b) != n:
+        raise ValueError(f"truncated container: {what} ({len(b)}/{n}B)")
+    return b
+
+
 def read_container(path: str):
     """Yield (fields, row) decoding of one container file: first item is
-    the parsed field list, subsequent items are row tuples."""
+    the parsed field list, subsequent items are row tuples. Streams
+    block by block — memory is one (decompressed) block, never the
+    file, so driver-side header reads (schema inference) and multi-GB
+    containers both stay cheap."""
     with open(path, "rb") as fh:
-        buf = fh.read()
-    if buf[:4] != MAGIC:
-        raise ValueError(f"{path}: not an Avro object container file")
-    pos = 4
-    meta = {}
-    while True:
-        n, pos = _read_long(buf, pos)
-        if n == 0:
-            break
-        if n < 0:  # spec: negative count block carries a byte size
-            n, pos = -n, _read_long(buf, pos)[1]
-        for _ in range(n):
-            k, pos = _read_value(buf, pos, "string")
-            v, pos = _read_value(buf, pos, "bytes")
-            meta[k] = v
-    codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise ValueError(
-            f"{path}: codec {codec!r} not supported by the fallback reader "
-            "(null and deflate are; use the native spark-avro module for "
-            "snappy/zstandard)"
-        )
-    fields = parse_schema(meta["avro.schema"].decode("utf-8"))
-    sync = buf[pos : pos + 16]
-    pos += 16
-    yield fields
-    while pos < len(buf):
-        n_rows, pos = _read_long(buf, pos)
-        size, pos = _read_long(buf, pos)
-        if codec == "deflate":
-            # per spec: raw DEFLATE, no zlib header/checksum (wbits=-15)
-            import zlib
-
-            block = zlib.decompress(buf[pos : pos + size], -15)
-            pos += size
-        else:
-            block = buf[pos : pos + size]
-            pos += size
-        bpos, bend = 0, len(block)
-        for _ in range(n_rows):
-            row = []
-            for _, t, nullable in fields:
-                if nullable:
-                    branch, bpos = _read_long(block, bpos)
-                    if branch == 0:
-                        row.append(None)
-                        continue
-                v, bpos = _read_value(block, bpos, t)
-                row.append(v)
-            yield tuple(row)
-        if bpos != bend:
+        if _read_exact(fh, 4, "magic") != MAGIC:
+            raise ValueError(f"{path}: not an Avro object container file")
+        meta = {}
+        while True:
+            n = _read_long_fh(fh)
+            if n is None:
+                raise ValueError(f"{path}: truncated metadata map")
+            if n == 0:
+                break
+            if n < 0:  # spec: negative count carries a byte size next
+                n = -n
+                _read_long_fh(fh)
+            for _ in range(n):
+                klen = _read_long_fh(fh)
+                k = _read_exact(fh, klen, "meta key").decode("utf-8")
+                vlen = _read_long_fh(fh)
+                meta[k] = _read_exact(fh, vlen, "meta value")
+        codec = meta.get("avro.codec", b"null").decode()
+        if codec not in ("null", "deflate"):
             raise ValueError(
-                f"{path}: block decoded {bpos}B of {bend}B declared"
+                f"{path}: codec {codec!r} not supported by the fallback "
+                "reader (null and deflate are; use the native spark-avro "
+                "module for snappy/zstandard)"
             )
-        if buf[pos : pos + 16] != sync:
-            raise ValueError(f"{path}: sync marker mismatch after block")
-        pos += 16
+        fields = parse_schema(meta["avro.schema"].decode("utf-8"))
+        sync = _read_exact(fh, 16, "sync marker")
+        yield fields
+        while True:
+            n_rows = _read_long_fh(fh)
+            if n_rows is None:
+                return  # clean EOF between blocks
+            size = _read_long_fh(fh)
+            block = _read_exact(fh, size, "block data")
+            if codec == "deflate":
+                # per spec: raw DEFLATE, no zlib header/checksum
+                import zlib
+
+                block = zlib.decompress(block, -15)
+            bpos, bend = 0, len(block)
+            for _ in range(n_rows):
+                row = []
+                for _, t, nullable in fields:
+                    if nullable:
+                        branch, bpos = _read_long(block, bpos)
+                        if branch == 0:
+                            row.append(None)
+                            continue
+                    v, bpos = _read_value(block, bpos, t)
+                    row.append(v)
+                yield tuple(row)
+            if bpos != bend:
+                raise ValueError(
+                    f"{path}: block decoded {bpos}B of {bend}B declared"
+                )
+            if _read_exact(fh, 16, "block sync") != sync:
+                raise ValueError(f"{path}: sync marker mismatch after block")
 
 
 # --- the pyavro DataSource ----------------------------------------------------
 
 
-def _container_paths(root: str) -> list[str]:
+def _container_paths(root: str, require_commit: bool = True) -> list[str]:
+    """Container files under `root` (or `root` itself if it's a file).
+
+    A DIRECTORY must carry the `_SUCCESS` commit marker: the pyavro
+    writer clears the target then writes one file per task, so a failed
+    job leaves a partial file set behind — listing it would silently
+    serve a fraction of the rows as a valid dataset. Directories
+    written by other tools (no marker convention) opt out with the
+    `commitMarker=false` read option."""
     if os.path.isfile(root):
         return [root]
+    if require_commit and not os.path.exists(os.path.join(root, "_SUCCESS")):
+        raise ValueError(
+            f"{root}: no _SUCCESS commit marker — the directory is an "
+            "uncommitted/failed write (rerun it), or was produced by a "
+            "tool without the marker convention (read with "
+            ".option('commitMarker', 'false'))"
+        )
     return sorted(
         os.path.join(root, f)
         for f in os.listdir(root)
         if f.endswith(".avro")
     )
+
+
+def _require_commit(options) -> bool:
+    return str(options.get("commitMarker", "true")).lower() != "false"
 
 
 def register_pyavro(spark) -> None:
@@ -314,12 +361,16 @@ def register_pyavro(spark) -> None:
     class _Reader(DataSourceReader):
         def __init__(self, options):
             self.root = options["path"]
+            self.require_commit = _require_commit(options)
 
         def partitions(self):
             # one task per container file — the same parallelism contract
             # as file splits (avro blocks are further splittable by sync
             # marker; per-file is the honest granularity for a fallback)
-            return [_FilePart(p) for p in _container_paths(self.root)]
+            return [
+                _FilePart(p)
+                for p in _container_paths(self.root, self.require_commit)
+            ]
 
         def read(self, part):
             it = read_container(part.path)
@@ -328,11 +379,19 @@ def register_pyavro(spark) -> None:
 
     class _Writer(DataSourceWriter):
         def __init__(self, options, schema, overwrite):
+            import uuid
+
             self.root = options["path"]
             self.fields = [
                 (f.name, _SPARK_TO_AVRO[f.dataType.simpleString()])
                 for f in schema.fields
             ]
+            # job-scoped filename component, fixed driver-side: part
+            # files are part-<partition>-<job>.avro, so (a) an APPEND
+            # job can never clobber a previous job's same-numbered
+            # files, and (b) a RETRIED task (same partition, same job)
+            # still overwrites its own attempt idempotently.
+            self.job = uuid.uuid4().hex[:8]
             # driver-side, once per write job: implement overwrite here —
             # the Python datasource API delegates mode semantics to the
             # source (commit() later drops the _SUCCESS marker)
@@ -346,7 +405,9 @@ def register_pyavro(spark) -> None:
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            final = os.path.join(self.root, f"part-{pid:05d}.avro")
+            final = os.path.join(
+                self.root, f"part-{pid:05d}-{self.job}.avro"
+            )
             # task-attempt temp + atomic rename: a retried task must not
             # leave a torn container behind the final name
             tmp = final + f".inprogress-{os.getpid()}"
@@ -359,7 +420,16 @@ def register_pyavro(spark) -> None:
                 pass
 
         def abort(self, messages) -> None:
-            pass
+            # drop this job's part files so an appending job that fails
+            # cannot leave its fragments next to the previous commit
+            # (overwrite-mode data loss is inherent to destroy-then-
+            # write; the _SUCCESS gate makes THAT loud at read time)
+            for f in os.listdir(self.root):
+                if self.job in f:
+                    try:
+                        os.remove(os.path.join(self.root, f))
+                    except OSError:
+                        pass
 
     class AvroFallbackSource(DataSource):
         @classmethod
@@ -368,13 +438,18 @@ def register_pyavro(spark) -> None:
 
         def schema(self):
             # self-describing format: the schema lives in the container
-            # header (like a parquet footer) — read one header driver-side
-            paths = _container_paths(self.options["path"])
+            # header (like a parquet footer) — the streaming reader only
+            # pulls the header bytes driver-side, never the file
+            paths = _container_paths(
+                self.options["path"], _require_commit(self.options)
+            )
             if not paths:
                 raise FileNotFoundError(
                     f"no .avro container files under {self.options['path']!r}"
                 )
-            fields = next(read_container(paths[0]))
+            it = read_container(paths[0])
+            fields = next(it)
+            it.close()
             return ", ".join(f"{n} {_AVRO_TO_SPARK[t]}" for n, t, _ in fields)
 
         def reader(self, schema):

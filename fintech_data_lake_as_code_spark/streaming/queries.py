@@ -804,6 +804,33 @@ def _fs_for(spark: SparkSession, path_str: str):
     return jvm, path.getFileSystem(hconf), path
 
 
+def _fs_read_text(spark: SparkSession, path_str: str) -> str | None:
+    """First line of a small text file via the Hadoop FS API (any lake
+    scheme); None if the file doesn't exist."""
+    jvm, fs, path = _fs_for(spark, path_str)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = reader.readLine()
+        return "" if line is None else line
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    """(Over)write a small text file via the Hadoop FS API."""
+    _, fs, path = _fs_for(spark, path_str)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def _required_session(spark: SparkSession | None) -> SparkSession:
     """The explicitly passed session, else the active one. Workers pass
     `batch_df.sparkSession` (getActiveSession is thread-local state a
@@ -1522,11 +1549,17 @@ class IncrementalDedupIndex:
     batch_id-keyed subdirectory (`index/batch_N`, `pairs/batch_N`) or a
     batch_id-keyed partition of the postings table (INSERT OVERWRITE
     PARTITION), so a replayed micro-batch rewrites the same content
-    instead of appending duplicates, and the probe reads only index
-    generations/partitions STRICTLY BELOW its own batch_id — its own
-    half-written debris is invisible to it. (A torn postings partition
-    can only belong to the in-flight batch_id: batches commit serially,
-    and the checkpoint commits only after process() returns.)
+    instead of appending duplicates. The ARRAYS probe reads only
+    generations STRICTLY BELOW its own batch_id (its own half-written
+    debris is invisible); the POSTINGS probe reads partitions up to and
+    INCLUDING its own — safe only because the partition's INSERT
+    OVERWRITE completes earlier in the same serial process() call, so
+    "own partition" is always this batch's committed content. Keep that
+    ordering: inserting after (or concurrently with) candidate
+    generation would hand the probe an empty or torn fresh side. (A
+    torn postings partition can only belong to the in-flight batch_id:
+    batches commit serially, and the checkpoint commits only after
+    process() returns.)
 
     Scale shape: per-batch probe-side cost is |batch| x bucket-depth
     (the `incremental_pairs` PPJoin core — prefix-filtered, positionally
@@ -1583,11 +1616,25 @@ class IncrementalDedupIndex:
         if self._table_ensured:
             return
         loc = os.path.join(self.root, "postings")
-        # no SORTED BY: with one file per (partition, bucket) per batch a
-        # multi-batch bucket holds several files, so the sort-merge join
-        # cannot consume the stored order anyway — it re-sorts its
-        # (exchange-free) inputs — and the write-side sort would be pure
-        # per-admission cost
+        # Layout fingerprint guard (the _bucketed_table discipline,
+        # operators/scale.py:_LAYOUT): postings FILES persist under the
+        # root while the catalog entry may not (fresh metastore, DROP),
+        # and CREATE IF NOT EXISTS would happily re-register old-layout
+        # files under today's DDL — a bucketed scan then assumes a hash
+        # distribution the files don't have and the exchange-free join
+        # silently drops matches. State is history the worker must not
+        # wipe, so a mismatch REFUSES instead of rebuilding.
+        fingerprint = f"{N_POSTING_BUCKETS}:h:batch_id"
+        marker = os.path.join(self.root, "_POSTINGS_LAYOUT")
+        recorded = _fs_read_text(spark, marker)
+        if recorded is not None and recorded.strip() != fingerprint:
+            raise RuntimeError(
+                f"postings under {loc} were written with layout "
+                f"{recorded.strip()!r} but this code declares "
+                f"{fingerprint!r} — re-registering them would silently "
+                "mis-bucket the exchange-free candidate join. Migrate or "
+                "drop the stream root before resuming."
+            )
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.table}"
             " (doc_id BIGINT, n INT, pos INT, h BIGINT)"
@@ -1595,6 +1642,8 @@ class IncrementalDedupIndex:
             f" CLUSTERED BY (h) INTO {N_POSTING_BUCKETS} BUCKETS"
             f" LOCATION '{loc}'"
         )
+        if recorded is None:
+            _fs_write_text(spark, marker, fingerprint + "\n")
         self._table_ensured = True
 
     def drop_postings_table(self, spark: SparkSession) -> None:

@@ -180,3 +180,45 @@ def test_pyavro_refuses_unknown_codecs(tmp_path):
         fh.write(bytes(header))
     with pytest.raises(ValueError, match="snappy"):
         next(read_container(path))
+
+
+def test_pyavro_append_accumulates_without_clobbering(spark, tmp_path):
+    register_pyavro(spark)
+    df1 = spark.createDataFrame(
+        [(i, "a", 1.0, True) for i in range(100)],
+        "k bigint, s string, v double, b boolean",
+    )
+    df2 = spark.createDataFrame(
+        [(i, "b", 2.0, False) for i in range(100, 150)],
+        "k bigint, s string, v double, b boolean",
+    )
+    out = str(tmp_path / "appended")
+    df1.repartition(4).write.format("pyavro").mode("overwrite").save(out)
+    # same partition numbering as the first job — job-scoped filenames
+    # must keep both file sets
+    df2.repartition(4).write.format("pyavro").mode("append").save(out)
+    back = spark.read.format("pyavro").load(out)
+    assert back.count() == 150
+    both = df1.unionByName(df2)
+    assert back.exceptAll(both).count() == 0
+    assert both.exceptAll(back).count() == 0
+
+
+def test_pyavro_read_refuses_uncommitted_directories(spark, tmp_path):
+    # a failed/partial write leaves part files but no _SUCCESS: reading
+    # it must fail loudly, not silently serve a fraction of the rows —
+    # unless the caller opts out for foreign-written directories
+    register_pyavro(spark)
+    out = tmp_path / "torn"
+    out.mkdir()
+    write_container(
+        str(out / "part-00000.avro"), FIELDS, [(1, "x", 1.0, True)]
+    )
+    with pytest.raises(Exception, match="_SUCCESS|commit"):
+        spark.read.format("pyavro").load(str(out)).collect()
+    ok = (
+        spark.read.format("pyavro")
+        .option("commitMarker", "false")
+        .load(str(out))
+    )
+    assert ok.count() == 1

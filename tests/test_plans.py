@@ -459,18 +459,25 @@ def test_avro_gate_is_honest(spark, sf_dir):
     from fintech_data_lake_as_code_spark.io import load
     from fintech_data_lake_as_code_spark.operators.scale import scan_avro
 
+    from fintech_data_lake_as_code_spark.functions.exact import exact_sum
+
     got = {
         r.o_orderstatus: (r.n_orders, r.sum_price)
         for r in scan_avro(spark, sf_dir).collect()
     }
     exp = {
-        r.o_orderstatus: r.n
+        r.o_orderstatus: (r.n, r.s)
         for r in load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum(F.col("o_totalprice")).alias("s"),
+        )
         .collect()
     }
-    assert {k: v[0] for k, v in got.items()} == exp
+    # counts AND exact-cents sums: a codec slip that preserves row
+    # counts but corrupts doubles must fail here
+    assert got == exp
 
 
 def test_scd2_pointintime_is_window_only(spark, sf_dir):

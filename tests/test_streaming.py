@@ -855,3 +855,37 @@ def test_stream_dedup_incremental_replay_and_order_independence(
     w3.process(df.where(F.col("doc_id").isin([5, 4])), 1)
     again2 = spark.read.parquet(str(tmp_path / "r2") + "/pairs/batch_*")
     assert {tuple(r) for r in again2.collect()} == split
+
+
+def test_stream_dedup_postings_layout_mismatch_refuses(spark, tmp_path):
+    """Postings files written under an older bucket layout must never be
+    re-registered under today's DDL (the bucketed scan would assume a
+    hash distribution the files don't have and the exchange-free join
+    would silently drop matches): a fingerprint mismatch refuses loudly
+    instead of rebuilding — streaming state is history the worker must
+    not wipe."""
+    import pytest
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        IncrementalDedupIndex,
+        _fs_read_text,
+        _fs_write_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one document of shared words"), (2, "two document of shared words")],
+        "doc_id bigint, text string",
+    )
+    root = tmp_path / "root"
+    w = IncrementalDedupIndex(str(root))
+    w.process(docs.where(F.col("doc_id") == 1), 0)
+    marker = str(root / "_POSTINGS_LAYOUT")
+    assert _fs_read_text(spark, marker).strip().endswith(":h:batch_id")
+    # an older code generation wrote the marker through the same FS API
+    _fs_write_text(spark, marker, "16:h:batch_id\n")
+    # fresh post-restart worker: must refuse, and must not have touched
+    # the catalog state or the stored partitions
+    w2 = IncrementalDedupIndex(str(root))
+    w2.drop_postings_table(spark)  # simulate a lost metastore entry
+    with pytest.raises(RuntimeError, match="layout"):
+        w2.process(docs.where(F.col("doc_id") == 2), 1)
