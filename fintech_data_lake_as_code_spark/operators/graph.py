@@ -198,8 +198,11 @@ LIMIT {TRI_TOP}
 """
 
 
-@query("graph_triangle_count", oracle=_TRI_ORACLE)
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _triangle_plan(spark: SparkSession, sf_dir: str):
+    """The lazy top-N triangle plan plus the caches it reads —
+    `graph_triangle_count` materializes the plan then releases the
+    caches; tests/test_plans.py pins plan properties on the lazy form
+    (the registered query returns a local relation)."""
     """Per-node TRIANGLE counts on the supplier co-occurrence graph (edge =
     two suppliers ship lines of the same order; the projection graph of
     the order–supplier bipartite relation, where pagerank's bipartite
@@ -243,7 +246,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= TRI_MIN_SUPPORT)
         .select("u", "v")
-    )
+    ).cache()  # feeds deg (twice), du/dv broadcasts, and the orient join
     # Degree over the undirected edge set, then orient low->high by
     # (deg, id): out-degree of every node is O(sqrt(|E|)).
     deg = (
@@ -291,4 +294,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tri").cast("bigint").alias("n_triangles"),
         )
     )
-    return out
+    return out, (oriented, und)
+
+
+@query("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of `_triangle_plan` (see its docstring for the
+    full design): TRI_TOP-bounded designed collect — a lazily-returned
+    plan would pin the und/oriented caches for the rest of the session
+    (the exact GC-timed storage accumulation the
+    release_local_checkpoint discipline exists to prevent, io.py:121);
+    materialize the 100-row answer, free the caches deterministically,
+    and hand back a local relation."""
+    out, caches = _triangle_plan(spark, sf_dir)
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)

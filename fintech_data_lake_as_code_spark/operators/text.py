@@ -1446,14 +1446,16 @@ def bpe_train(
         merges.append((r, top.sa, top.sb, top.sa + top.sb, int(top.w)))
         old = f" {top.sa}  {top.sb} "
         new = f" {top.sa}{top.sb} "
+        # F.replace with literal columns, NOT an F.expr string: Spark SQL
+        # processes backslash escapes inside string literals, so a merged
+        # symbol containing a backslash would silently corrupt an expr-
+        # built pattern while the oracle (pure || concatenation) applies
+        # it verbatim — bpe_tokenize's application chain already uses
+        # this form for the same reason
         nxt = seg.select(
             "word",
             "cnt",
-            F.expr(
-                "replace(seg, '{}', '{}')".format(
-                    old.replace("'", "''"), new.replace("'", "''")
-                )
-            ).alias("seg"),
+            F.replace(F.col("seg"), F.lit(old), F.lit(new)).alias("seg"),
         ).cache()
         prev, seg = seg, nxt
     if prev is not None:

@@ -90,9 +90,9 @@ def _load_all_modules() -> None:
 # cohort + the 4 oldest r8 keys fn_string/fn_datetime/fn_math_decimal/
 # fn_conditional). Round 12 adds ONE new key (scan_avro — registered
 # now that the pure-Python pyavro fallback makes it grade identically
-# everywhere); with the two stale regrades in _STALE_REGRADE the
-# rank-(0,0) demand is 3, so the prefix is 3 rank-0 + the 45-key r8
-# cohort + the 2 oldest r9 keys = exactly 50 — no overflow,
+# everywhere); with the three stale regrades in _STALE_REGRADE the
+# rank-(0,0) demand is 4, so the prefix is 4 rank-0 + the 45-key r8
+# cohort + the 1 oldest r9 key = exactly 50 — no overflow,
 # `_DEFER_NEXT_ROUND` is empty and the floor lifts to r9 after the r12
 # grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
@@ -224,9 +224,15 @@ _VERDICT_ROUND: dict[str, int] = {
 # pairs are unchanged — the replay/order-invariance suite and the
 # DuckDB oracle both stay green — but the worker's storage layout and
 # probe plan are new code).
+# graph_triangle_count (r11) changed its storage lifecycle: the
+# bounded top-100 answer is now materialized so the und/oriented
+# caches release deterministically instead of pinning executor storage
+# for the session — value-identical rows, but the operator now returns
+# a local relation, so it re-certifies.
 _STALE_REGRADE = frozenset(
     {
         "cdc_snapshot_diff",
+        "graph_triangle_count",
         "stream_dedup_incremental",
     }
 )

@@ -589,13 +589,23 @@ def test_rfm_matches_direct_ntile(spark, sf_dir):
 
 def test_triangle_edges_are_support_thresholded(spark, sf_dir):
     # densification control: the edge relation must carry the support
-    # floor (a Filter on the co-occurrence count) before any wedge join
+    # floor (a Filter on the co-occurrence count) before any wedge join.
+    # The registered query materializes a local relation (so its caches
+    # release deterministically) — pin the property on the lazy plan it
+    # materializes.
     from fintech_data_lake_as_code_spark.operators.graph import (
         TRI_MIN_SUPPORT,
+        _triangle_plan,
     )
 
-    plan = formatted_plan(SPECS["graph_triangle_count"].fn(spark, sf_dir))
+    out, caches = _triangle_plan(spark, sf_dir)
+    try:
+        plan = formatted_plan(out)
+    finally:
+        for c in caches:
+            c.unpersist()
     assert f">= {TRI_MIN_SUPPORT}" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_bpe_tokenize_apply_is_mapside_literals(spark, sf_dir):
