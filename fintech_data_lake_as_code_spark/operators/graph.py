@@ -246,7 +246,12 @@ def _triangle_plan(spark: SparkSession, sf_dir: str):
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= TRI_MIN_SUPPORT)
         .select("u", "v")
-    ).cache()  # feeds deg (twice), du/dv broadcasts, and the orient join
+    )
+    # NOT cached despite feeding deg (twice), du/dv, and the orient join:
+    # und is a post-shuffle relation, so Spark's ReusedExchange already
+    # deduplicates its recomputation across those consumers — a .cache()
+    # here buys nothing and pays block-store materialization on the hot
+    # path (measured ~1.35x on the whole operator, VERDICT r12).
     # Degree over the undirected edge set, then orient low->high by
     # (deg, id): out-degree of every node is O(sqrt(|E|)).
     deg = (
@@ -294,7 +299,7 @@ def _triangle_plan(spark: SparkSession, sf_dir: str):
             F.col("n_tri").cast("bigint").alias("n_triangles"),
         )
     )
-    return out, (oriented, und)
+    return out, (oriented,)
 
 
 @query("graph_triangle_count", oracle=_TRI_ORACLE)

@@ -80,51 +80,27 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r10.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r12.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r11 fold the vintage
-# census is 45@r8 / 49@r9 / 49@r10 / 50@r11 (CORRECTNESS_r11 was 50/50
-# green: the stream_dedup_incremental stale regrade + the 45-key r7
-# cohort + the 4 oldest r8 keys fn_string/fn_datetime/fn_math_decimal/
-# fn_conditional). Round 12 adds ONE new key (scan_avro — registered
-# now that the pure-Python pyavro fallback makes it grade identically
-# everywhere); with the three stale regrades in _STALE_REGRADE the
-# rank-(0,0) demand is 4, so the prefix is 4 rank-0 + the 45-key r8
-# cohort + the 1 oldest r9 key = exactly 50 — no overflow,
-# `_DEFER_NEXT_ROUND` is empty and the floor lifts to r9 after the r12
-# grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r12 fold the vintage
+# census is 48@r9 / 49@r10 / 47@r11 / 50@r12 (CORRECTNESS_r12 was 50/50
+# green: scan_avro new + the 3 stale regrades + the 45-key r8 cohort +
+# the oldest r9 key datagen_customeractivity). Round 13 registers no
+# new keys (no table-format jar on disk — that axis stays closed, r11/
+# r12 precedent) and stale-marks ONE key (graph_triangle_count: this
+# round drops the und.cache() that regressed it ~1.35x in r12 — a plan-
+# shape change its r12 verdict predates). Rank-(0,0) demand 1 + the
+# 48-key r9 cohort = 49, so the prefix is 49 + the first r10 key —
+# no overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r10
+# after the r13 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 8 greens — the r12 grading cohort (stalest)
-    **dict.fromkeys(
-        [
-            "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
-            "agg_percentile", "agg_pivot", "agg_rollup_cube_gsets",
-            "agg_stats_corr", "agg_time_rollup", "cdc_dedupe_batch",
-            "cdc_envelope_roundtrip", "cdc_incremental_agg",
-            "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
-            "dedup_exact", "filter_null_domain", "filter_pred",
-            "join_anti", "join_asof_backward",
-            "join_asof_interval", "join_broadcast", "join_cross_topk",
-            "join_inner_equi", "join_left_right_full", "join_multiway",
-            "join_range_banded", "join_scd2_pointintime", "join_semi",
-            "join_theta_range", "reshape_unpivot", "rule_b1_city_hop",
-            "rule_b2_session_overlap", "rule_b3_overdraft_freeze",
-            "rule_b4_first_forex", "rule_b5_limit_3days",
-            "rule_b6_enquiry_intent", "rule_b7_regular_forex",
-            "rule_b8_regular_investor", "rule_b9_large_investor",
-            "stream_observe_metrics", "stream_python_datasource",
-            "stream_transform_with_state",
-            "text_bpe_train", "win_rfm_score",
-        ],
-        8,
-    ),
-    # round 9 greens
+    # round 9 greens — the r13 grading cohort (stalest)
     **dict.fromkeys(
         [
             "agg_approx_distinct", "agg_distinct", "cdc_gdpr_erasure",
-            "datagen_account_sample", "datagen_customeractivity",
+            "datagen_account_sample",
             "fn_array", "fn_bitwise", "fn_hash", "fn_json",
             "fn_map_struct", "graph_pagerank", "limit_topk",
             "multimodal_cols", "multimodal_decode",
@@ -175,24 +151,23 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         10,
     ),
-    # round 11 greens — freshest, grade last (CORRECTNESS_r11: 50/50)
+    # round 11 greens
     **dict.fromkeys(
         [
             "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
             "agg_kanonymity", "agg_mode_exact", "agg_pareto_8020",
-            "agg_regression_ols", "cdc_snapshot_diff", "dedup_cluster_cc",
+            "agg_regression_ols", "dedup_cluster_cc",
             "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
             "dedup_semantic_cluster", "dq_expectations",
             "embedding_quantize_int8", "fn_collation", "fn_conditional",
             "fn_crypto", "fn_datetime", "fn_math_decimal", "fn_string",
-            "fn_try_ansi", "graph_triangle_count",
+            "fn_try_ansi",
             "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
             "join_spatial_grid",
             "sample_negative_pairs", "sample_temperature_mix",
             "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
             "sim_topk_ivf_kmeans", "sink_compression_codecs",
             "sink_write_audit_publish", "sql_recursive_cte",
-            "stream_dedup_incremental",
             "stream_foreachbatch_merge", "stream_scd2_apply",
             "stream_tws_topk_state", "subquery_family",
             "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
@@ -202,45 +177,60 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         11,
     ),
+    # round 12 greens — freshest, grade last (CORRECTNESS_r12: 50/50)
+    **dict.fromkeys(
+        [
+            "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
+            "agg_percentile", "agg_pivot", "agg_rollup_cube_gsets",
+            "agg_stats_corr", "agg_time_rollup", "cdc_dedupe_batch",
+            "cdc_envelope_roundtrip", "cdc_incremental_agg",
+            "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
+            "cdc_snapshot_diff", "datagen_customeractivity", "dedup_exact",
+            "filter_null_domain", "filter_pred", "graph_triangle_count",
+            "join_anti", "join_asof_backward",
+            "join_asof_interval", "join_broadcast", "join_cross_topk",
+            "join_inner_equi", "join_left_right_full", "join_multiway",
+            "join_range_banded", "join_scd2_pointintime", "join_semi",
+            "join_theta_range", "reshape_unpivot", "rule_b1_city_hop",
+            "rule_b2_session_overlap", "rule_b3_overdraft_freeze",
+            "rule_b4_first_forex", "rule_b5_limit_3days",
+            "rule_b6_enquiry_intent", "rule_b7_regular_forex",
+            "rule_b8_regular_investor", "rule_b9_large_investor",
+            "scan_avro", "stream_dedup_incremental",
+            "stream_observe_metrics", "stream_python_datasource",
+            "stream_transform_with_state",
+            "text_bpe_train", "win_rfm_score",
+        ],
+        12,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The r11 stale key (stream_dedup_incremental) was
-# re-certified in r11 (CORRECTNESS_r11 50/50 green). Round-12 code
-# changes confined to the r8 grading cohort (the cdc latest-state helper
-# extraction for cdc_merge_upsert/cdc_incremental_agg, the stats_corr
-# exact-cents swap, the stream_transform_with_state _py_cents swap, the
-# as-of Window-import tidy) need no stale slots — those keys grade this
-# round by vintage. Stale entries below are keys OUTSIDE the r8 cohort
-# whose defining code changes this round: cdc_snapshot_diff (r11) now
-# routes its latest-state reduce through the shared cdc._latest_state
-# helper — output-identical (same winning rows, same columns) but code
-# its r11 verdict predates, so it re-certifies rather than aging (same
-# caution as r11's stream_dedup_incremental). stream_dedup_incremental
-# (r11) changed substantively: its index postings now live in a
-# batch_id-partitioned, hash-bucketed catalog table so the per-batch
-# candidate join no longer shuffles the accumulated index (emitted
-# pairs are unchanged — the replay/order-invariance suite and the
-# DuckDB oracle both stay green — but the worker's storage layout and
-# probe plan are new code).
-# graph_triangle_count (r11) changed its storage lifecycle: the
-# bounded top-100 answer is now materialized so the und/oriented
-# caches release deterministically instead of pinning executor storage
-# for the session — value-identical rows, but the operator now returns
-# a local relation, so it re-certifies.
+# never-graded keys. All three r12 stales (cdc_snapshot_diff,
+# graph_triangle_count, stream_dedup_incremental) were re-certified in
+# r12 (CORRECTNESS_r12 50/50 green). Round-13 code changes are confined
+# to the r9 grading cohort (udtf_expand NULL-text guard, udf_cogrouped
+# half-away-from-zero cents, udf_vectorized_agg integer moments,
+# multimodal bytes(None) guards + _bmp_dims extraction, text_stats/
+# text_chunk integer-bp division) — those keys grade this round by
+# vintage and need no stale slots. The ONE key outside the cohort whose
+# defining code changes this round: graph_triangle_count (r12) drops
+# the und.cache() added in r12 — VERDICT r12 measured it a ~1.35x real
+# regression (ReusedExchange already deduplicates the und shuffle's
+# recomputation, so the cache bought nothing and paid block-store
+# materialization on the hot path). Value-identical rows, but the
+# physical plan its r12 verdict timed is gone, so it re-certifies.
 _STALE_REGRADE = frozenset(
     {
-        "cdc_snapshot_diff",
         "graph_triangle_count",
-        "stream_dedup_incremental",
     }
 )
 
-# Round 12 has no budget overflow: the rank-(0,0) stale regrades + the
-# 45-key r8 cohort + the oldest r9 keys fill the 50-slot prefix, so
-# nothing waits. tests/test_registry_vintage.py pins that this deferral
-# set is exactly as large as the budget overflow.
+# Round 13 has no budget overflow: 1 rank-(0,0) stale regrade + the
+# 48-key r9 cohort = 49, and the 50th slot takes the first r10 key.
+# tests/test_registry_vintage.py pins that this deferral set is exactly
+# as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
 
