@@ -68,17 +68,27 @@ def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udf_vectorized_agg",
     oracle="""
-    SELECT user_id,
-           COUNT(*) AS n_events,
-           round(stddev_samp(gap_s), 4) AS gap_std
-    FROM (
+    WITH g AS (
       SELECT user_id,
-             epoch(ts) - lag(epoch(ts))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events
+    ), m AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             COUNT(gap_us) AS n,
+             SUM(CAST(gap_us AS HUGEINT)) AS sx,
+             SUM(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT)) AS sxx
+      FROM g
+      GROUP BY user_id
+      HAVING COUNT(*) >= 3
     )
-    GROUP BY user_id
-    HAVING COUNT(*) >= 3
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                 / 1e6, 4) AS gap_std
+    FROM m
     """,
 )
 def udf_vectorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,13 +100,33 @@ def udf_vectorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs JVM-side in a window; Python receives only the unordered gap
     vectors per group and computes the std — an order-free reduction, so no
     per-group sort or DataFrame construction crosses the Arrow boundary.
-    (~4x faster than the naive applyInPandas sort-in-Python formulation.)"""
+    (~4x faster than the naive applyInPandas sort-in-Python formulation.)
+
+    Exactness: gaps cross the Arrow boundary as INTEGER microseconds and
+    the std comes from exact integer moments (arbitrary-precision Python
+    ints mirroring the oracle's HUGEINT sums), with the final
+    sqrt/divisions taken in double from identical integers in the same
+    order on both engines — pandas .std(ddof=1)'s float accumulation
+    order vs stddev_samp's is otherwise a final-ulp coin flip that
+    round(,4) cannot pin at a rounding boundary."""
     from pyspark.sql.window import Window
 
     @F.pandas_udf("double")
     def pd_gap_std(gaps: pd.Series) -> float:
-        # ddof=1 == SQL stddev_samp
-        return gaps.std(ddof=1)
+        # nulls coerce int64 -> float64 in pandas; the values are exact
+        # (|gap_us| << 2^53), so the round-trip back to int is lossless
+        ints = [int(v) for v in gaps.dropna()]
+        n = len(ints)
+        if n < 2:
+            return None
+        sx = sum(ints)
+        sxx = sum(v * v for v in ints)
+        import math
+
+        return (
+            math.sqrt(float(n * sxx - sx * sx) / float(n) / float(n - 1))
+            / 1e6
+        )
 
     @F.pandas_udf("long")
     def pd_n(gaps: pd.Series) -> int:
@@ -108,15 +138,15 @@ def udf_vectorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6).alias(
-            "gap_s"
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
         ),
     )
     return (
         ev.groupBy("user_id")
         .agg(
-            pd_n("gap_s").alias("n_events"),
-            F.round(pd_gap_std("gap_s"), 4).alias("gap_std"),
+            pd_n("gap_us").alias("n_events"),
+            F.round(pd_gap_std("gap_us"), 4).alias("gap_std"),
         )
         .where(F.col("n_events") >= 3)
     )
@@ -140,6 +170,11 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: int, word: string")
     class Tokenize:
         def eval(self, text: str):
+            # NULL text expands to no rows — the oracle's UNNEST over
+            # string_split(NULL) emits nothing, and a UDTF must treat
+            # SQL NULL as absent input, not crash on None.split.
+            if text is None:
+                return
             for i, w in enumerate(text.split(" "), start=1):
                 yield i, w
 
@@ -194,14 +229,28 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    import numpy as np
+
+    def _cents_sum(s: pd.Series) -> int:
+        # half-AWAY-from-zero cents (the Spark F.round / DuckDB ROUND
+        # rule), vectorized — pandas .round() is numpy half_to_even
+        # (banker's), one cent off on any exact .5 tie. Mirrors
+        # streaming.queries._py_cents; |cents| << 2^53 so the float
+        # math is exact before the int64 cast.
+        scaled = s.to_numpy(dtype="float64") * 100.0
+        cents = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+            "int64"
+        )
+        return int(cents.sum())
+
     def reconcile(key, ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "user_id": [int(key[0])],
                 "n_events": [len(ev_pdf)],
                 "n_orders": [len(od_pdf)],
-                "event_cents": [int(ev_pdf["value"].mul(100).round().sum())],
-                "order_cents": [int(od_pdf["o_totalprice"].mul(100).round().sum())],
+                "event_cents": [_cents_sum(ev_pdf["value"])],
+                "order_cents": [_cents_sum(od_pdf["o_totalprice"])],
             }
         )
 

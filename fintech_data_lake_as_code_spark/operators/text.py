@@ -54,17 +54,31 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio in exact basis points."""
     d = load(spark, sf_dir, "documents")
     tokens = F.split("text", " ")
-    n_tokens = F.size(tokens).cast("bigint")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
-    char_len = F.length(F.regexp_replace("text", " ", ""))
-    return d.select(
+    # basis points via exact BIGINT `div` (the module convention, cf.
+    # text_ngram_freq / sample_weighted_priority) — a double quotient
+    # cast to bigint can land one ulp across an exact-integer boundary
+    # and truncate differently than the oracle's integer `//`.
+    # n_tokens >= 1 always (split('') == ['']), so div-by-zero is moot.
+    base = d.select(
         "doc_id",
         "n_chars",
-        n_tokens.alias("n_tokens"),
+        F.size(tokens).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(tokens)).cast("bigint").alias("n_uniq_tokens"),
-        (char_len * 10000 / n_tokens).cast("bigint").alias("avg_token_len_bp"),
-        (n_stop * 10000 / n_tokens).cast("bigint").alias("stopword_bp"),
+        F.length(F.regexp_replace("text", " ", ""))
+        .cast("bigint")
+        .alias("char_len"),
+        F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_uniq_tokens",
+        F.expr("(char_len * 10000) div n_tokens").alias("avg_token_len_bp"),
+        F.expr("(n_stop * 10000) div n_tokens").alias("stopword_bp"),
     )
 
 
@@ -237,6 +251,16 @@ _DECODE_OUT = T.StructType(
 )
 
 
+def _bmp_dims(n: int) -> tuple[int, int, int]:
+    """Deterministic fake-decode layout for an n-byte payload:
+    (width, height, n_frames). ONE definition for the three encode/
+    sample sites (multimodal_decode, _bmp_dir, multimodal_framesample)
+    — each is certified against a SQL oracle that hard-codes this math
+    (len % 640 + 1, (len * 7) % 480 + 1, len % 30 + 1), so the sites
+    must stay bit-identical with each other and with the oracles."""
+    return n % 640 + 1, (n * 7) % 480 + 1, n % 30 + 1
+
+
 def _encode_bmp(pixel_bytes: bytes, width: int, height: int) -> bytes:
     """Write a real (header-valid) BMP file: 14-byte file header +
     40-byte BITMAPINFOHEADER + payload. Pure stdlib — this is the writer
@@ -316,6 +340,17 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    def _bmp_or_none(p) -> bytes | None:
+        # SQL NULL arrives as None; encode(NULL) is NULL in the oracle,
+        # so a NULL payload flows through as NULL instead of crashing
+        # bytes(None) (fixtures carry no NULL text — this is the
+        # semantic for foreign documents tables).
+        if p is None:
+            return None
+        b = bytes(p)
+        width, height, _ = _bmp_dims(len(b))
+        return _encode_bmp(b, width, height)
+
     def to_bmp_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
@@ -323,12 +358,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [
-                        _encode_bmp(
-                            bytes(p), len(p) % 640 + 1, (len(p) * 7) % 480 + 1
-                        )
-                        for p in pdf["payload"]
-                    ],
+                    "payload": [_bmp_or_none(p) for p in pdf["payload"]],
                 }
             )
 
@@ -336,15 +366,26 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_image_real(bytes(p)) for p in pdf["payload"]]
-            n_bytes = pdf["payload"].map(len)
+            # NULL payload -> every derived field NULL (the oracle's
+            # octet_length(NULL) arithmetic); nullable Int32 keeps the
+            # Arrow schema intact with None holes.
+            dims = [
+                _decode_image_real(bytes(p)) if p is not None else (None, None)
+                for p in pdf["payload"]
+            ]
+            n_bytes = pd.array(
+                [len(p) if p is not None else None for p in pdf["payload"]],
+                dtype="Int64",
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "width": pd.Series([w for w, _ in dims], dtype="int32"),
-                    "height": pd.Series([h for _, h in dims], dtype="int32"),
-                    "n_frames": ((n_bytes - 54) % 30 + 1).astype("int32"),
+                    "n_bytes": pd.array(n_bytes, dtype="Int32"),
+                    "width": pd.array([w for w, _ in dims], dtype="Int32"),
+                    "height": pd.array([h for _, h in dims], dtype="Int32"),
+                    "n_frames": pd.array(
+                        (n_bytes - 54) % 30 + 1, dtype="Int32"
+                    ),
                 }
             )
 
@@ -452,12 +493,17 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are shorter (never empty); md5 pins exact chunk-text parity."""
     d = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    n = F.size(words)
-    n_chunks = ((n + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("bigint")
-    chunked = d.select(
+    # ceil-div in exact BIGINT `div` (module convention) — the double
+    # quotient form ((n+39)/40).cast(bigint) truncates correctly today
+    # but rides a final-ulp boundary on exact multiples of the stride.
+    base = d.select("doc_id", words.alias("w"), F.size(words).alias("n"))
+    n_chunks = F.expr(f"(n + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}")
+    chunked = base.select(
         "doc_id",
-        words.alias("w"),
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        "w",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+        ).alias("chunk_id"),
     ).select(
         "doc_id",
         "chunk_id",
@@ -583,8 +629,13 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for r in pdf.itertuples(index=False):
+                if r.payload is None:
+                    # oracle: generate_series(0, NULL-1) emits nothing —
+                    # a NULL payload contributes no frames (and must not
+                    # crash bytes(None))
+                    continue
                 payload = bytes(r.payload)
-                n_frames = len(payload) % 30 + 1
+                _, _, n_frames = _bmp_dims(len(payload))
                 for f in range(0, n_frames, FRAME_STRIDE):
                     ids.append(int(r.doc_id))
                     idxs.append(f)
@@ -936,8 +987,13 @@ def _bmp_dir(spark: SparkSession, sf_dir: str) -> str:
 
             for pdf in batches:
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    if payload is None:
+                        # a NULL payload cannot become a file; skip it
+                        # (fixtures carry no NULL text — defensive only)
+                        continue
                     p = bytes(payload)
-                    bmp = _encode_bmp(p, len(p) % 640 + 1, (len(p) * 7) % 480 + 1)
+                    width, height, _ = _bmp_dims(len(p))
+                    bmp = _encode_bmp(p, width, height)
                     path = _os.path.join(tmp, f"doc_{int(doc_id)}.bmp")
                     with open(path, "wb") as fh:
                         fh.write(bmp)
@@ -963,9 +1019,21 @@ def _bmp_dir(spark: SparkSession, sf_dir: str) -> str:
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
                 # stale partial (crashed pre-atomic seeding) or a seed
-                # from an older derivation: replace it
+                # from an older derivation: replace it. The replacement
+                # rename can ALSO lose to a concurrent stale-path racer
+                # (both rmtree'd, the other renamed first -> ENOTEMPTY),
+                # so give it the same re-check-and-defer handling.
                 shutil.rmtree(out, ignore_errors=True)
-                os.rename(tmp, out)
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    fresh2 = False
+                    if fp is not None and os.path.exists(marker):
+                        with open(marker) as fh:
+                            fresh2 = fh.read().strip() == fp
+                    if not fresh2:
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
