@@ -214,23 +214,30 @@ _VERDICT_ROUND: dict[str, int] = {
 # half-away-from-zero cents, udf_vectorized_agg integer moments,
 # multimodal bytes(None) guards + _bmp_dims extraction, text_stats/
 # text_chunk integer-bp division) — those keys grade this round by
-# vintage and need no stale slots. The ONE key outside the cohort whose
-# defining code changes this round: graph_triangle_count (r12) drops
-# the und.cache() added in r12 — VERDICT r12 measured it a ~1.35x real
-# regression (ReusedExchange already deduplicates the und shuffle's
-# recomputation, so the cache bought nothing and paid block-store
-# materialization on the hot path). Value-identical rows, but the
-# physical plan its r12 verdict timed is gone, so it re-certifies.
+# vintage and need no stale slots. TWO keys outside the cohort change
+# defining code this round (both r12-vintage — the 1-round-old caution
+# precedent from r11/r12 says re-certify rather than age):
+# graph_triangle_count drops the und.cache() added in r12 — VERDICT r12
+# measured it a ~1.35x real regression (ReusedExchange already
+# deduplicates the und shuffle's recomputation, so the cache bought
+# nothing and paid block-store materialization on the hot path); value-
+# identical rows, but the physical plan its r12 verdict timed is gone.
+# scan_avro's pyavro reader now binds decoded values to the read schema
+# BY NAME per file instead of trusting positional agreement (ADVICE r12
+# — heterogeneously-ordered foreign files silently mis-bound), plus the
+# _write_long 64-bit range guard and backtick-quoted inferred DDL —
+# output-identical on the graded fixture, but the executor read path
+# its r12 verdict covered is new code.
 _STALE_REGRADE = frozenset(
     {
         "graph_triangle_count",
+        "scan_avro",
     }
 )
 
-# Round 13 has no budget overflow: 1 rank-(0,0) stale regrade + the
-# 48-key r9 cohort = 49, and the 50th slot takes the first r10 key.
-# tests/test_registry_vintage.py pins that this deferral set is exactly
-# as large as the budget overflow.
+# Round 13 has no budget overflow: 2 rank-(0,0) stale regrades + the
+# 48-key r9 cohort = exactly 50. tests/test_registry_vintage.py pins
+# that this deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
 

@@ -63,6 +63,11 @@ _AVRO_TO_SPARK = {v: k for k, v in _SPARK_TO_AVRO.items()}
 
 
 def _write_long(out: bytearray, v: int) -> None:
+    # Avro long is 64-bit; a Python int outside the range would zigzag
+    # into an over-long varint that reference readers reject or misread
+    # — refuse it loudly (write_container is also a public tooling API)
+    if not -(1 << 63) <= v < (1 << 63):
+        raise ValueError(f"value {v} outside the 64-bit Avro long range")
     u = (v << 1) ^ (v >> 63)  # zigzag; arithmetic shift handles the sign
     while u > 0x7F:
         out.append((u & 0x7F) | 0x80)
@@ -359,9 +364,17 @@ def register_pyavro(spark) -> None:
             self.path = path
 
     class _Reader(DataSourceReader):
-        def __init__(self, options):
+        def __init__(self, options, schema):
             self.root = options["path"]
             self.require_commit = _require_commit(options)
+            # the read schema Spark will bind the yielded tuples to,
+            # POSITIONALLY — each file's decoded rows must be reordered
+            # to match it (a user-supplied .schema(...) or a directory
+            # of heterogeneously-ordered foreign files would otherwise
+            # silently bind values to the wrong columns)
+            self.expected = [
+                (f.name, f.dataType.simpleString()) for f in schema.fields
+            ]
 
         def partitions(self):
             # one task per container file — the same parallelism contract
@@ -374,8 +387,29 @@ def register_pyavro(spark) -> None:
 
         def read(self, part):
             it = read_container(part.path)
-            next(it)  # field list
-            yield from it
+            fields = next(it)  # this FILE's header field order
+            by_name = {n: (j, t) for j, (n, t, _) in enumerate(fields)}
+            idx = []
+            for name, spark_type in self.expected:
+                if name not in by_name:
+                    raise ValueError(
+                        f"{part.path}: field {name!r} required by the "
+                        f"read schema is absent (file has "
+                        f"{sorted(by_name)})"
+                    )
+                j, avro_t = by_name[name]
+                want = _AVRO_TO_SPARK.get(avro_t)
+                if want != spark_type:
+                    raise ValueError(
+                        f"{part.path}: field {name!r} is avro {avro_t!r} "
+                        f"({want}), read schema wants {spark_type!r}"
+                    )
+                idx.append(j)
+            if idx == list(range(len(fields))):
+                yield from it
+            else:
+                for row in it:
+                    yield tuple(row[j] for j in idx)
 
     class _Writer(DataSourceWriter):
         def __init__(self, options, schema, overwrite):
@@ -450,10 +484,16 @@ def register_pyavro(spark) -> None:
             it = read_container(paths[0])
             fields = next(it)
             it.close()
-            return ", ".join(f"{n} {_AVRO_TO_SPARK[t]}" for n, t, _ in fields)
+            # backtick-quote the names: an Avro field named like a SQL
+            # reserved word (`order`, `select`) or carrying
+            # non-identifier characters must still parse as DDL
+            return ", ".join(
+                "`{}` {}".format(n.replace("`", "``"), _AVRO_TO_SPARK[t])
+                for n, t, _ in fields
+            )
 
         def reader(self, schema):
-            return _Reader(self.options)
+            return _Reader(self.options, schema)
 
         def writer(self, schema, overwrite):
             return _Writer(self.options, schema, overwrite)

@@ -822,13 +822,31 @@ def _fs_read_text(spark: SparkSession, path_str: str) -> str | None:
 
 
 def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
-    """(Over)write a small text file via the Hadoop FS API."""
-    _, fs, path = _fs_for(spark, path_str)
-    out = fs.create(path, True)
+    """Atomically (over)write a small text file via the Hadoop FS API.
+
+    Create-then-write would leave an EMPTY file on a crash between the
+    two calls — for a layout marker that reads as a mismatched layout
+    ('') and bricks every later run until manual repair. Write a temp
+    sibling and rename it into place; rename loses only to a concurrent
+    writer of the same deterministic content, so destination-exists
+    after a failed rename is success."""
+    import uuid
+
+    jvm, fs, path = _fs_for(spark, path_str)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path_str + f".tmp.{uuid.uuid4().hex[:8]}"
+    )
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(path):
+        fs.delete(path, False)
+    if not fs.rename(tmp, path):
+        fs.delete(tmp, False)
+        if not fs.exists(path):
+            raise IOError(f"could not publish {path_str}")
 
 
 def _required_session(spark: SparkSession | None) -> SparkSession:
@@ -1627,6 +1645,11 @@ class IncrementalDedupIndex:
         fingerprint = f"{N_POSTING_BUCKETS}:h:batch_id"
         marker = os.path.join(self.root, "_POSTINGS_LAYOUT")
         recorded = _fs_read_text(spark, marker)
+        if recorded is not None and not recorded.strip():
+            # an empty marker is a torn write from a crash mid-publish
+            # (pre-atomic-helper files can still be on disk) — treat it
+            # as absent and rewrite, not as a '' layout mismatch
+            recorded = None
         if recorded is not None and recorded.strip() != fingerprint:
             raise RuntimeError(
                 f"postings under {loc} were written with layout "

@@ -222,3 +222,76 @@ def test_pyavro_read_refuses_uncommitted_directories(spark, tmp_path):
         .load(str(out))
     )
     assert ok.count() == 1
+
+
+def test_pyavro_binds_columns_by_name_across_field_orders(spark, tmp_path):
+    # two foreign files with the SAME fields in DIFFERENT header order:
+    # the reader must bind each file's values to the read schema by
+    # NAME, never positionally (ADVICE r12)
+    register_pyavro(spark)
+    out = tmp_path / "mixed"
+    out.mkdir()
+    write_container(
+        str(out / "a.avro"), [("k", "long"), ("s", "string")], [(1, "one")]
+    )
+    write_container(
+        str(out / "b.avro"), [("s", "string"), ("k", "long")], [("two", 2)]
+    )
+    (out / "_SUCCESS").touch()
+    back = spark.read.format("pyavro").load(str(out))
+    got = {(r.k, r.s) for r in back.collect()}
+    assert got == {(1, "one"), (2, "two")}
+    # explicit user schema in the OTHER order also binds by name
+    back2 = (
+        spark.read.format("pyavro")
+        .schema("s string, k bigint")
+        .load(str(out))
+    )
+    assert {(r.k, r.s) for r in back2.collect()} == {(1, "one"), (2, "two")}
+
+
+def test_pyavro_read_schema_mismatch_raises(spark, tmp_path):
+    register_pyavro(spark)
+    out = tmp_path / "typed"
+    out.mkdir()
+    write_container(str(out / "a.avro"), [("k", "long")], [(1,)])
+    (out / "_SUCCESS").touch()
+    with pytest.raises(Exception, match="read schema wants"):
+        spark.read.format("pyavro").schema("k string").load(
+            str(out)
+        ).collect()
+    with pytest.raises(Exception, match="absent"):
+        spark.read.format("pyavro").schema("missing bigint").load(
+            str(out)
+        ).collect()
+
+
+def test_write_long_refuses_out_of_range(tmp_path):
+    # an int outside [-2^63, 2^63) would zigzag into an over-long varint
+    # that reference readers reject or misread — refuse at encode time
+    with pytest.raises(ValueError, match="64-bit"):
+        write_container(
+            str(tmp_path / "big.avro"), [("k", "long")], [(2**63,)]
+        )
+    with pytest.raises(ValueError, match="64-bit"):
+        write_container(
+            str(tmp_path / "neg.avro"), [("k", "long")], [(-(2**63) - 1,)]
+        )
+
+
+def test_pyavro_schema_quotes_reserved_field_names(spark, tmp_path):
+    # an Avro field named like a SQL keyword must survive the inferred
+    # DDL (backtick-quoted), not die in the parser
+    register_pyavro(spark)
+    out = tmp_path / "reserved"
+    out.mkdir()
+    write_container(
+        str(out / "a.avro"),
+        [("order", "long"), ("select", "string")],
+        [(5, "w")],
+    )
+    (out / "_SUCCESS").touch()
+    back = spark.read.format("pyavro").load(str(out))
+    rows = back.collect()
+    assert back.columns == ["order", "select"]
+    assert (rows[0]["order"], rows[0]["select"]) == (5, "w")

@@ -889,3 +889,29 @@ def test_stream_dedup_postings_layout_mismatch_refuses(spark, tmp_path):
     w2.drop_postings_table(spark)  # simulate a lost metastore entry
     with pytest.raises(RuntimeError, match="layout"):
         w2.process(docs.where(F.col("doc_id") == 2), 1)
+
+
+def test_stream_dedup_postings_empty_marker_treated_as_absent(spark, tmp_path):
+    """A zero-length/blank layout marker is a torn write from a crash
+    mid-publish, not a recorded layout: the worker must rewrite it and
+    proceed instead of refusing with a misleading \"layout ''\" mismatch
+    (ADVICE r12; _fs_write_text now publishes via temp+rename so new
+    markers can't tear, but pre-fix empty files may exist on disk)."""
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        IncrementalDedupIndex,
+        _fs_read_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one document of shared words"), (2, "two document of shared words")],
+        "doc_id bigint, text string",
+    )
+    root = tmp_path / "root"
+    w = IncrementalDedupIndex(str(root))
+    w.process(docs.where(F.col("doc_id") == 1), 0)
+    marker = root / "_POSTINGS_LAYOUT"
+    fingerprint = _fs_read_text(spark, str(marker)).strip()
+    marker.write_text("")  # torn pre-atomic write
+    w2 = IncrementalDedupIndex(str(root))
+    w2.process(docs.where(F.col("doc_id") == 2), 1)  # must not raise
+    assert _fs_read_text(spark, str(marker)).strip() == fingerprint
