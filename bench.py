@@ -112,11 +112,17 @@ EXTRAS_V4 = [
 EXTRAS_V5 = [
     "stream_dedup_incremental",
 ]
-# Rolling pool for keys added THIS round: timed and reported, not yet
-# part of any frozen total (they graduate at the next freeze).
-FRESH_KEYS = [
+# Headline-v6 (FROZEN round 13): round 12's one sanctioned key
+# graduates out of FRESH into its own tracked total
+# (`extras_v6_total`). Scan-dominated (pyavro seed read back through
+# the Python DataSource) — expect it small and stable. Do not append —
+# new keys go in FRESH_KEYS until the next freeze.
+EXTRAS_V6 = [
     "scan_avro",
 ]
+# Rolling pool for keys added THIS round: timed and reported, not yet
+# part of any frozen total (they graduate at the next freeze).
+FRESH_KEYS: list[str] = []
 
 
 def main() -> None:
@@ -291,6 +297,8 @@ def main() -> None:
     extras_v4_total = round(sum(extras_v4.values()), 3)
     extras_v5 = _time_block(EXTRAS_V5, "extra-v5")
     extras_v5_total = round(sum(extras_v5.values()), 3)
+    extras_v6 = _time_block(EXTRAS_V6, "extra-v6")
+    extras_v6_total = round(sum(extras_v6.values()), 3)
     fresh = _time_block(FRESH_KEYS, "fresh")
 
     # Re-probe AFTER the timed loops: background load arriving mid-run
@@ -340,6 +348,7 @@ def main() -> None:
             "extras_v3": extras_v3,
             "extras_v4": extras_v4,
             "extras_v5": extras_v5,
+            "extras_v6": extras_v6,
             "fresh": fresh,
         }
     }
@@ -356,6 +365,7 @@ def main() -> None:
         cal_post_ratio,
         shuf_ratio,
         shuf_post_ratio,
+        extras_v6_total,
     )
     # The driver keeps only the TAIL of stdout, so a single giant JSON
     # line loses its head — exactly what nulled BENCH_r08's "value"
@@ -387,6 +397,7 @@ def build_summary(
     cal_post_ratio: float | None = None,
     shuffle_ratio: float | None = None,
     shuffle_post_ratio: float | None = None,
+    extras_v6_total: float | None = None,
 ) -> dict:
     """The compact driver-contract result: everything the per-round
     BENCH artifact must retain, and nothing bulky. Must stay within
@@ -415,6 +426,8 @@ def build_summary(
         "extras_v5_total": extras_v5_total,
         "fresh_total": round(sum(fresh.values()), 3),
     }
+    if extras_v6_total is not None:
+        out["extras_v6_total"] = extras_v6_total
     if cal_post_ratio is not None:
         out["calibration_post_ratio"] = cal_post_ratio
     # shuffle-service ratios (pre/post): the CPU ratios above are blind

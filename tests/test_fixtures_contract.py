@@ -94,6 +94,7 @@ def test_bench_summary_line_stays_tail_safe():
         cal_post_ratio=12.345,
         shuffle_ratio=12.345,
         shuffle_post_ratio=12.345,
+        extras_v6_total=1234.567,
     )
     line = json.dumps(summary)
     assert len(line) < bench.SUMMARY_LINE_BUDGET, len(line)
@@ -109,6 +110,7 @@ def test_bench_summary_line_stays_tail_safe():
         "extras_v3_total",
         "extras_v4_total",
         "extras_v5_total",
+        "extras_v6_total",
         "calibration_post_ratio",
         "calibration_shuffle_ratio",
         "calibration_shuffle_post_ratio",
@@ -132,6 +134,7 @@ def test_bench_key_lists_exist_in_registry():
         "EXTRAS_V3": bench.EXTRAS_V3,
         "EXTRAS_V4": bench.EXTRAS_V4,
         "EXTRAS_V5": bench.EXTRAS_V5,
+        "EXTRAS_V6": bench.EXTRAS_V6,
         "FRESH_KEYS": bench.FRESH_KEYS,
     }
     for name, block in lists.items():
