@@ -236,8 +236,10 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rule), vectorized — pandas .round() is numpy half_to_even
         # (banker's), one cent off on any exact .5 tie. Mirrors
         # streaming.queries._py_cents; |cents| << 2^53 so the float
-        # math is exact before the int64 cast.
-        scaled = s.to_numpy(dtype="float64") * 100.0
+        # math is exact before the int64 cast. dropna() first: the
+        # oracle's SUM ignores NULLs, and a NaN reaching the int64
+        # cast would poison the whole sum with INT64_MIN garbage.
+        scaled = s.dropna().to_numpy(dtype="float64") * 100.0
         cents = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
             "int64"
         )

@@ -306,10 +306,11 @@ def _triangle_plan(spark: SparkSession, sf_dir: str):
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of `_triangle_plan` (see its docstring for the
     full design): TRI_TOP-bounded designed collect — a lazily-returned
-    plan would pin the und/oriented caches for the rest of the session
+    plan would pin the oriented cache for the rest of the session
     (the exact GC-timed storage accumulation the
-    release_local_checkpoint discipline exists to prevent, io.py:121);
-    materialize the 100-row answer, free the caches deterministically,
+    release_local_checkpoint discipline exists to prevent, io.py:121;
+    und is deliberately NOT cached — see the note in _triangle_plan);
+    materialize the 100-row answer, free the cache deterministically,
     and hand back a local relation."""
     out, caches = _triangle_plan(spark, sf_dir)
     rows = out.collect()

@@ -89,12 +89,12 @@ def _load_all_modules() -> None:
 # green: scan_avro new + the 3 stale regrades + the 45-key r8 cohort +
 # the oldest r9 key datagen_customeractivity). Round 13 registers no
 # new keys (no table-format jar on disk — that axis stays closed, r11/
-# r12 precedent) and stale-marks ONE key (graph_triangle_count: this
-# round drops the und.cache() that regressed it ~1.35x in r12 — a plan-
-# shape change its r12 verdict predates). Rank-(0,0) demand 1 + the
-# 48-key r9 cohort = 49, so the prefix is 49 + the first r10 key —
-# no overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r10
-# after the r13 grade (pinned by tests/test_registry_vintage.py).
+# r12 precedent) and stale-marks TWO keys (see _STALE_REGRADE:
+# graph_triangle_count — the und.cache() drop — and scan_avro — the
+# pyavro by-name schema binding). Rank-(0,0) demand 2 + the 48-key r9
+# cohort = exactly 50, so NO r10 key grades this round — no overflow,
+# `_DEFER_NEXT_ROUND` is empty and the floor lifts to r10 after the
+# r13 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
     # round 9 greens — the r13 grading cohort (stalest)
     **dict.fromkeys(

@@ -88,8 +88,17 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def _write_value(out: bytearray, avro_type: str, v) -> None:
-    if avro_type in ("long", "int"):
+    if avro_type == "long":
         _write_long(out, int(v))
+    elif avro_type == "int":
+        # avro int is 32-bit: the same over-long-varint hazard as long
+        # — the reference reader's readInt() rejects >5-byte varints
+        iv = int(v)
+        if not -(1 << 31) <= iv < (1 << 31):
+            raise ValueError(
+                f"value {iv} outside the 32-bit Avro int range"
+            )
+        _write_long(out, iv)
     elif avro_type == "double":
         out += struct.pack("<d", float(v))
     elif avro_type == "float":

@@ -295,3 +295,23 @@ def test_pyavro_schema_quotes_reserved_field_names(spark, tmp_path):
     rows = back.collect()
     assert back.columns == ["order", "select"]
     assert (rows[0]["order"], rows[0]["select"]) == (5, "w")
+
+
+def test_write_int_refuses_out_of_32bit_range(spark, tmp_path):
+    # avro `int` is 32-bit: an out-of-range value writes an over-long
+    # varint the reference reader's readInt() rejects — refuse at
+    # encode time, same as the long guard (in-range ints still
+    # round-trip through the JVM reference reader)
+    with pytest.raises(ValueError, match="32-bit"):
+        write_container(str(tmp_path / "i.avro"), [("k", "int")], [(2**31,)])
+    with pytest.raises(ValueError, match="32-bit"):
+        write_container(
+            str(tmp_path / "j.avro"), [("k", "int")], [(-(2**31) - 1,)]
+        )
+    path = str(tmp_path / "ok.avro")
+    write_container(
+        path, [("k", "int")], [(2**31 - 1,), (-(2**31),), (None,)]
+    )
+    it = read_container(path)
+    next(it)
+    assert list(it) == [(2**31 - 1,), (-(2**31),), (None,)]

@@ -80,19 +80,25 @@ def edge_dir(tmp_path_factory) -> str:
     )
     # 0.125 * 100 == 12.5 exactly; banker's gives 12, half-away gives 13.
     # -0.125 pins the sign-symmetric case. Four events for user 1 (>= 3
-    # HAVING floor), gaps 10s/20s/40s in exact microseconds.
+    # HAVING floor), gaps 10s/20s/40s in exact microseconds. User 3
+    # carries a NULL value: the oracle's SUM ignores it, so the pandas
+    # lane must dropna, never let a NaN poison the int64 cents sum.
     ts = [1_700_000_000_000_000 + us for us in (0, 10_000_000, 30_000_000, 70_000_000)]
     pq.write_table(
         pa.table(
             {
-                "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
-                "ts": pa.array(ts, type=pa.timestamp("us")),
-                "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+                "ts": pa.array(ts + ts[:2], type=pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 1, 3, 3], type=pa.int64()),
                 "event_type": pa.array(
-                    ["view", "click", "view", "click"], type=pa.string()
+                    ["view", "click", "view", "click", "view", "error"],
+                    type=pa.string(),
                 ),
-                "value": pa.array([0.125, -0.125, 2.375, 1.0], type=pa.float64()),
-                "props": pa.array(["{}"] * 4, type=pa.string()),
+                "value": pa.array(
+                    [0.125, -0.125, 2.375, 1.0, None, 0.625],
+                    type=pa.float64(),
+                ),
+                "props": pa.array(["{}"] * 6, type=pa.string()),
             }
         ),
         os.path.join(d, "events.parquet"),
@@ -146,6 +152,8 @@ def test_cogrouped_cents_round_half_away_from_zero(spark, edge_dir):
     # order ties: 0.125 -> 13 (user 1), 7.625 -> 763 (user 2)
     assert by_user[1][4] == 13
     assert by_user[2][4] == 763
+    # user 3's NULL value is ignored (not NaN-poisoned): 62.5 -> 63
+    assert by_user[3][3] == 63
 
 
 def test_vectorized_agg_integer_moments(spark, edge_dir):
