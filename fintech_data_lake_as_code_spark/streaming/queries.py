@@ -72,10 +72,24 @@ def _events_json_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+# key -> the memory-sink view its LAST drain registered. Each rerun of
+# a key would otherwise pin another full copy of its drained output in
+# driver memory for the session's lifetime (bench loops run every key
+# 3x+). Contract: a drained result is valid until the SAME key drains
+# again — every consumer (driver grade, bench noop write, tests)
+# materializes before rerunning.
+_LAST_SINK: dict[str, str] = {}
+
+
 def _drain(stream_df: DataFrame, key: str, output_mode: str) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink and
-    return the sink table."""
+    return the sink table. The stop sits in finally — a failing drain
+    must not leak a running query polling its source for the rest of
+    the session (the observe_metrics_over discipline, ADVICE r8 #2)."""
     spark = stream_df.sparkSession
+    prev = _LAST_SINK.pop(key, None)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
     name = f"{key}_{next(_RUN_COUNTER)}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -83,8 +97,11 @@ def _drain(stream_df: DataFrame, key: str, output_mode: str) -> DataFrame:
         .queryName(name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _LAST_SINK[key] = name
     return spark.table(name)
 
 
@@ -270,15 +287,21 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .start()
     )
-    q.processAllAvailable()
-    # batch 2: redeliver rows >30 min older than the stream's max event
-    # time — behind the watermark, their windows already closed -> dropped.
-    late = ev.where(
-        F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
-    ).withColumn("event_id", F.col("event_id") + 10_000_000)
-    late.coalesce(1).write.mode("append").json(src + "/batch1")
-    q.processAllAvailable()
-    q.stop()
+    # stop in finally: a failure in the mid-stream landing write (the
+    # work BETWEEN the two drains) must not leak a running query
+    # polling this uuid-named source for the rest of the session
+    try:
+        q.processAllAvailable()
+        # batch 2: redeliver rows >30 min older than the stream's max
+        # event time — behind the watermark, their windows already
+        # closed -> dropped.
+        late = ev.where(
+            F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
+        ).withColumn("event_id", F.col("event_id") + 10_000_000)
+        late.coalesce(1).write.mode("append").json(src + "/batch1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(name)
 
 
