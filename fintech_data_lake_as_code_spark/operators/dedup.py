@@ -7,8 +7,8 @@ variant), each built scale-first:
 - minhash LSH:  shingle -> 16-perm minhash -> 4x4 banding -> bucket join —
                 candidate pairs come from equal band hashes, never from a
                 cross join
-- simhash:      64-bit sign fingerprint -> 16-bit band blocking ->
-                hamming<=3 via bit_count(xor)
+- simhash:      60-bit sign fingerprint -> 6x10-bit band blocking ->
+                hamming<=9 via bit_count(xor)
 - ngram jaccard: inverted-index join on shared shingles (exact, and still
                 join-not-crossjoin), SQL-expressible -> full oracle
 - embedding cosine: label-blocked pair generation + double-cast dot product
