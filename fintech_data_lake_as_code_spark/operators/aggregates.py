@@ -712,7 +712,7 @@ ROLL_DAYS = 7
     """,
 )
 def agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling {ROLL_DAYS}-day DISTINCT users per day — the windowed
+    """Rolling 7-day (ROLL_DAYS) DISTINCT users per day — the windowed
     distinct that window functions cannot express (COUNT(DISTINCT) OVER a
     sliding frame is unsupported in Spark AND naively needs per-frame set
     state). The scalable rewrite is CONTRIBUTION EXPLODE: reduce events to
@@ -1167,7 +1167,7 @@ UNION ALL SELECT * FROM supp
 def agg_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-ANONYMOUS release with a generalization hierarchy: quasi-
     identifier groups (event_type x day) publish only at size >=
-    {KANON_K}; under-k groups GENERALIZE up the time hierarchy to
+    KANON_K (50); under-k groups GENERALIZE up the time hierarchy to
     (event_type x week), and what still misses k lands in one
     suppressed remainder row — the privacy-preserving aggregate-release
     discipline (k-anonymity, Sweeney 2002) that complements row-level
@@ -1252,7 +1252,6 @@ def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     is how a 100 TB trend fit actually runs — sufficient statistics
     map-side, closed form at the end — not gradient descent."""
     ev = load(spark, sf_dir, "events")
-    epoch0 = F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
     pts = ev.select(
         "event_type",
         F.expr(
