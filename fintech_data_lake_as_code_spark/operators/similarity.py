@@ -71,8 +71,9 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _rank_topk(scored: DataFrame) -> DataFrame:
-    """Shared tail: per-query dense rank on round(cos,6) desc with vec_id
-    tiebreak, keep TOP_K, round display cosine to 4."""
+    """Shared tail: per-query row_number on round(cos,6) desc with vec_id
+    tiebreak (deterministic — ties never inflate the kept set past
+    TOP_K, unlike dense_rank), keep TOP_K, round display cosine to 4."""
     w = Window.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), F.col("vec_id")
     )
@@ -96,6 +97,12 @@ _RANK_SQL = f"""
 """
 
 
+def _fresh_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+
+
 @query(
     "sim_topk_cosine",
     oracle=f"""
@@ -114,16 +121,15 @@ _RANK_SQL = f"""
     """,
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force top-k cosine: the first {N_QUERIES} vectors are queries;
+    """Brute-force top-k cosine: the first 10 (N_QUERIES) vectors are queries;
     candidates are all other vectors. Broadcast the query side (tiny), score
     JVM-side via zip_with/aggregate, rank per query."""
     # norms are per-VECTOR, so compute them once per row before the join —
     # not per (query, candidate) pair inside it (3x less higher-order-fn
     # work; float-identical because the expression shape is unchanged)
-    vecs = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
+    vecs = _fresh_vecs(spark, sf_dir).withColumn(
+        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
-    vecs = vecs.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
     queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -238,15 +244,16 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic hyperplanes from the portable LCG make the whole
     pipeline — bucketing, probing, scoring, ranking — oracle-checkable
     end to end."""
-    vecs = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
-    )
+    vecs = _fresh_vecs(spark, sf_dir)
     buckets = F.array(*[_lsh_bucket(F.col("v"), t) for t in range(L_TABLES)])
-    bucketed = (
-        vecs.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
-        .select("vec_id", "v", "nv", F.explode(buckets).alias("bucket"))
-        .cache()
-    )
+    # NOT cached: the query side re-reads this relation with vec_id <
+    # N_QUERIES pushed down to the scan (a tiny broadcast subtree), so a
+    # cache would materialize the full exploded relation per invocation
+    # — and never release it — to save one trivially cheap re-scan (the
+    # triangle-count r12 lesson applied at the scan level).
+    bucketed = vecs.withColumn(
+        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).select("vec_id", "v", "nv", F.explode(buckets).alias("bucket"))
     probes = F.array(
         F.col("qbucket"),
         *[
@@ -453,12 +460,6 @@ def sim_topk_ivf_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fresh_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
-    )
-
-
 def _ivf_flat(
     vecs: DataFrame,
     centroid_values: list[list[float]],
@@ -591,7 +592,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale) in [-127, 127], dequant = q * scale. The graded output is
     the engine-portable CONTRACT (the `agg_sketch_hll` pattern): for
     every vector, the worst per-dimension reconstruction error must
-    stay within {QUANT_ERR_BP} bp of the vector's max magnitude — the
+    stay within 60 bp (QUANT_ERR_BP) of the vector's max magnitude — the
     analytic ceiling is ~40 bp (half a quantization step), so a hash
     match requires the quantize/dequantize round-trip to actually hold
     on every dimension of every vector.
@@ -845,7 +846,7 @@ def sim_maxsim_ann_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable contract, the `sim_topk_ivf_kmeans` pattern: the
     LSH collision ranking isn't re-derivable in a one-shot oracle, but
     the CLAIM about it is — every query label must be answered, and for
-    at least {MAXSIM_RECALL_NUM}/{MAXSIM_RECALL_DEN} of query labels
+    at least 1/2 (MAXSIM_RECALL_NUM/MAXSIM_RECALL_DEN) of query labels
     the EXACT top-1 doc label (from the all-pairs form, which shares
     the scoring core, so scores for common pairs are bit-identical)
     must be among the ANN-scored candidates (integer-exact compare).
@@ -918,7 +919,7 @@ WHERE g.label <> c.anchor_label AND c.neg_id <> c.anchor_id
 
 @query("sample_negative_pairs", oracle=_NEG_ORACLE)
 def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONTRASTIVE NEGATIVE MINING: every anchor draws {NEG_PER_ANCHOR}
+    """CONTRASTIVE NEGATIVE MINING: every anchor draws 3 (NEG_PER_ANCHOR)
     pseudo-random candidates via a portable LCG over the id space, and
     candidates sharing the anchor's label (or the anchor itself) are
     rejected — the negative-pair generator behind contrastive /

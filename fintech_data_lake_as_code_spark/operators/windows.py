@@ -197,7 +197,7 @@ SESSION_GAP_S = 1800
     """,
 )
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization: a session breaks after a {SESSION_GAP_S}s
+    """Batch sessionization: a session breaks after an 1800 s (SESSION_GAP_S)
     silence. The classic two-window formulation — mark session starts with
     lag(), number sessions with a running sum — then aggregate per session.
     ONE shuffle on user_id serves both windows and the final groupBy
@@ -681,7 +681,7 @@ def win_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation between the surrounding observations — the hypertable
     operation `win_asof_gap_fill`'s LOCF can't express (Timescale's
     `time_bucket_gapfill` + `interpolate`, Pandas' `resample().
-    interpolate()`). Each user gets a {RESAMPLE_STEP_S}-second grid over
+    interpolate()`). Each user gets a 21600-second (RESAMPLE_STEP_S) grid over
     their own observation span; every grid point takes the
     distance-weighted average of its neighbors, evaluated ALL-INTEGER:
     cents x nonnegative second-weights summed then floor-divided (every
@@ -1037,7 +1037,7 @@ def win_rfm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing — ONE agg computes all three approx-percentile cut-point
     arrays, the cuts become broadcast literals, rows bucket map-side,
     and a per-bucket window turns bucket offsets + local row_number
-    into exact global ranks (see _ntile5_by_buckets). Zero
+    into exact global ranks (see _ntile5_from_offsets). Zero
     single-partition sort exchanges anywhere: at 100 TB the old
     three-ntile formulation funnels the whole users relation through
     one reducer three times; this plan's sorts are all per-bucket."""
