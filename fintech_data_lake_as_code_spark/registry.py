@@ -80,48 +80,22 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r12.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r13.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r12 fold the vintage
-# census is 48@r9 / 49@r10 / 47@r11 / 50@r12 (CORRECTNESS_r12 was 50/50
-# green: scan_avro new + the 3 stale regrades + the 45-key r8 cohort +
-# the oldest r9 key datagen_customeractivity). Round 13 registers no
-# new keys (no table-format jar on disk — that axis stays closed, r11/
-# r12 precedent) and stale-marks TWO keys (see _STALE_REGRADE:
-# graph_triangle_count — the und.cache() drop — and scan_avro — the
-# pyavro by-name schema binding). Rank-(0,0) demand 2 + the 48-key r9
-# cohort = exactly 50, so NO r10 key grades this round — no overflow,
-# `_DEFER_NEXT_ROUND` is empty and the floor lifts to r10 after the
-# r13 grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r13 fold the vintage
+# census is 49@r10 / 47@r11 / 48@r12 / 50@r13 (CORRECTNESS_r13 was
+# 50/50 green: the 48-key r9 cohort + the 2 stale regrades
+# graph_triangle_count and scan_avro). Round 14 registers no new keys
+# (no table-format jar on disk — re-probed again, that axis stays
+# closed, r11–r13 precedent) and stale-marks ONE key (see
+# _STALE_REGRADE: scan_avro — the ADVICE r13 reader-close hardening).
+# Rank-(0,0) demand 1 + the 49-key r10 cohort = exactly 50 — no
+# overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r11
+# after the r14 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 9 greens — the r13 grading cohort (stalest)
-    **dict.fromkeys(
-        [
-            "agg_approx_distinct", "agg_distinct", "cdc_gdpr_erasure",
-            "datagen_account_sample",
-            "fn_array", "fn_bitwise", "fn_hash", "fn_json",
-            "fn_map_struct", "graph_pagerank", "limit_topk",
-            "multimodal_cols", "multimodal_decode",
-            "multimodal_framesample", "project_rename_cast",
-            "rule_b10_cross_sell", "sample_stratified_split",
-            "scan_python_datasource",
-            "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
-            "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
-            "text_bpe_tokenize", "text_chunk", "text_fingerprint",
-            "text_idf_rarity", "text_langid", "text_pack_sequences",
-            "text_quality", "text_redact_pii", "text_stats",
-            "token_count_bpe", "topk_per_group", "udf_cogrouped",
-            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
-            "win_asof_gap_fill", "win_distribution",
-            "win_funnel_conversion", "win_islands_consecutive",
-            "win_lag_lead", "win_range_interval", "win_ranking",
-            "win_running_frame", "win_sessionize",
-        ],
-        9,
-    ),
-    # round 10 greens — freshest, grade last (CORRECTNESS_r10: 50/50)
+    # round 10 greens — the r14 grading cohort (stalest)
     **dict.fromkeys(
         [
             "agg_approx_percentile", "agg_histogram_bins",
@@ -177,7 +151,7 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         11,
     ),
-    # round 12 greens — freshest, grade last (CORRECTNESS_r12: 50/50)
+    # round 12 greens
     **dict.fromkeys(
         [
             "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
@@ -186,7 +160,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "cdc_envelope_roundtrip", "cdc_incremental_agg",
             "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
             "cdc_snapshot_diff", "datagen_customeractivity", "dedup_exact",
-            "filter_null_domain", "filter_pred", "graph_triangle_count",
+            "filter_null_domain", "filter_pred",
             "join_anti", "join_asof_backward",
             "join_asof_interval", "join_broadcast", "join_cross_topk",
             "join_inner_equi", "join_left_right_full", "join_multiway",
@@ -196,47 +170,68 @@ _VERDICT_ROUND: dict[str, int] = {
             "rule_b4_first_forex", "rule_b5_limit_3days",
             "rule_b6_enquiry_intent", "rule_b7_regular_forex",
             "rule_b8_regular_investor", "rule_b9_large_investor",
-            "scan_avro", "stream_dedup_incremental",
+            "stream_dedup_incremental",
             "stream_observe_metrics", "stream_python_datasource",
             "stream_transform_with_state",
             "text_bpe_train", "win_rfm_score",
         ],
         12,
     ),
+    # round 13 greens — freshest, grade last (CORRECTNESS_r13: 50/50)
+    **dict.fromkeys(
+        [
+            "agg_approx_distinct", "agg_distinct", "cdc_gdpr_erasure",
+            "datagen_account_sample",
+            "fn_array", "fn_bitwise", "fn_hash", "fn_json",
+            "fn_map_struct", "graph_pagerank", "graph_triangle_count",
+            "limit_topk",
+            "multimodal_cols", "multimodal_decode",
+            "multimodal_framesample", "project_rename_cast",
+            "rule_b10_cross_sell", "sample_stratified_split",
+            "scan_avro", "scan_python_datasource",
+            "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
+            "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
+            "text_bpe_tokenize", "text_chunk", "text_fingerprint",
+            "text_idf_rarity", "text_langid", "text_pack_sequences",
+            "text_quality", "text_redact_pii", "text_stats",
+            "token_count_bpe", "topk_per_group", "udf_cogrouped",
+            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
+            "win_asof_gap_fill", "win_distribution",
+            "win_funnel_conversion", "win_islands_consecutive",
+            "win_lag_lead", "win_range_interval", "win_ranking",
+            "win_running_frame", "win_sessionize",
+        ],
+        13,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. All three r12 stales (cdc_snapshot_diff,
-# graph_triangle_count, stream_dedup_incremental) were re-certified in
-# r12 (CORRECTNESS_r12 50/50 green). Round-13 code changes are confined
-# to the r9 grading cohort (udtf_expand NULL-text guard, udf_cogrouped
-# half-away-from-zero cents, udf_vectorized_agg integer moments,
-# multimodal bytes(None) guards + _bmp_dims extraction, text_stats/
-# text_chunk integer-bp division) — those keys grade this round by
-# vintage and need no stale slots. TWO keys outside the cohort change
-# defining code this round (both r12-vintage — the 1-round-old caution
-# precedent from r11/r12 says re-certify rather than age):
-# graph_triangle_count drops the und.cache() added in r12 — VERDICT r12
-# measured it a ~1.35x real regression (ReusedExchange already
-# deduplicates the und shuffle's recomputation, so the cache bought
-# nothing and paid block-store materialization on the hot path); value-
-# identical rows, but the physical plan its r12 verdict timed is gone.
-# scan_avro's pyavro reader now binds decoded values to the read schema
-# BY NAME per file instead of trusting positional agreement (ADVICE r12
-# — heterogeneously-ordered foreign files silently mis-bound), plus the
-# _write_long 64-bit range guard and backtick-quoted inferred DDL —
-# output-identical on the graded fixture, but the executor read path
-# its r12 verdict covered is new code.
+# never-graded keys. Both r13 stales (graph_triangle_count, scan_avro)
+# were re-certified in r13 (CORRECTNESS_r13 50/50 green). Round-14 code
+# changes are confined to the r10 grading cohort (the stocked latent
+# backlog: stream_stateful_freeze cents+epoch, the scratch-key/layout
+# fingerprint hardening behind join_bucketed_colocated, empty-input
+# refusals for scan_partition_pruned/sink_zorder_lake, the
+# scan_schema_evolution NULL-id rule, dedup_simhash banding-consistent
+# verify + cache memo, dedup_ngram_jaccard/containment shared PPJoin
+# core, agg_sketch_hll cache discipline, stream_dedupe/stream_watermark
+# landing hygiene, jdbc seeded-landing reuse) — those keys grade this
+# round by vintage and need no stale slots. ONE key outside the cohort
+# changes defining code this round (r13-vintage — the 1-round-old
+# caution precedent from r11–r13 says re-certify rather than age):
+# scan_avro's pyavro reader now closes the block-decode generator on
+# the header-mismatch raise path (ADVICE r13 — the open container
+# handle leaked until GC); output-identical on the graded fixture, but
+# the executor read path its r13 verdict covered is re-wrapped code.
 _STALE_REGRADE = frozenset(
     {
-        "graph_triangle_count",
         "scan_avro",
     }
 )
 
-# Round 13 has no budget overflow: 2 rank-(0,0) stale regrades + the
-# 48-key r9 cohort = exactly 50. tests/test_registry_vintage.py pins
+# Round 14 has no budget overflow: 1 rank-(0,0) stale regrade + the
+# 49-key r10 cohort = exactly 50. tests/test_registry_vintage.py pins
 # that this deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
