@@ -239,6 +239,13 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # math is exact before the int64 cast. dropna() first: the
         # oracle's SUM ignores NULLs, and a NaN reaching the int64
         # cast would poison the whole sum with INT64_MIN garbage.
+        # Ulp caveat (shared with _py_cents): floor(|x|+0.5) is NOT
+        # exact-decimal half-away at ulp-edge doubles — e.g. x*100 ==
+        # 0.49999999999999994 has x+0.5 round UP to 1.0 in FP where
+        # true half-away yields 0. Unreachable from 2-dp fixture data
+        # (those scale to exact-or-representable cents); a latent
+        # cross-engine divergence only for foreign full-precision
+        # inputs, where the exact route is Decimal quantize.
         scaled = s.dropna().to_numpy(dtype="float64") * 100.0
         cents = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
             "int64"

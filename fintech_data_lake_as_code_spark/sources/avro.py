@@ -395,30 +395,36 @@ def register_pyavro(spark) -> None:
             ]
 
         def read(self, part):
+            # close the container generator on EVERY exit — the schema
+            # validation below raises on name/type mismatch, and an
+            # unclosed generator pins the open file handle until GC
             it = read_container(part.path)
-            fields = next(it)  # this FILE's header field order
-            by_name = {n: (j, t) for j, (n, t, _) in enumerate(fields)}
-            idx = []
-            for name, spark_type in self.expected:
-                if name not in by_name:
-                    raise ValueError(
-                        f"{part.path}: field {name!r} required by the "
-                        f"read schema is absent (file has "
-                        f"{sorted(by_name)})"
-                    )
-                j, avro_t = by_name[name]
-                want = _AVRO_TO_SPARK.get(avro_t)
-                if want != spark_type:
-                    raise ValueError(
-                        f"{part.path}: field {name!r} is avro {avro_t!r} "
-                        f"({want}), read schema wants {spark_type!r}"
-                    )
-                idx.append(j)
-            if idx == list(range(len(fields))):
-                yield from it
-            else:
-                for row in it:
-                    yield tuple(row[j] for j in idx)
+            try:
+                fields = next(it)  # this FILE's header field order
+                by_name = {n: (j, t) for j, (n, t, _) in enumerate(fields)}
+                idx = []
+                for name, spark_type in self.expected:
+                    if name not in by_name:
+                        raise ValueError(
+                            f"{part.path}: field {name!r} required by the "
+                            f"read schema is absent (file has "
+                            f"{sorted(by_name)})"
+                        )
+                    j, avro_t = by_name[name]
+                    want = _AVRO_TO_SPARK.get(avro_t)
+                    if want != spark_type:
+                        raise ValueError(
+                            f"{part.path}: field {name!r} is avro {avro_t!r} "
+                            f"({want}), read schema wants {spark_type!r}"
+                        )
+                    idx.append(j)
+                if idx == list(range(len(fields))):
+                    yield from it
+                else:
+                    for row in it:
+                        yield tuple(row[j] for j in idx)
+            finally:
+                it.close()
 
     class _Writer(DataSourceWriter):
         def __init__(self, options, schema, overwrite):

@@ -263,9 +263,16 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     still open when the stream stops are exactly the rows the oracle's
     WHERE excludes. Emission-order/timing remain engine-specific; the
     CONTENT does not. Also asserted in tests/test_streaming.py."""
-    import uuid
+    import shutil
 
-    src = scratch_dir(sf_dir, f"stream_late_{uuid.uuid4().hex[:8]}")
+    # fixed source dir, cleared up front: a uuid-per-run dir (the shape
+    # this replaced) accumulated a full events copy per invocation with
+    # nothing ever reclaiming it — unbounded scratch growth across a
+    # bench/grade session. No marker guard here ON PURPOSE: the in-run
+    # append of batch 2 makes the dir non-reusable, so every run pays
+    # the (cheap) landing write.
+    src = scratch_dir(sf_dir, "stream_late_src")
+    shutil.rmtree(src, ignore_errors=True)
     ev = load(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
     ev.coalesce(2).write.mode("overwrite").json(src + "/batch1")
@@ -280,6 +287,12 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    # same superseded-view discipline as _drain (ADVICE r13): drop the
+    # previous run's memory sink before pinning a fresh one, or bench
+    # reruns keep a full drained copy per rep in driver memory
+    prev = _LAST_SINK.pop("stream_watermark_late", None)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
     name = f"stream_watermark_late_{next(_RUN_COUNTER)}"
     q = (
         agg.writeStream.outputMode("append")
@@ -302,6 +315,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    _LAST_SINK["stream_watermark_late"] = name
     return spark.table(name)
 
 
@@ -845,14 +859,20 @@ def _fs_read_text(spark: SparkSession, path_str: str) -> str | None:
 
 
 def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
-    """Atomically (over)write a small text file via the Hadoop FS API.
+    """(Over)write a small text file via the Hadoop FS API, never torn.
 
-    Create-then-write would leave an EMPTY file on a crash between the
-    two calls — for a layout marker that reads as a mismatched layout
-    ('') and bricks every later run until manual repair. Write a temp
-    sibling and rename it into place; rename loses only to a concurrent
-    writer of the same deterministic content, so destination-exists
-    after a failed rename is success."""
+    Guarantee: the destination is always either ABSENT or a COMPLETE
+    write — callers must treat absence as a recoverable state (the
+    `_POSTINGS_LAYOUT` reader does: absent means rewrite). It is NOT an
+    atomic overwrite: the delete-then-rename below has a window where
+    the destination does not exist, and a crash there leaves no file.
+    Create-then-write would be worse — a crash between the two calls
+    leaves an EMPTY file, which for a layout marker reads as a
+    mismatched layout ('') and bricks every later run until manual
+    repair. So: write a temp sibling, delete the old destination,
+    rename into place; rename loses only to a concurrent writer of the
+    same deterministic content, so destination-exists after a failed
+    rename is success."""
     import uuid
 
     jvm, fs, path = _fs_for(spark, path_str)
@@ -1101,7 +1121,13 @@ def _py_cents(value: float) -> int:
     fold one cent off the JVM/oracle lanes. Fixture doubles never hit
     an exact tie (2-dp-generated), but a stateful operator must not
     depend on that. int() truncates toward zero, so adding a
-    sign-matched 0.5 implements half-AWAY for either sign."""
+    sign-matched 0.5 implements half-AWAY for either sign.
+
+    Ulp caveat (shared with udfs._cents_sum): |x|+0.5 is itself FP, so
+    at ulp-edge magnitudes like 0.49999999999999994 it rounds up to
+    1.0 where exact-decimal half-away yields 0 — unreachable from 2-dp
+    data, latent for foreign full-precision inputs (exact route:
+    Decimal quantize)."""
     import math
 
     scaled = value * 100
