@@ -67,12 +67,70 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def sf_tag(sf_dir: str) -> str:
+    """Collision-safe scratch tag for a dataset root: its basename (human-
+    readable) plus a short hash of the ABSOLUTE path. Basename alone
+    collided two datasets whose paths share a final component (e.g.
+    /a/sf0.1 and /b/sf0.1), and every marker-guarded reuse — bucketed
+    _LAYOUTs, seeded landings, the Derby seed — would then serve one
+    dataset's files to the other."""
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    base = os.path.basename(norm) or "sf"
+    return f"{base}-{hashlib.sha256(norm.encode()).hexdigest()[:8]}"
+
+
 def scratch_dir(sf_dir: str, key: str) -> str:
     """Per-(scale-factor, query) scratch directory."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(SCRATCH_ROOT, tag, key)
+    path = os.path.join(SCRATCH_ROOT, sf_tag(sf_dir), key)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def write_marker(path: str, text: str) -> None:
+    """Write a small marker file so it is always ABSENT or COMPLETE,
+    never empty/torn: temp sibling + atomic os.replace. A bare
+    open(w)+write leaves an empty marker on a crash between the two
+    calls, and an empty marker reads as a MISMATCHED fingerprint —
+    forcing a silent full rebuild every later session (self-healing,
+    but defeats the pay-once layout). One copy, shared by every local
+    marker guard (seeded_landing, the bucketed _LAYOUT, the Derby
+    seed); the lake-scheme analog is streaming.queries._fs_write_text."""
+    import uuid
+
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(text if text.endswith("\n") else text + "\n")
+    os.replace(tmp, path)
+
+
+def source_fingerprint(*paths: str) -> str:
+    """Cheap identity of source data: sha256 over each file's
+    (relative-name, size, mtime_ns), recursing into directories.
+    Layout/seed markers fold this in so REGENERATING the source (same
+    path, new rows) invalidates derived artifacts instead of silently
+    serving rows computed from the old data. mtime is deliberately part
+    of the identity: a touch forces one rebuild (safe direction), a
+    content change never goes unnoticed (the unsafe one)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for root in sorted(paths):
+        if os.path.isdir(root):
+            for dirpath, dirnames, filenames in os.walk(root):
+                dirnames.sort()
+                for f in sorted(filenames):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    rel = os.path.relpath(p, root)
+                    h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+        else:
+            st = os.stat(root)
+            h.update(
+                f"{os.path.basename(root)}:{st.st_size}:{st.st_mtime_ns};".encode()
+            )
+    return h.hexdigest()[:16]
 
 
 def module_fingerprint(module) -> str | None:
@@ -89,20 +147,33 @@ def module_fingerprint(module) -> str | None:
         return None
 
 
-def seeded_landing(out: str, fingerprint: str | None, write) -> str:
+def seeded_landing(
+    out: str, fingerprint: str | None, write, committed=None
+) -> str:
     """Marker-guarded write-once landing zone (the `_bucketed_table`
     `_LAYOUT` discipline for seeded scratch data): the existing contents
-    of `out` are trusted only when BOTH parquet/json job commit finished
-    (`_SUCCESS` — bare data files may be the debris of an aborted write)
-    AND the recorded `_SEED` fingerprint matches the derivation code that
-    would write them today. Any mismatch — or an unverifiable fingerprint
-    (None) — reseeds via `write()` (an idempotent mode-overwrite job).
-    The reseed costs one landing write; trusting a stale or truncated
-    seed costs a silently wrong graded result every round after."""
+    of `out` are trusted only when BOTH the prior write COMPLETED
+    (`committed()` — default: the parquet/json job-commit `_SUCCESS`
+    file in `out`; bare data files may be the debris of an aborted
+    write) AND the recorded `_SEED` fingerprint matches the derivation
+    code that would write them today. Any mismatch — or an unverifiable
+    fingerprint (None) — reseeds via `write()` (an idempotent
+    mode-overwrite job). The reseed costs one landing write; trusting a
+    stale or truncated seed costs a silently wrong graded result every
+    round after.
+
+    `committed`: zero-arg completion predicate for seeds without the
+    `_SUCCESS` convention (the Derby JDBC seed checks its database
+    directory). Keeping those callers on THIS function keeps the
+    marker discipline in one copy — the r13 atomicity fix landed in
+    one hand-rolled clone and missed another."""
     marker = os.path.join(out, "_SEED")
-    ok = fingerprint is not None and os.path.exists(
-        os.path.join(out, "_SUCCESS")
+    done = (
+        committed()
+        if committed is not None
+        else os.path.exists(os.path.join(out, "_SUCCESS"))
     )
+    ok = fingerprint is not None and done
     if ok and os.path.exists(marker):
         with open(marker) as fh:
             ok = fh.read().strip() == fingerprint
@@ -111,8 +182,7 @@ def seeded_landing(out: str, fingerprint: str | None, write) -> str:
     if not ok:
         write()
         if fingerprint is not None:
-            with open(marker, "w") as fh:
-                fh.write(fingerprint + "\n")
+            write_marker(marker, fingerprint)
         elif os.path.exists(marker):
             os.remove(marker)
     return out

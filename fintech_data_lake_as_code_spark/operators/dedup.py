@@ -348,11 +348,15 @@ _SIMHASH_ORACLE = f"""
     ), bands AS (
       SELECT doc_id, fp, b AS band_id, (fp >> (10 * b)) & 1023 AS band_key
       FROM fps CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS b)
+    ), probes AS (
+      SELECT doc_id, fp, band_id, xor(band_key, m) AS probe_key
+      FROM bands CROSS JOIN (SELECT unnest(
+        [0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512]) AS m)
     ), cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.fp AS fp_a, b.fp AS fp_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
+      FROM bands a JOIN probes b
+        ON a.band_id = b.band_id AND a.band_key = b.probe_key
        AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
@@ -361,32 +365,64 @@ _SIMHASH_ORACLE = f"""
 """
 
 
+# SimHash fingerprints, computed once per (session, sf_dir) and cached —
+# the _SHINGLED_CACHE discipline. A per-call .cache() here leaked one
+# executor-storage copy per invocation (bench reps, repeated grades)
+# with nothing ever unpersisting it; the memo turns the leak into reuse.
+_SIMHASH_FP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _SIMHASH_FP_CACHE.get(key)
+    if fp is None:
+        words = _shingled_corpus(spark, sf_dir).select(
+            "doc_id", F.explode("shingles").alias("w")
+        ).withColumn("h", _phash(F.col("w"), 15))
+        votes = words.groupBy("doc_id").agg(
+            F.count("*").alias("n_words"),
+            *[
+                F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+                for i in range(60)
+            ],
+        )
+        fingerprint = sum(
+            (
+                F.when(
+                    F.col(f"b{i}") * 2 > F.col("n_words"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            * F.lit(1 << i)
+            for i in range(60)
+        )
+        fp = votes.select("doc_id", fingerprint.alias("fp")).cache()
+        _SIMHASH_FP_CACHE[key] = fp
+    return fp
+
+
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via 60-bit SimHash (bit 63 would overflow signed int64
     under ANSI arithmetic) over 3-gram shingle features — word-level
     features don't separate this corpus (tiny vocabulary => all docs share
     most words); shingles give twins hamming <= ~9 vs >= ~18 for unrelated
-    docs. 6x10-bit band blocking; hamming <= 9 via bit_count(xor). Same
-    join-only candidate generation as MinHash. Feature hashes are the
-    portable md5-derived `_phash` (15 nibbles = 60 bits), so the DuckDB
-    oracle replicates fingerprints, banding, and verification bit-exactly."""
-    words = _shingled_corpus(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("w")
-    ).withColumn("h", _phash(F.col("w"), 15))
-    votes = words.groupBy("doc_id").agg(
-        F.count("*").alias("n_words"),
-        *[
-            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-            for i in range(60)
-        ],
-    )
-    fingerprint = sum(
-        (F.when(F.col(f"b{i}") * 2 > F.col("n_words"), F.lit(1)).otherwise(F.lit(0)))
-        * F.lit(1 << i)
-        for i in range(60)
-    )
-    fp = votes.select("doc_id", fingerprint.alias("fp")).cache()
+    docs. Candidates come from 6x10-bit band blocking with Hamming-1
+    multi-probe on the band keys (the sim_topk_lsh probe idea): one side
+    joins its exact band keys, the other probes each key plus its 10
+    single-bit flips. Pigeonhole makes the candidate recall EXACT for the
+    hamming <= 9 verify radius — 9 differing bits across 6 bands leave
+    some band with at most one, and that band's probe hits (plain
+    6-band blocking only guaranteed <= 5; 6..9-bit pairs spread across
+    all bands were silently missed). Still equi-join-only and scale-safe:
+    the 1024-value band-key space is untouched, the probe side just
+    carries a constant 11x row factor — unlike 6-bit bands (the
+    radius+1 banding alternative), whose 64-value keys would pack
+    |corpus|/64 docs per bucket and blow the candidate join up
+    quadratically. Verification is hamming <= 9 via bit_count(xor).
+    Feature hashes are the portable md5-derived `_phash` (15 nibbles =
+    60 bits), so the DuckDB oracle replicates fingerprints, banding,
+    probes, and verification bit-exactly."""
+    fp = _simhash_fingerprints(spark, sf_dir)
     bands = fp.select(
         "doc_id",
         "fp",
@@ -399,13 +435,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_key"),
     )
+    probes = bands.select(
+        "doc_id",
+        "fp",
+        "band_id",
+        F.explode(
+            F.array(
+                F.col("band_key"),
+                *[
+                    F.col("band_key").bitwiseXOR(F.lit(1 << j))
+                    for j in range(10)
+                ],
+            )
+        ).alias("probe_key"),
+    )
     a = bands.alias("a")
-    b = bands.alias("b")
+    b = probes.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_key") == F.col("b.probe_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -20,6 +20,8 @@ module is the engine's closure of those ideas at warehouse scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -160,13 +162,19 @@ def _bucketed_table(
     would silently mis-bucket the exchange-free join, so a _LAYOUT
     fingerprint marker guards the reuse (the Derby-seed fingerprint
     lesson from sources/jdbc.py, applied to bucket layouts)."""
-    import os
     import re
 
-    tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    from ..io import sf_tag, source_fingerprint, write_marker
+
+    tag = re.sub(r"[^a-z0-9]", "_", sf_tag(sf_dir))
     table = f"bkt_{tag}_{name}"
     path = scratch_dir(sf_dir, f"bucketed_{name}")
-    fingerprint = f"{N_BUCKETS}:{key}"
+    # layout identity = declared shape (buckets+key) PLUS the source
+    # data's identity: without the latter, regenerating the sf_dir in
+    # place would leave a shape-matching marker over OLD bucketed rows,
+    # silently joined against a fresh oracle every round after
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    fingerprint = f"{N_BUCKETS}:{key}:{source_fingerprint(src)}"
     layout_marker = os.path.join(path, "_LAYOUT")
     layout_ok = False
     if os.path.exists(layout_marker):
@@ -174,15 +182,15 @@ def _bucketed_table(
             layout_ok = fh.read().strip() == fingerprint
     # a complete layout requires the _SUCCESS marker (bare parquet files
     # may be the debris of an aborted write) AND a matching _LAYOUT
-    # fingerprint (files bucketed under an older N_BUCKETS/key must be
-    # rewritten, not re-registered)
+    # fingerprint (files bucketed under an older N_BUCKETS/key, or from
+    # a regenerated source, must be rewritten, not re-registered)
     have_files = (
         layout_ok
         and os.path.exists(os.path.join(path, "_SUCCESS"))
         and any(f.endswith(".parquet") for f in os.listdir(path))
     )
     if spark.catalog.tableExists(table):
-        if have_files and _registered_layout_matches(spark, table, key):
+        if have_files and _registered_layout_matches(spark, table, key, path):
             return spark.table(table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     if have_files:
@@ -204,19 +212,25 @@ def _bucketed_table(
             .mode("overwrite")
             .saveAsTable(table)
         )
-        with open(layout_marker, "w") as fh:
-            fh.write(fingerprint + "\n")
+        # absent-or-complete marker (io.write_marker): a torn/empty
+        # _LAYOUT reads as a mismatch and re-shuffles the whole layout
+        # every later session
+        write_marker(layout_marker, fingerprint)
     return spark.table(table)
 
 
 def _registered_layout_matches(
-    spark: SparkSession, table: str, key: str
+    spark: SparkSession, table: str, key: str, path: str
 ) -> bool:
     """True iff the already-registered catalog table declares exactly the
-    bucketing this code would declare today (N_BUCKETS buckets on `key`).
-    Within one session the constants cannot change, but the catalog may
-    outlive this module's idea of the layout (persistent metastore,
-    REPL re-import after an edit) — so trust DESCRIBE, not recency."""
+    bucketing this code would declare today (N_BUCKETS buckets on `key`)
+    AND points at `path` — the scratch location whose _LAYOUT marker the
+    caller just validated. Within one session the constants cannot
+    change, but the catalog may outlive this module's idea of the layout
+    (persistent metastore, REPL re-import after an edit) — so trust
+    DESCRIBE, not recency. Without the Location check, a stale metastore
+    entry aimed at ANOTHER scratch root would be trusted on the strength
+    of a marker it never read."""
     rows = {
         r.col_name.strip(): (r.data_type or "").strip()
         for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
@@ -232,7 +246,16 @@ def _registered_layout_matches(
     if raw.startswith("[") and raw.endswith("]"):
         raw = raw[1:-1]
     cols = [c.strip().strip("`") for c in raw.split(",") if c.strip()]
-    return rows.get("Num Buckets") == str(N_BUCKETS) and cols == [key]
+    # DESCRIBE renders Location as a URI (file:/...); compare paths
+    loc = rows.get("Location", "")
+    if loc.startswith("file:"):
+        loc = loc[len("file:"):]
+    same_loc = os.path.normpath(loc) == os.path.normpath(path)
+    return (
+        rows.get("Num Buckets") == str(N_BUCKETS)
+        and cols == [key]
+        and same_loc
+    )
 
 
 @query(
@@ -443,6 +466,14 @@ def sink_zorder_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_timestamp("ts")).alias("t_min"),
         F.max(F.unix_timestamp("ts")).alias("t_max"),
     ).first()
+    if bounds.u_min is None or bounds.t_min is None:
+        # a raise, not an int(None) TypeError: empty input has no
+        # dimension bounds to rank against (the sink_compacted
+        # empty-feed refusal convention)
+        raise RuntimeError(
+            f"z-order layout over {sf_dir} found no rows — cannot derive "
+            "(user_id, ts) dimension bounds from an empty table"
+        )
 
     # proportional 0..255 rank per dimension in PURE int64 arithmetic:
     # `div` is Spark's integral division, so no double round-trip — a

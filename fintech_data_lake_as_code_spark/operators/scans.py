@@ -334,6 +334,14 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").partitionBy("ingest_date").parquet(out)
     back = spark.read.parquet(out)
     lo = back.agg(F.min("ingest_date")).first()[0]
+    if lo is None:
+        # a raise, not a None+timedelta TypeError: an empty lake means
+        # there is no first-day cutoff to prune to (the sink_compacted
+        # empty-feed refusal convention)
+        raise RuntimeError(
+            f"partition-pruned scan over {out} found no rows — cannot "
+            "derive the two-day pruning cutoff from an empty lake"
+        )
     cutoff = lo + datetime.timedelta(days=1)
     return (
         back.where(F.col("ingest_date") <= F.lit(cutoff))
@@ -438,9 +446,14 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("value")).alias("cents"),
         "event_type",
     )
-    old_gen = ev.where(F.col("event_id") % 2 == 0).select(
-        "event_id", "user_id", "cents"
-    )
+    # NULL ids route to the legacy generation EXPLICITLY: `% 2 == 0` is
+    # NULL-rejecting, so without the isNull() leg a NULL-id row would
+    # land in NEITHER file set — dropped from the lake — while the
+    # oracle's CASE (NULL % 2 <> 1 -> ELSE) buckets it '__legacy__'.
+    # The fixture generator emits no NULL ids; foreign data may.
+    old_gen = ev.where(
+        (F.col("event_id") % 2 == 0) | F.col("event_id").isNull()
+    ).select("event_id", "user_id", "cents")
     new_gen = ev.where(F.col("event_id") % 2 == 1).select(
         "event_id", "user_id", "cents", F.col("event_type").alias("channel")
     )

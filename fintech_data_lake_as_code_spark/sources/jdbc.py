@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import exact_sum
-from ..io import module_fingerprint, scratch_dir
+from ..io import module_fingerprint, scratch_dir, seeded_landing
 from ..registry import query
 from . import datagen as _datagen_module
 from .datagen import CUSTOMERACTIVITY_ORACLE, N_ROWS, customeractivity
@@ -67,16 +67,17 @@ def _datagen_fingerprint() -> str | None:
 def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load `customeractivity` over JDBC, seeding the Derby database once
     per scale dir (the write is the "OLTP system exists" precondition, not
-    part of the query; marker-file guarded like the bucketed layouts,
-    fingerprinted against the generator so a stale seed reloads)."""
+    part of the query). The seed rides `io.seeded_landing` — the ONE
+    marker-guard implementation — with a Derby-specific completion
+    predicate (the database directory exists; JDBC has no `_SUCCESS`
+    job-commit convention, and the `_SEED` marker itself is only written
+    after a successful save). Hand-rolling the guard here is what let
+    the r13 marker-atomicity fix land everywhere but this file."""
     url = _derby_url(sf_dir)
-    marker = os.path.join(scratch_dir(sf_dir, "derby"), "_LOADED")
-    fingerprint = _datagen_fingerprint()
-    seeded = False
-    if fingerprint is not None and os.path.exists(marker):
-        with open(marker) as fh:
-            seeded = fh.read().strip() == fingerprint
-    if not seeded:
+    derby_root = scratch_dir(sf_dir, "derby")
+    db_dir = os.path.join(derby_root, "oltp_db")
+
+    def _seed() -> None:
         src = customeractivity(spark).select(
             "row_id",
             "user_id",
@@ -101,11 +102,13 @@ def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .save()
         )
-        if fingerprint is not None:
-            with open(marker, "w") as fh:
-                fh.write(fingerprint + "\n")
-        elif os.path.exists(marker):
-            os.remove(marker)  # no false provenance in the marker file
+
+    seeded_landing(
+        derby_root,
+        _datagen_fingerprint(),
+        _seed,
+        committed=lambda: os.path.isdir(db_dir),
+    )
     return (
         spark.read.format("jdbc")
         .option("url", url)

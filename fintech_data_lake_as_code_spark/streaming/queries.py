@@ -332,6 +332,7 @@ def stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     redeliveries; the drained output must contain each id exactly once."""
     import sys
 
+    from .. import io as _io_module
     from ..io import module_fingerprint, seeded_landing
 
     out = scratch_dir(sf_dir, "stream_dedupe_src")
@@ -342,9 +343,13 @@ def stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.unionByName(dupes).coalesce(4).write.mode("overwrite").json(out)
 
     # _SUCCESS+fingerprint-guarded reuse (io.seeded_landing): the dupe
-    # injection is defined HERE, so this module's source is the seed's
-    # provenance
-    seeded_landing(out, module_fingerprint(sys.modules[__name__]), _seed)
+    # injection is defined HERE, and io.load's normalization shapes the
+    # landed JSON too — fingerprint BOTH modules (colon-joined, the
+    # _bmp_dir convention); either unreadable -> None -> always reseed
+    fp_self = module_fingerprint(sys.modules[__name__])
+    fp_io = module_fingerprint(_io_module)
+    fp = None if fp_self is None or fp_io is None else f"{fp_io}:{fp_self}"
+    seeded_landing(out, fp, _seed)
 
     # re-pin UTC for the marker-skip path (the _events_json_dir lesson):
     # when the seed is reused, no load() runs before the stream parses
@@ -437,10 +442,17 @@ def freeze_flagged(stream: DataFrame) -> DataFrame:
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["ts", "event_id"])
             for r in pdf.itertuples(index=False):
-                e = int(r.ts.timestamp())
+                # `te` is computed JVM-side (_with_epoch) BEFORE the
+                # stateful op — r.ts.timestamp() on the worker's pandas
+                # timestamp is only UTC-correct because _events_json_dir
+                # pins the session TZ, a dependency a state machine
+                # shouldn't carry (the _topk_step pattern).
+                e = int(r.te)
                 if frozen_at is not None and frozen_at < e <= frozen_at + 86400:
                     rows.append((int(r.event_id), int(key[0]), e, frozen_at))
-                delta = int(round(r.value * 100))
+                # half-away-from-zero cents — builtin round() banker's-
+                # rounds exact .5 ties one cent off the JVM/oracle lanes
+                delta = _py_cents(r.value)
                 balance += -delta if r.event_type == "purchase" else delta
                 if balance < 0 and frozen_at is None:
                     frozen_at = e
@@ -449,7 +461,7 @@ def freeze_flagged(stream: DataFrame) -> DataFrame:
             rows, columns=["event_id", "user_id", "ts_epoch", "frozen_at_epoch"]
         )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    return _with_epoch(stream).groupBy("user_id").applyInPandasWithState(
         freeze_fn,
         _FREEZE_OUT,
         _FREEZE_STATE,

@@ -650,7 +650,10 @@ def test_bucketed_layout_fingerprint_guards_reuse(spark, sf_dir):
     # seed fingerprint is the template).
     import os
 
-    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.io import (
+        scratch_dir,
+        source_fingerprint,
+    )
     from fintech_data_lake_as_code_spark.operators.scale import (
         N_BUCKETS,
         _bucketed_table,
@@ -659,8 +662,12 @@ def test_bucketed_layout_fingerprint_guards_reuse(spark, sf_dir):
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     path = scratch_dir(sf_dir, "bucketed_orders")
     marker = os.path.join(path, "_LAYOUT")
+    # the fingerprint binds shape AND source identity (r13 latent
+    # finding: a regenerated sf_dir must invalidate the layout)
+    src_fp = source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    expected = f"{N_BUCKETS}:o_orderkey:{src_fp}"
     with open(marker) as fh:
-        assert fh.read().strip() == f"{N_BUCKETS}:o_orderkey"
+        assert fh.read().strip() == expected
 
     # matching marker + live table -> reuse, no rewrite. Evidence is a
     # sentinel file, not _SUCCESS mtimes: the overwrite job clears the
@@ -679,7 +686,7 @@ def test_bucketed_layout_fingerprint_guards_reuse(spark, sf_dir):
         fh.write("4:o_custkey\n")
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     with open(marker) as fh:
-        assert fh.read().strip() == f"{N_BUCKETS}:o_orderkey"
+        assert fh.read().strip() == expected
     assert not os.path.exists(sentinel), "stale layout was trusted"
 
 
@@ -817,10 +824,9 @@ def test_bucketed_registration_mismatch_rebuilds(spark, sf_dir):
     # bucketing than this code's DDL (persistent metastore, REPL
     # re-import after an edit) must be dropped and rebuilt, not trusted
     # — DESCRIBE is the source of truth, not table existence.
-    import os
     import re
 
-    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.io import scratch_dir, sf_tag
     from fintech_data_lake_as_code_spark.operators.scale import (
         N_BUCKETS,
         _bucketed_table,
@@ -828,15 +834,13 @@ def test_bucketed_registration_mismatch_rebuilds(spark, sf_dir):
     )
 
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
-    tag = re.sub(
-        r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir))
-    )
+    tag = re.sub(r"[^a-z0-9]", "_", sf_tag(sf_dir))
     table = f"bkt_{tag}_orders"
-    assert _registered_layout_matches(spark, table, "o_orderkey")
+    path = scratch_dir(sf_dir, "bucketed_orders")
+    assert _registered_layout_matches(spark, table, "o_orderkey", path)
 
     # re-register the same table name with WRONG bucketing DDL over the
     # same (valid) files — simulates a catalog that outlived a DDL edit
-    path = scratch_dir(sf_dir, "bucketed_orders")
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in spark.table(table).schema.fields
@@ -847,7 +851,19 @@ def test_bucketed_registration_mismatch_rebuilds(spark, sf_dir):
         f" CLUSTERED BY (o_custkey) SORTED BY (o_custkey)"
         f" INTO {N_BUCKETS * 2} BUCKETS LOCATION '{path}'"
     )
-    assert not _registered_layout_matches(spark, table, "o_orderkey")
+    assert not _registered_layout_matches(spark, table, "o_orderkey", path)
+
+    # right bucketing, wrong Location: a stale metastore entry pointing
+    # at ANOTHER scratch root must not be trusted on the strength of a
+    # _LAYOUT marker it never read
+    other = scratch_dir(sf_dir, "bucketed_orders_elsewhere")
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET"
+        f" CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)"
+        f" INTO {N_BUCKETS} BUCKETS LOCATION '{other}'"
+    )
+    assert not _registered_layout_matches(spark, table, "o_orderkey", path)
 
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
-    assert _registered_layout_matches(spark, table, "o_orderkey")
+    assert _registered_layout_matches(spark, table, "o_orderkey", path)
