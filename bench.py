@@ -174,9 +174,17 @@ def main() -> None:
     # amortizes across the family exactly like the bucketed layout does,
     # and leaving it inside the loop made dedup_near_minhash's median
     # swing 2x run-to-run (r4's 0.73->1.26 s regression was this).
-    from fintech_data_lake_as_code_spark.operators.dedup import _shingled_corpus
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        _containment_shingled,
+        _shingled_corpus,
+    )
 
     _shingled_corpus(spark, sf_dir).selectExpr("sum(n)").collect()
+    # the containment family's excerpt-planted artifact is the same
+    # amortized one-time build (same r4 rationale); without this warm
+    # the cache-leak guard below would drop it after dedup_containment's
+    # first rep and every later rep would re-shingle
+    _containment_shingled(spark, sf_dir).selectExpr("sum(n)").collect()
     # Seed the streaming landing zones untimed: a fingerprint-forced
     # reseed (io/dedup derivation change since the last seed) is a
     # one-time landing write that would otherwise land inside the first
@@ -234,14 +242,70 @@ def main() -> None:
 
     cal_sec = _calibrate()
     cal_ratio = round(cal_sec / CAL_REF_SEC, 3)
+    # Degraded-box retry (VERDICT r13 #5): two consecutive rounds were
+    # recorded on shuffle-degraded boxes (pre-ratios 1.26, 1.39) and
+    # every cross-round per-key comparison needed manual normalization.
+    # When the pre-run shuffle probe exceeds the threshold, wait and
+    # re-probe (transient co-tenant load often drains); the run proceeds
+    # on the LAST probe either way, with the full attempt trail recorded
+    # so a still-degraded run is self-describing in the artifact.
+    SHUF_DEGRADED = 1.15
     shuf_sec = _calibrate_shuffle()
     shuf_ratio = round(shuf_sec / _SHUF_REF_SEC, 3)
+    shuffle_attempts = [shuf_ratio]
+    while shuf_ratio > SHUF_DEGRADED and len(shuffle_attempts) < 4:
+        print(
+            f"# shuffle probe degraded (ratio {shuf_ratio:.2f} > "
+            f"{SHUF_DEGRADED}); waiting 20s and re-probing",
+            file=sys.stderr,
+        )
+        time.sleep(20)
+        shuf_sec = _calibrate_shuffle()
+        shuf_ratio = round(shuf_sec / _SHUF_REF_SEC, 3)
+        shuffle_attempts.append(shuf_ratio)
     print(
         f"# calibration: median {cal_sec:.3f}s (ref {CAL_REF_SEC}s, "
         f"ratio {cal_ratio:.2f}); shuffle {shuf_sec:.3f}s "
-        f"(ref {_SHUF_REF_SEC}s, ratio {shuf_ratio:.2f})",
+        f"(ref {_SHUF_REF_SEC}s, ratio {shuf_ratio:.2f}, "
+        f"attempts {shuffle_attempts})",
         file=sys.stderr,
     )
+
+    # Cache-leak guard (VERDICT r13 #2): a timed median must never ride
+    # CacheManager reuse of blocks a previous rep leaked — that is
+    # exactly how r11 recorded 1.72 s for graph_triangle_count whose
+    # honest cold cost is ~3.4 s, burning two rounds of adjudication.
+    # Everything persisted by the untimed prelude above (the shared
+    # shingle artifacts, bucketed-layout machinery) is SANCTIONED
+    # session-lifetime reuse; any persistent RDD a timed rep leaves
+    # behind beyond that set is dropped before the next rep starts and
+    # the key is named in the summary's `cache_leaks`.
+    def _persistent_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    sanctioned = _persistent_ids()
+    cache_leaks: dict[str, int] = {}
+    resident_checkpoints: dict[str, int] = {}
+
+    def _leak_guard(key: str) -> None:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in sanctioned:
+                continue
+            jrdd = jmap.get(k)
+            # localCheckpoint blocks backing a RETURNED result (the CC/
+            # PageRank loops' final round) are the result's own storage,
+            # not a cache leak — dropped all the same (bounded storage,
+            # and the next rep must not find them) but reported apart so
+            # cache_leaks stays the pure alarm signal
+            bucket = (
+                resident_checkpoints
+                if jrdd.rdd().isLocallyCheckpointed()
+                else cache_leaks
+            )
+            jrdd.unpersist(False)
+            bucket[key] = bucket.get(key, 0) + 1
 
     # Per-query MEDIAN of N_RUNS runs: single-shot timings on this box swing
     # +/-30% with background load; medians are what regressions are graded
@@ -259,6 +323,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
+            _leak_guard(key)
         dt = round(sorted(runs)[len(runs) // 2], 3)
         timings[key] = dt
         total += dt
@@ -281,6 +346,7 @@ def main() -> None:
                     "noop"
                 ).save()
                 runs.append(time.perf_counter() - t0)
+                _leak_guard(key)
             out[key] = round(sorted(runs)[len(runs) // 2], 3)
             print(
                 f"# {tag} {key}: median {out[key]:.3f}s of "
@@ -350,6 +416,26 @@ def main() -> None:
             "extras_v5": extras_v5,
             "extras_v6": extras_v6,
             "fresh": fresh,
+            # per-key normalized extras (VERDICT r13 #5): cross-round
+            # per-key comparison on a loaded box previously required
+            # hand-dividing each raw value; same CPU-ratio normalization
+            # as queries_normalized (shuffle-degradation remains visible
+            # via the shuffle ratios — normalize by those judiciously,
+            # they are I/O-specific)
+            "extras_normalized": {
+                blk: {k: round(v / cal_ratio, 3) for k, v in vals.items()}
+                for blk, vals in (
+                    ("v2", extras),
+                    ("v3", extras_v3),
+                    ("v4", extras_v4),
+                    ("v5", extras_v5),
+                    ("v6", extras_v6),
+                    ("fresh", fresh),
+                )
+            },
+            "shuffle_probe_attempts": shuffle_attempts,
+            "cache_leaks": cache_leaks,
+            "resident_checkpoints_dropped": resident_checkpoints,
         }
     }
     summary = build_summary(
@@ -366,6 +452,8 @@ def main() -> None:
         shuf_ratio,
         shuf_post_ratio,
         extras_v6_total,
+        cache_leaks=cache_leaks,
+        shuffle_probe_retries=len(shuffle_attempts) - 1,
     )
     # The driver keeps only the TAIL of stdout, so a single giant JSON
     # line loses its head — exactly what nulled BENCH_r08's "value"
@@ -398,6 +486,8 @@ def build_summary(
     shuffle_ratio: float | None = None,
     shuffle_post_ratio: float | None = None,
     extras_v6_total: float | None = None,
+    cache_leaks: dict[str, int] | None = None,
+    shuffle_probe_retries: int | None = None,
 ) -> dict:
     """The compact driver-contract result: everything the per-round
     BENCH artifact must retain, and nothing bulky. Must stay within
@@ -438,6 +528,17 @@ def build_summary(
         out["calibration_shuffle_ratio"] = shuffle_ratio
     if shuffle_post_ratio is not None:
         out["calibration_shuffle_post_ratio"] = shuffle_post_ratio
+    # cache_leaks (VERDICT r13 #2): keys whose timed reps left persistent
+    # RDDs behind (count of dropped RDDs per key) — nonempty means those
+    # medians were guarded against CacheManager reuse but the operator
+    # has a release bug to fix. MUST be {} on a healthy run.
+    if cache_leaks is not None:
+        out["cache_leaks"] = cache_leaks
+    # >0 means the pre-run shuffle probe was degraded and the run waited
+    # and re-probed (VERDICT r13 #5); the final ratio above is what the
+    # run proceeded on.
+    if shuffle_probe_retries:
+        out["shuffle_probe_retries"] = shuffle_probe_retries
     return out
 
 

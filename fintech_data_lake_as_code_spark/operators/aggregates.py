@@ -347,11 +347,15 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifiable; production queries merge persisted sketch bytes alone."""
     ev = load(spark, sf_dir, "events")
     # both output branches (per-type and the merged union) read this
-    # aggregate — cache it or the scan+sketch work runs twice
+    # aggregate; NO cache — the identical agg subtrees share one
+    # ReusedExchange, so the scan+sketch work below the exchange runs
+    # once anyway, and a .cache() here measured ~1.3x SLOWER (median
+    # 0.62 s vs 0.47 s, 5 reps, sf0.1) while leaking one executor-
+    # storage copy per invocation (the graph_triangle_count r12 lesson)
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
-    ).cache()
+    )
 
     def bound(est: Column, exact: Column) -> Column:
         rel = est.cast("double") / exact.cast("double") - 1.0
@@ -576,7 +580,7 @@ def day_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("cnt"))
 
 
-def merged_cms_sketch(spark: SparkSession, day_user: DataFrame):
+def merged_cms_sketch(day_user: DataFrame):
     """Build per-day count-min sketches from the reduced (day_epoch,
     user_id, cnt) relation — weighted inserts, one Arrow-batched group
     task per day — then merge the (~100 KB) counter tables driver-side
@@ -661,7 +665,7 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py."""
     day_user = day_user_counts(spark, sf_dir).cache()
     try:
-        merged, n_total = merged_cms_sketch(spark, day_user)
+        merged, n_total = merged_cms_sketch(day_user)
         top = (
             day_user.groupBy("user_id")
             .agg(F.sum("cnt").alias("exact_count"))

@@ -190,18 +190,26 @@ def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _SHINGLED_CACHE.get(key)
     if df is None:
-        df = (
-            _corpus(spark, sf_dir)
-            .select("doc_id", _shingles(F.col("text")).alias("shingles"))
-            .withColumn("n", F.size("shingles"))
-            .withColumn(
-                "hashes",
-                F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
-            )
-            .cache()
-        )
+        df = _shingle_artifact(_corpus(spark, sf_dir)).cache()
         _SHINGLED_CACHE[key] = df
     return df
+
+
+def _shingle_artifact(corpus: DataFrame, keep_shingles: bool = True) -> DataFrame:
+    """(doc_id[, shingles], n, hashes) from a (doc_id, text) corpus —
+    the ONE shingle-artifact pipeline behind `_shingled_corpus` and
+    `_containment_shingled` (each memoizes+caches its own corpus
+    variant; the derivation lives here so the sorted-hash contract
+    can't drift between them)."""
+    df = (
+        corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+        .withColumn(
+            "hashes",
+            F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
+        )
+    )
+    return df if keep_shingles else df.drop("shingles")
 
 
 def _minhash_signature(shingled: DataFrame) -> DataFrame:
@@ -423,6 +431,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     60 bits), so the DuckDB oracle replicates fingerprints, banding,
     probes, and verification bit-exactly."""
     fp = _simhash_fingerprints(spark, sf_dir)
+    return _simhash_pairs(fp)
+
+
+def _simhash_pairs(fp: DataFrame) -> DataFrame:
+    """(id_a, id_b, hamming) pairs at hamming <= 9 from a (doc_id, fp)
+    60-bit fingerprint frame — the banding/probe/verify core, split out
+    so the pigeonhole recall guarantee is testable on PLANTED
+    fingerprints (tests/test_llm_ops.py plants a hamming-9 pair whose
+    differing bits touch every band — exactly the shape plain banding
+    missed)."""
     bands = fp.select(
         "doc_id",
         "fp",
@@ -530,73 +548,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~(n_a*n_b)/2^64 per pair, ~1e-15 here) — the DuckDB oracle IS the
     naive STRING formulation, so every graded run differentially
     certifies that no collision touched the result; integer basis points
-    for engine parity."""
-    # the shared cached shingle artifact feeds candidate generation AND
-    # both verify sides (per-executor memory: one array per doc, bounded)
-    shingled = _shingled_corpus(spark, sf_dir)
-    # prefix length n - ceil(0.6 n) + 1, in exact integer arithmetic.
-    # The global order is xxhash64(shingle): prefix filtering only needs A
-    # consistent total order to be complete (rare-first is the classic
-    # heuristic but costs a document-frequency shuffle + a per-doc window;
-    # hash order makes the prefix a map-side SLICE of the artifact's
-    # cached sorted-hash column — zero extra shuffles, zero per-pass
-    # hashing, before the candidate join). The candidate join key is the
-    # HASH ITSELF, never the shingle string: an int64 shuffles/compares
-    # far cheaper than a 3-word string, and a hash collision can only
-    # ADD a candidate pair (two distinct shingles appearing shared) —
-    # never lose one.
-    prefix_len = F.col("n") - ((F.col("n") * 6 + 9) / 10).cast("long") + 1
-    pref = shingled.select(
-        "doc_id",
-        "n",
-        F.posexplode(F.slice("hashes", F.lit(1), prefix_len)).alias(
-            "pos0", "h"
-        ),
-    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "h")
-    # length filter rides the same join (J >= 0.6 forces 0.6*na <= nb <=
-    # na/0.6), as does the positional bound: overlap <= 1 + min(na - i,
-    # nb - j) for a match at (i, j), and J >= 0.6 requires 8*o >= 3*(na+nb)
-    overlap_ub = F.lit(1) + F.least(
-        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    for engine parity.
+
+    Implementation: the whole-corpus case IS the incremental core with
+    every doc flagged new — `incremental_pairs` over the shared cached
+    artifact (prefix slice from the sorted-hash column, positional
+    prune, hash-array verify; the orientation guard in `_candidate_ids`
+    forms each new x new pair once). One copy of the PPJoin constants
+    and bounds instead of a hand-kept ~50-line mirror (the sync NOTE in
+    `_prefix_postings` asked for exactly this)."""
+    shingled = _shingled_corpus(spark, sf_dir).withColumn(
+        "is_new", F.lit(True)
     )
-    cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n") * 10 >= F.col("a.n") * 6)
-            & (F.col("a.n") * 10 >= F.col("b.n") * 6)
-            & (overlap_ub * 8 >= (F.col("a.n") + F.col("b.n")) * 3),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    sa = shingled.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hashes").alias("h_a"),
-        F.col("n").alias("n_a"),
-    )
-    sb = shingled.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hashes").alias("h_b"),
-        F.col("n").alias("n_b"),
-    )
-    n_shared = F.size(F.array_intersect("h_a", "h_b"))
-    union_n = F.col("n_a") + F.col("n_b") - F.col("n_shared")
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_shared", n_shared)
-        .where(F.col("n_shared") * 10000 >= 6000 * union_n)
-        .select(
-            "id_a",
-            "id_b",
-            F.floor(F.col("n_shared") * 10000 / union_n).alias("jaccard_bp"),
-        )
-    )
+    return incremental_pairs(shingled).select("id_a", "id_b", "jaccard_bp")
 
 
 # --- embedding cosine near-dup ----------------------------------------------
@@ -964,10 +928,12 @@ def _prefix_postings(shingled: DataFrame) -> DataFrame:
     streaming index stores these per batch at admission (bucketed on h,
     see streaming/queries.IncrementalDedupIndex) so history is read
     back columnar instead of re-sliced/re-exploded every micro-batch."""
-    # NOTE: prefix/positional constants here and in _candidate_ids
-    # mirror dedup_ngram_jaccard (threshold 0.6 appears as *6/10,
-    # 6000 bp, and the 8*o >= 3*(na+nb) bound) — change them together;
-    # the DuckDB oracles catch drift
+    # NOTE: threshold 0.6 appears here as *6/10 and in
+    # _candidate_ids/incremental_pairs as the length filter, the
+    # 8*o >= 3*(na+nb) positional bound, and the 6000 bp verify —
+    # change them together; the DuckDB oracles catch drift. (The former
+    # hand-kept mirror inside dedup_ngram_jaccard is gone — that key now
+    # routes through this core.)
     prefix_len = F.col("n") - ((F.col("n") * 6 + 9) / 10).cast("long") + 1
     return shingled.select(
         "doc_id",
@@ -1004,8 +970,14 @@ def _candidate_ids(probe: DataFrame, index: DataFrame) -> DataFrame:
             F.col("a.is_new")
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
-            # never generate old x old; new x new arrives once per
-            # orientation and collapses in the caller's distinct
+            # never generate old x old; when the index side carries true
+            # is_new flags, new x new forms ONCE (a < b) instead of once
+            # per orientation — the positional bound is symmetric under
+            # the swap, so no qualifying pair is lost. An index whose
+            # rows are all flagged old (the streaming worker's bucketed
+            # postings) still yields both orientations, collapsed by the
+            # caller's distinct.
+            & (~F.col("b.is_new") | (F.col("a.doc_id") < F.col("b.doc_id")))
             & (F.col("b.n") * 10 >= F.col("a.n") * 6)
             & (F.col("a.n") * 10 >= F.col("b.n") * 6)
             & (overlap_ub * 8 >= (F.col("a.n") + F.col("b.n")) * 3),
@@ -1255,16 +1227,7 @@ def _containment_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = d.unionByName(excerpts).repartition(
             spark.sparkContext.defaultParallelism, "doc_id"
         )
-        df = (
-            corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-            .withColumn("n", F.size("shingles"))
-            .withColumn(
-                "hashes",
-                F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
-            )
-            .drop("shingles")
-            .cache()
-        )
+        df = _shingle_artifact(corpus, keep_shingles=False).cache()
         _CONTAIN_CACHE[key] = df
     return df
 

@@ -251,7 +251,14 @@ def _triangle_plan(spark: SparkSession, sf_dir: str):
     # und is a post-shuffle relation, so Spark's ReusedExchange already
     # deduplicates its recomputation across those consumers — a .cache()
     # here buys nothing and pays block-store materialization on the hot
-    # path (measured ~1.35x on the whole operator, VERDICT r12).
+    # path. Cost record (VERDICT r13 adjudication, median of 5 warm):
+    # this registered collect+unpersist form 3.39 s at sf0.1; the cached
+    # lazy form 3.99 s. The 1.72 s BENCH_r11 once recorded was never a
+    # real cold cost — it was reps 2-5 riding CacheManager reuse of the
+    # caches that r11 shape LEAKED (leaked-cache rerun: 8.34 s cold then
+    # 1.63 s median); the honest expectation for this key is ~3.4 s
+    # clean, and bench.py's cache-leak guard now prevents any key's
+    # median from riding leaked blocks again.
     # Degree over the undirected edge set, then orient low->high by
     # (deg, id): out-degree of every node is O(sqrt(|E|)).
     deg = (

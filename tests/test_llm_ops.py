@@ -49,6 +49,34 @@ def test_simhash_finds_planted_twins(spark, sf_dir):
     assert len(got - planted) <= len(planted) * 2
 
 
+def test_simhash_candidate_recall_is_exact_at_radius_9(spark):
+    # The pigeonhole guarantee the multi-probe banding provides (r13
+    # latent finding): a hamming-9 pair whose differing bits touch EVERY
+    # 10-bit band — one band with 4 flipped bits, the rest with 1 each —
+    # defeats plain equal-band blocking (no band is clean) but must be
+    # found, because the min-loaded band has <= 1 differing bit and the
+    # Hamming-1 probe covers it. Planted fingerprints, not text: the
+    # guarantee is a property of the banding core alone.
+    from fintech_data_lake_as_code_spark.operators.dedup import (
+        _simhash_pairs,
+    )
+
+    base = 0x0ABC_DEF0_1234_567  # arbitrary 60-bit pattern
+    # flips: 4 bits in band 0 (bits 0..9), 1 bit in each of bands 1..5
+    diff = (
+        (1 << 0) | (1 << 3) | (1 << 5) | (1 << 9)
+        | (1 << 11) | (1 << 27) | (1 << 33) | (1 << 44) | (1 << 55)
+    )
+    assert bin(diff).count("1") == 9
+    # a far pair (hamming >> 9) that must NOT appear
+    far = base ^ ((1 << 20) - 1)
+    fp = spark.createDataFrame(
+        [(1, base), (2, base ^ diff), (3, far)], "doc_id long, fp long"
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in _simhash_pairs(fp).collect()}
+    assert pairs == {(1, 2): 9}, pairs
+
+
 def test_embedding_cosine_finds_exactly_planted(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     planted = {

@@ -608,3 +608,41 @@ def test_ppjoin_prefix_filter_is_lossless_at_threshold(sa, sb):
         f"qualifying pair pruned: na={na} nb={nb} overlap={o} "
         f"prefixes={A[:pa]}/{B[:pb]}"
     )
+
+
+def test_sf_tag_distinguishes_same_basename_roots(tmp_path):
+    # r12 latent finding: scratch was keyed by basename(sf_dir) ONLY, so
+    # two dataset roots sharing a final component (/a/sf0.1 vs /b/sf0.1)
+    # collided — every marker-guarded reuse would serve one dataset's
+    # files to the other. The tag must separate them AND stay stable for
+    # path spellings of the SAME root.
+    from fintech_data_lake_as_code_spark.io import sf_tag
+
+    a = tmp_path / "siteA" / "sf0.1"
+    b = tmp_path / "siteB" / "sf0.1"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    assert sf_tag(str(a)) != sf_tag(str(b))
+    # normalization: trailing slash / redundant segments don't re-key
+    assert sf_tag(str(a)) == sf_tag(str(a) + "/")
+    assert sf_tag(str(a)) == sf_tag(str(a / ".." / "sf0.1"))
+    # human-readable prefix survives for on-disk debuggability
+    assert sf_tag(str(a)).startswith("sf0.1-")
+
+
+def test_write_marker_is_absent_or_complete(tmp_path):
+    # io.write_marker's contract: the destination is never an EMPTY/torn
+    # file (an empty marker reads as a mismatched fingerprint and forces
+    # silent rebuilds forever). Overwrite goes through the same atomic
+    # replace, and no temp debris survives.
+    import os
+
+    from fintech_data_lake_as_code_spark.io import write_marker
+
+    marker = tmp_path / "_LAYOUT"
+    write_marker(str(marker), "8:key:abc")
+    assert marker.read_text() == "8:key:abc\n"
+    write_marker(str(marker), "8:key:def\n")
+    assert marker.read_text() == "8:key:def\n"
+    leftovers = [f for f in os.listdir(tmp_path) if f != "_LAYOUT"]
+    assert not leftovers, leftovers

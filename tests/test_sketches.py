@@ -49,7 +49,7 @@ def test_cms_never_underestimates_and_stays_tight(spark, sf_dir):
     from pyspark.sql import functions as F
 
     day_user = day_user_counts(spark, sf_dir)
-    merged, n_total = merged_cms_sketch(spark, day_user)
+    merged, n_total = merged_cms_sketch(day_user)
     exact = (
         day_user.groupBy("user_id")
         .agg(F.sum("cnt").alias("exact_count"))
