@@ -302,7 +302,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stop in finally: a failure in the mid-stream landing write (the
     # work BETWEEN the two drains) must not leak a running query
-    # polling this uuid-named source for the rest of the session
+    # polling the source dir for the rest of the session
     try:
         q.processAllAvailable()
         # batch 2: redeliver rows >30 min older than the stream's max
