@@ -80,52 +80,22 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r13.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r14.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r13 fold the vintage
-# census is 49@r10 / 47@r11 / 48@r12 / 50@r13 (CORRECTNESS_r13 was
-# 50/50 green: the 48-key r9 cohort + the 2 stale regrades
-# graph_triangle_count and scan_avro). Round 14 registers no new keys
-# (no table-format jar on disk — re-probed again, that axis stays
-# closed, r11–r13 precedent) and stale-marks ONE key (see
-# _STALE_REGRADE: scan_avro — the ADVICE r13 reader-close hardening).
-# Rank-(0,0) demand 1 + the 49-key r10 cohort = exactly 50 — no
-# overflow, `_DEFER_NEXT_ROUND` is empty and the floor lifts to r11
-# after the r14 grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r14 fold the vintage
+# census is 47@r11 / 48@r12 / 49@r13 / 50@r14 (CORRECTNESS_r14 was
+# 50/50 green: the 49-key r10 cohort + the 1 stale regrade scan_avro).
+# Round 15 registers no new keys (no table-format jar on disk —
+# re-probed a fifth time, that axis stays closed, r11–r14 precedent)
+# and stale-marks TWO keys (see _STALE_REGRADE). Rank-(0,0) demand 2 +
+# the 47-key r11 cohort = 49 ≤ 50 — no overflow, `_DEFER_NEXT_ROUND`
+# is empty, the one spare slot falls to the first r12-vintage key in
+# registration order, and the floor lifts to r12 after the r15 grade
+# (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 10 greens — the r14 grading cohort (stalest)
-    **dict.fromkeys(
-        [
-            "agg_approx_percentile", "agg_histogram_bins",
-            "agg_retention_cohort", "agg_rolling_distinct",
-            "agg_sketch_cms", "agg_sketch_hll",
-            "dedup_containment", "dedup_incremental",
-            "dedup_near_minhash", "dedup_ngram_jaccard",
-            "dedup_simhash", "fn_url", "fn_variant",
-            "join_asof_nearest",
-            "join_bucketed_colocated", "join_skew_salted",
-            "profile_columns", "sample_bootstrap_means",
-            "sample_split_leakage_safe", "sample_weighted_priority",
-            "scan_csv", "scan_jdbc", "scan_json_corrupt",
-            "scan_json_lines", "scan_orc", "scan_parquet",
-            "scan_partition_pruned", "scan_schema_evolution",
-            "scan_text", "scan_xml", "set_bag_ops",
-            "sink_compacted", "sink_partitioned",
-            "sink_sorted_lake", "sink_zorder_lake",
-            "sql_pricing_summary", "stream_backfill_availablenow",
-            "stream_bronze_ingest",
-            "stream_dedupe", "stream_join_static",
-            "stream_rate_sim", "stream_session", "stream_sliding",
-            "stream_stateful_freeze", "stream_stream_join",
-            "stream_tumbling",
-            "stream_watermark_late", "text_decontaminate",
-            "text_ngram_freq",
-        ],
-        10,
-    ),
-    # round 11 greens
+    # round 11 greens — the r15 grading cohort (stalest)
     **dict.fromkeys(
         [
             "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
@@ -177,7 +147,7 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         12,
     ),
-    # round 13 greens — freshest, grade last (CORRECTNESS_r13: 50/50)
+    # round 13 greens
     **dict.fromkeys(
         [
             "agg_approx_distinct", "agg_distinct", "cdc_gdpr_erasure",
@@ -188,7 +158,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "multimodal_cols", "multimodal_decode",
             "multimodal_framesample", "project_rename_cast",
             "rule_b10_cross_sell", "sample_stratified_split",
-            "scan_avro", "scan_python_datasource",
+            "scan_python_datasource",
             "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
             "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
             "text_bpe_tokenize", "text_chunk", "text_fingerprint",
@@ -203,36 +173,70 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         13,
     ),
+    # round 14 greens — freshest, grade last (CORRECTNESS_r14: 50/50 =
+    # the 49-key r10 cohort + the stale regrade scan_avro)
+    **dict.fromkeys(
+        [
+            "agg_approx_percentile", "agg_histogram_bins",
+            "agg_retention_cohort", "agg_rolling_distinct",
+            "agg_sketch_cms", "agg_sketch_hll",
+            "dedup_containment", "dedup_incremental",
+            "dedup_near_minhash", "dedup_ngram_jaccard",
+            "dedup_simhash", "fn_url", "fn_variant",
+            "join_asof_nearest",
+            "join_bucketed_colocated", "join_skew_salted",
+            "profile_columns", "sample_bootstrap_means",
+            "sample_split_leakage_safe", "sample_weighted_priority",
+            "scan_avro", "scan_csv", "scan_jdbc", "scan_json_corrupt",
+            "scan_json_lines", "scan_orc", "scan_parquet",
+            "scan_partition_pruned", "scan_schema_evolution",
+            "scan_text", "scan_xml", "set_bag_ops",
+            "sink_compacted", "sink_partitioned",
+            "sink_sorted_lake", "sink_zorder_lake",
+            "sql_pricing_summary", "stream_backfill_availablenow",
+            "stream_bronze_ingest",
+            "stream_dedupe", "stream_join_static",
+            "stream_rate_sim", "stream_session", "stream_sliding",
+            "stream_stateful_freeze", "stream_stream_join",
+            "stream_tumbling",
+            "stream_watermark_late", "text_decontaminate",
+            "text_ngram_freq",
+        ],
+        14,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. Both r13 stales (graph_triangle_count, scan_avro)
-# were re-certified in r13 (CORRECTNESS_r13 50/50 green). Round-14 code
-# changes are confined to the r10 grading cohort (the stocked latent
-# backlog: stream_stateful_freeze cents+epoch, the scratch-key/layout
-# fingerprint hardening behind join_bucketed_colocated, empty-input
-# refusals for scan_partition_pruned/sink_zorder_lake, the
-# scan_schema_evolution NULL-id rule, dedup_simhash banding-consistent
-# verify + cache memo, dedup_ngram_jaccard/containment shared PPJoin
-# core, agg_sketch_hll cache discipline, stream_dedupe/stream_watermark
-# landing hygiene, jdbc seeded-landing reuse) — those keys grade this
-# round by vintage and need no stale slots. ONE key outside the cohort
-# changes defining code this round (r13-vintage — the 1-round-old
-# caution precedent from r11–r13 says re-certify rather than age):
-# scan_avro's pyavro reader now closes the block-decode generator on
-# the header-mismatch raise path (ADVICE r13 — the open container
-# handle leaked until GC); output-identical on the graded fixture, but
-# the executor read path its r13 verdict covered is re-wrapped code.
+# never-graded keys. The r14 stale (scan_avro) was re-certified in r14
+# (CORRECTNESS_r14 50/50 green). Round-15 code changes outside the r11
+# grading cohort (whose latent-backlog fixes — scd2 batch-0 dedupe, WAP
+# verdict-flip clear, integer-bp cosine gates, cluster_cc stall-detector
+# tidy, fn_collation in-domain literals, benford single-scan — grade
+# this round by vintage and need no stale slots) touch TWO keys:
+# - stream_dedup_incremental (r12 vintage): ADVICE r14 medium — the r14
+#   shared-PPJoin-core refactor changed the `_candidate_ids` join
+#   predicate it executes every micro-batch (the `~b.is_new | (a < b)`
+#   orientation guard). Behavior is provably unchanged for the all-old
+#   streaming index side, but by this file's own discipline (scan_avro
+#   r13/r14 precedent: output-identical re-wraps re-certify) the r12
+#   verdict no longer covers the shipping join predicate.
+# - stream_watermark_late (r14 vintage, 1-round-old caution precedent):
+#   its fixed landing dir becomes applicationId-keyed this round
+#   (ADVICE r14 — two concurrent sessions raced on the shared dir, one
+#   rmtree'ing the dir the peer's file-stream source was polling).
+#   Output-identical, but the graded source-landing path is re-keyed.
 _STALE_REGRADE = frozenset(
     {
-        "scan_avro",
+        "stream_dedup_incremental",
+        "stream_watermark_late",
     }
 )
 
-# Round 14 has no budget overflow: 1 rank-(0,0) stale regrade + the
-# 49-key r10 cohort = exactly 50. tests/test_registry_vintage.py pins
-# that this deferral set is exactly as large as the budget overflow.
+# Round 15 has no budget overflow: 2 rank-(0,0) stale regrades + the
+# 47-key r11 cohort = 49 < 50 (the spare slot falls to the first
+# r12-vintage key in registration order). tests/test_registry_vintage.py
+# pins that this deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
 
