@@ -167,24 +167,21 @@ def main() -> None:
 
     _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
-    # The shared shingle index is the same kind of one-time derived
-    # artifact (dedup.py::_shingled_corpus: materialize once, fan every
-    # dedup strategy out from it); warm it here so the first dedup query
-    # in the loop isn't charged the family's shared build — that cost
-    # amortizes across the family exactly like the bucketed layout does,
-    # and leaving it inside the loop made dedup_near_minhash's median
-    # swing 2x run-to-run (r4's 0.73->1.26 s regression was this).
+    # The shared shingle index and its sibling memos are one-time
+    # derived artifacts (dedup.py::_SESSION_MEMOS: materialize once, fan
+    # every dedup strategy out from them); warm ALL of them here so no
+    # memo populates lazily inside a timed rep — the leak guard below
+    # snapshots the sanctioned persistent-RDD set ONCE, so a mid-rep
+    # memo would be unpersisted after rep 1 and silently recomputed
+    # every later rep (ADVICE r14; r4's dedup_near_minhash 0.73->1.26 s
+    # swing was the un-warmed variant of the same mistake). The registry
+    # lives next to the memo dicts, so a new memo is warmed here without
+    # this file changing.
     from fintech_data_lake_as_code_spark.operators.dedup import (
-        _containment_shingled,
-        _shingled_corpus,
+        warm_session_memos,
     )
 
-    _shingled_corpus(spark, sf_dir).selectExpr("sum(n)").collect()
-    # the containment family's excerpt-planted artifact is the same
-    # amortized one-time build (same r4 rationale); without this warm
-    # the cache-leak guard below would drop it after dedup_containment's
-    # first rep and every later rep would re-shingle
-    _containment_shingled(spark, sf_dir).selectExpr("sum(n)").collect()
+    warm_session_memos(spark, sf_dir)
     # Seed the streaming landing zones untimed: a fingerprint-forced
     # reseed (io/dedup derivation change since the last seed) is a
     # one-time landing write that would otherwise land inside the first
@@ -333,8 +330,26 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # One single-shot shuffle probe per extras block (VERDICT r14 #6):
+    # the late blocks are where mid-run service degradation lands (the
+    # r14 v5/v4 numbers were exactly this), and a run-wide pre/post pair
+    # can't localize WHICH block ran degraded. One rep, not median-of-5
+    # — it contextualizes the block, the run-wide pair stays the signal.
+    block_shuffle: dict[str, float] = {}
+
+    def _probe_shuffle_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(20_000_000).repartition(64, "id").selectExpr(
+            "sum(id)"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
     def _time_block(keys: list[str], tag: str) -> dict[str, float]:
         out: dict[str, float] = {}
+        if keys:
+            block_shuffle[tag] = round(
+                _probe_shuffle_once() / _SHUF_REF_SEC, 3
+            )
         for key in keys:
             fn = queries.get(key)
             if fn is None:
@@ -434,6 +449,7 @@ def main() -> None:
                 )
             },
             "shuffle_probe_attempts": shuffle_attempts,
+            "block_shuffle_ratios": block_shuffle,
             "cache_leaks": cache_leaks,
             "resident_checkpoints_dropped": resident_checkpoints,
         }

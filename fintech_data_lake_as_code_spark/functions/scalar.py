@@ -502,10 +502,10 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT s) AS BIGINT) AS n_case_sensitive,
            CAST(COUNT(DISTINCT lower(s)) AS BIGINT) AS n_case_insensitive,
-           CAST(SUM(CASE WHEN lower(s) = 'web' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_web_ci,
-           CAST(SUM(CASE WHEN lower(s) >= 'n' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_ge_n_ci
+           CAST(SUM(CASE WHEN lower(s) = 'src7' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_src7_ci,
+           CAST(SUM(CASE WHEN lower(s) >= 'src15' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge_src15_ci
     FROM mixed
     GROUP BY lang
     ORDER BY lang
@@ -518,7 +518,11 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal, and an ordering comparison all evaluated collation-aware
     (`collate()` propagates through =, >=, and DISTINCT). The oracle has
     no collation engine, so it certifies via the lower() equivalence —
-    exactly the rewrite collations obsolete.
+    exactly the rewrite collations obsolete. The compared literals are
+    IN-DOMAIN ('src7' equality, 'src15' ordering bound over the
+    src0..src19 tag universe) so both counts split the data — an
+    earlier out-of-domain pair ('web', 'n') matched 0 and all rows
+    respectively, and a collation regression would have graded green.
 
     Scale shape: collation comparison is a codegen expression (ICU/UTF8
     binary compare JVM-side); the case-insensitive DISTINCT aggregates
@@ -544,11 +548,11 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("s")).alias("n_case_sensitive"),
             F.count_distinct(sc).alias("n_case_insensitive"),
             F.sum(
-                F.when(sc == F.lit("web"), 1).otherwise(0)
-            ).alias("n_web_ci"),
+                F.when(sc == F.lit("src7"), 1).otherwise(0)
+            ).alias("n_src7_ci"),
             F.sum(
-                F.when(sc >= F.lit("n"), 1).otherwise(0)
-            ).alias("n_ge_n_ci"),
+                F.when(sc >= F.lit("src15"), 1).otherwise(0)
+            ).alias("n_ge_src15_ci"),
         )
         .orderBy("lang")
     )

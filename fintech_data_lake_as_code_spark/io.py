@@ -90,18 +90,25 @@ def scratch_dir(sf_dir: str, key: str) -> str:
 
 def write_marker(path: str, text: str) -> None:
     """Write a small marker file so it is always ABSENT or COMPLETE,
-    never empty/torn: temp sibling + atomic os.replace. A bare
+    never empty/torn: temp sibling + fsync + atomic os.replace. A bare
     open(w)+write leaves an empty marker on a crash between the two
     calls, and an empty marker reads as a MISMATCHED fingerprint —
     forcing a silent full rebuild every later session (self-healing,
-    but defeats the pay-once layout). One copy, shared by every local
-    marker guard (seeded_landing, the bucketed _LAYOUT, the Derby
-    seed); the lake-scheme analog is streaming.queries._fs_write_text."""
+    but defeats the pay-once layout). The fsync before the rename
+    extends the guarantee from process crashes to power loss: without
+    it, common filesystems may replay the rename before the data blocks
+    land and surface an empty renamed file (the failure direction would
+    still be the safe forced rebuild, but the contract says COMPLETE).
+    One copy, shared by every local marker guard (seeded_landing, the
+    bucketed _LAYOUT, the Derby seed); the lake-scheme analog is
+    streaming.queries._fs_write_text."""
     import uuid
 
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         fh.write(text if text.endswith("\n") else text + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
 
 

@@ -1420,18 +1420,22 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's job is the exact distribution.
 
     Scale shape: first digit is a codegen string expression; ONE
-    partial-agg groupBy over nine groups; the denominator rides along
-    as a scalar subquery (1-row broadcast). Cents (not dollars) so
-    sub-dollar amounts keep a meaningful leading digit."""
+    partial-agg groupBy over nine groups; the denominator is the SUM of
+    the nine grouped counts (not a second pass over events — deriving
+    it from the grouped relation lets ReusedExchange serve both
+    consumers from one scan+shuffle; a separate digits.count() branch
+    shared no exchange and read events twice), riding along as a 1-row
+    broadcast. Cents (not dollars) so sub-dollar amounts keep a
+    meaningful leading digit."""
     ev = load(spark, sf_dir, "events")
     c = cents(F.col("value"))
     digits = ev.select(
         F.substring(c.cast("string"), 1, 1).cast("bigint").alias("d")
     ).where(c > 0)
-    total = digits.agg(F.count("*").alias("tot"))
+    grouped = digits.groupBy("d").agg(F.count("*").alias("n"))
+    total = grouped.agg(F.sum("n").alias("tot"))
     return (
-        digits.groupBy("d")
-        .agg(F.count("*").alias("n"))
+        grouped
         .crossJoin(F.broadcast(total))
         .select(
             F.col("d").alias("first_digit"),

@@ -609,21 +609,28 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                           list_transform(embedding[2:], x -> x::DOUBLE))
       FROM embeddings WHERE vec_id % 10 = 0
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
-             AS cos_sim
-    FROM corpus a JOIN corpus b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    SELECT id_a, id_b, cos_bp / 10000 AS cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(ROUND(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  * 10000) AS BIGINT) AS cos_bp
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_bp >= 9900
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: cosine >= 0.99 over label-blocked pairs (label is
     the blocking key — candidate pairs only within a block, as an IVF-style
     coarse quantizer would give at scale). Planted twins (first component
-    +0.01) are the expected hits. Full DuckDB oracle."""
+    +0.01) are the expected hits. Full DuckDB oracle.
+
+    The keep/drop DECISION is an integer compare on the rounded
+    basis-point score (the file's integer-compare discipline), and the
+    emitted cos_sim derives from the SAME integer — a raw-double
+    `cos >= 0.99` gate made the decision summation-order-dependent
+    while the displayed value was rounded, so gate and display could
+    disagree between engines on a boundary pair."""
     corpus = _emb_corpus(spark, sf_dir)
     a = corpus.alias("a")
     b = corpus.alias("b")
@@ -639,10 +646,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cos.alias("_cos"),
+            F.round(cos * 10000, 0).cast("long").alias("_bp"),
         )
-        .where(F.col("_cos") >= 0.99)
-        .select("id_a", "id_b", F.round("_cos", 4).alias("cos_sim"))
+        .where(F.col("_bp") >= 9900)
+        .select(
+            "id_a", "id_b", (F.col("_bp") / 10000).alias("cos_sim")
+        )
     )
 
 
@@ -718,17 +727,16 @@ def connected_components(
     it and shouldn't pay for it: near-clique dup clusters (diameter
     2-3) converge in 2-3 propagation-only rounds, and the hop join's
     key (label == hop_node) is maximally skewed by component size — all
-    members of a component probe one hot key. So each round's hop
-    engages after propagation's progress stalls: the per-round
-    sum(label) delta not at least halving (delta_r * 2 > delta_{r-1})
-    is the chain signature — cliques' deltas crash to zero, a path's
-    stay constant — and unconditionally from round 3, so a mixed graph
-    (cliques masking a chain's constant delta) cannot delay contraction
-    and burn the iteration budget. Once engaged it stays on (a stalled
-    front never re-accelerates under propagation alone). Measured at
-    sf0.1 this keeps real dup clusters (near-cliques, converged by
-    round 3) at propagation-only cost while chains still close in
-    O(log diameter).
+    members of a component probe one hot key. So the hop engages
+    unconditionally from round 3: cliques are done by then, and no
+    stall signal can fire earlier anyway — the natural per-round
+    delta-halving test needs two deltas, first available exactly at
+    round 3 (an earlier revision carried that test alongside the
+    round-3 floor; it was provably dead code and is gone). Once engaged
+    the hop stays on (a stalled front never re-accelerates under
+    propagation alone). Measured at sf0.1 this keeps real dup clusters
+    (near-cliques, converged by round 3) at propagation-only cost while
+    chains still close in O(log diameter).
 
     localCheckpoint each round severs lineage (otherwise the plan — and
     analysis ambiguity — grows with every iteration); eager=False lets
@@ -741,8 +749,7 @@ def connected_components(
     per round replaces a labels⋈labels diff join, and label data never
     leaves the executors. (Labels are doc_ids < ~2^21 over <2^40 nodes:
     the sum can't overflow int64 even at planetary scale; use sum of
-    DECIMAL(38) if ids are 64-bit hashes.) The same scalar stream
-    drives the stall detector — no extra jobs.
+    DECIMAL(38) if ids are 64-bit hashes.)
     """
     labels = (
         edges.groupBy("node")
@@ -751,20 +758,10 @@ def connected_components(
     )
     label_sum = labels.agg(F.sum("label")).first()[0]
     rounds = 0
-    deltas: list[int] = []
     hop_engaged = False
     for _ in range(max_iters):
         rounds += 1
-        # Engage contraction on the stall signature — or unconditionally
-        # from round 3: in mixed graphs (big near-clique clusters plus a
-        # chain) early deltas are dominated by clique convergence and the
-        # stall test can lag several rounds, eroding the iteration
-        # budget. Cliques are done by round 3 anyway, so forcing the hop
-        # then costs the common case nothing.
-        if not hop_engaged and (
-            rounds >= 3
-            or (len(deltas) >= 2 and deltas[-1] * 2 > deltas[-2])
-        ):
+        if not hop_engaged and rounds >= 3:
             hop_engaged = True
         neighbor_min = (
             edges.alias("e")
@@ -805,7 +802,6 @@ def connected_components(
         labels = new_labels
         if new_sum == label_sum:
             break
-        deltas.append(label_sum - new_sum)
         label_sum = new_sum
     else:
         raise RuntimeError(
@@ -1232,6 +1228,28 @@ def _containment_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# Every session-lifetime memo in this module, with the expression that
+# forces its cache to materialize. bench.py warms ALL of these in its
+# untimed prelude BEFORE snapshotting the sanctioned persistent-RDD
+# set: a memo populating lazily inside a timed rep would be unpersisted
+# by the leak guard after rep 1 and silently recomputed every later rep
+# (ADVICE r14 — the guard's one-shot snapshot can't tell a fresh memo
+# from a leak). A new memo cache registers here, next to its dict, and
+# is bench-safe from day one.
+_SESSION_MEMOS = (
+    (_shingled_corpus, "sum(n)"),
+    (_containment_shingled, "sum(n)"),
+    (_simhash_fingerprints, "sum(fp)"),
+)
+
+
+def warm_session_memos(spark: SparkSession, sf_dir: str) -> None:
+    """Populate and materialize every module-level memo for this
+    (session, sf_dir) — the bench prelude's one call."""
+    for build, force in _SESSION_MEMOS:
+        build(spark, sf_dir).selectExpr(force).collect()
+
+
 @query(
     "dedup_containment",
     oracle=f"""
@@ -1522,9 +1540,12 @@ def semantic_cluster_pairs(
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cos.alias("_cos"),
+            # same integer-bp decision as dedup_embedding_cosine, so the
+            # recall contract's "found" set uses the identical gate as
+            # its "truth" set instead of a raw-double compare
+            F.round(cos * 10000, 0).cast("long").alias("_bp"),
         )
-        .where(F.col("_cos") >= 0.99)
+        .where(F.col("_bp") >= 9900)
         .select("id_a", "id_b")
     )
 
@@ -1544,8 +1565,9 @@ def semantic_cluster_pairs(
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM corpus a JOIN corpus b
         ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+      WHERE CAST(ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            * 10000) AS BIGINT) >= 9900
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
     FROM truth

@@ -14,6 +14,8 @@ lake's hour-bucketing so downstream reads get partition pruning for free.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -650,6 +652,14 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (_, viol) in enumerate(rules)
         ],
     ).collect()[0]
+    if int(audit.n) == 0:
+        # an empty staging area would "pass" every violation-count rule
+        # and publish nothing while reporting green — refuse loudly, the
+        # scan_partition_pruned/sink_zorder_lake empty-input discipline
+        raise RuntimeError(
+            f"sink_write_audit_publish: staged batch at {staged_dir} is "
+            "empty — audit verdicts over zero rows are vacuous"
+        )
     rows = []
     for i, (rule, _) in enumerate(rules):
         n_viol = int(audit[f"v_{i}"])
@@ -657,6 +667,14 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = scratch_dir(
             sf_dir, f"wap_{'published' if ok else 'quarantine'}_{rule}"
         )
+        # a verdict FLIP across runs (rule or data changed) would leave
+        # the opposite verdict's directory from the prior run looking
+        # committed — a reader listing wap_published_* must never see a
+        # batch this run quarantined; clear the sibling before promoting
+        sibling = scratch_dir(
+            sf_dir, f"wap_{'quarantine' if ok else 'published'}_{rule}"
+        )
+        shutil.rmtree(sibling, ignore_errors=True)
         # mode("overwrite") already clears the target; no pre-rmtree
         staged.write.mode("overwrite").parquet(target)
         n_target = spark.read.parquet(target).count()

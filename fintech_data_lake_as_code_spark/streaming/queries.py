@@ -263,15 +263,43 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     still open when the stream stops are exactly the rows the oracle's
     WHERE excludes. Emission-order/timing remain engine-specific; the
     CONTENT does not. Also asserted in tests/test_streaming.py."""
+    import os
     import shutil
 
-    # fixed source dir, cleared up front: a uuid-per-run dir (the shape
-    # this replaced) accumulated a full events copy per invocation with
-    # nothing ever reclaiming it — unbounded scratch growth across a
-    # bench/grade session. No marker guard here ON PURPOSE: the in-run
-    # append of batch 2 makes the dir non-reusable, so every run pays
-    # the (cheap) landing write.
-    src = scratch_dir(sf_dir, "stream_late_src")
+    # PID-keyed source dir under a shared parent (ADVICE r14): a single
+    # fixed dir raced two concurrent sessions (one process rmtree'd the
+    # dir a peer's running file-stream source was polling), while the
+    # uuid-per-run shape this lineage replaced accumulated a full events
+    # copy per invocation with nothing ever reclaiming it. PID keying
+    # gives each process its own dir (concurrency-safe), the up-front
+    # rmtree reclaims THIS process's previous rep (bounded within a
+    # session), and dirs left by DEAD processes are swept below — live
+    # peers are provably untouchable (kill-0 probe; a PID cannot be
+    # shared by two live processes). No marker guard here ON PURPOSE:
+    # the in-run append of batch 2 makes the dir non-reusable, so every
+    # run pays the (cheap) landing write.
+    base = scratch_dir(sf_dir, "stream_late")
+    # legacy pre-r15 fixed dir: reclaim once, nothing writes it anymore
+    shutil.rmtree(
+        os.path.join(os.path.dirname(base), "stream_late_src"),
+        ignore_errors=True,
+    )
+    for d in os.listdir(base):
+        if not d.startswith("pid"):
+            continue
+        try:
+            owner = int(d[3:])
+        except ValueError:
+            continue
+        if owner == os.getpid():
+            continue
+        try:
+            os.kill(owner, 0)  # signal 0: existence probe, no delivery
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — a live peer, leave it
+    src = os.path.join(base, f"pid{os.getpid()}")
     shutil.rmtree(src, ignore_errors=True)
     ev = load(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
@@ -1344,7 +1372,10 @@ class Scd2Merger(SnapshotMerger):
         batch = batch_df.select(*raw_cols)
         prev_dir = self.latest_dir(below=batch_id, spark=spark)
         if prev_dir is None:
-            merged = _scd2_rows(batch)
+            # same event_id dedupe as the merge branch: an at-least-once
+            # double delivery WITHIN the first micro-batch would otherwise
+            # emit two version rows per event (one zero-length interval)
+            merged = _scd2_rows(batch.dropDuplicates(["event_id"]))
         else:
             prev = batch_df.sparkSession.read.parquet(prev_dir)
             affected = batch.select("user_id").distinct()
