@@ -1239,7 +1239,10 @@ def _containment_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_MEMOS = (
     (_shingled_corpus, "sum(n)"),
     (_containment_shingled, "sum(n)"),
-    (_simhash_fingerprints, "sum(fp)"),
+    # count, not sum: fp values reach 2^60 and their ANSI sum overflows
+    # int64; the columnar cache materializes whole partitions (every
+    # column) on any scan, so a count forces it just as fully
+    (_simhash_fingerprints, "count(fp)"),
 )
 
 

@@ -255,3 +255,32 @@ def test_scd2_pointintime_null_attribute_does_not_tear_versions(spark):
     import calendar
 
     assert r.valid_from == calendar.timegm(sec(10).timetuple())
+
+
+def test_wap_verdict_flip_clears_the_stale_sibling_dir(spark, sf_dir):
+    """Write-audit-publish governance: when a rule's verdict flips
+    between runs, the OPPOSITE verdict's directory from the prior run
+    must not survive looking committed — a reader listing published
+    dirs would see a batch the current audit quarantined (r15
+    latent-backlog pin). Simulated by planting a fake committed sibling
+    before the run."""
+    import os
+
+    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.registry import registry as reg
+
+    # value_positive passes on the fixture -> publishes; plant a stale
+    # quarantine sibling. value_cap_300 fails -> quarantines; plant a
+    # stale published sibling.
+    stale_q = scratch_dir(sf_dir, "wap_quarantine_value_positive")
+    stale_p = scratch_dir(sf_dir, "wap_published_value_cap_300")
+    for d in (stale_q, stale_p):
+        with open(os.path.join(d, "stale.marker"), "w") as fh:
+            fh.write("left by a prior flipped-verdict run\n")
+
+    rows = {r.rule: r for r in
+            reg()["sink_write_audit_publish"].fn(spark, sf_dir).collect()}
+    assert rows["value_positive"].published
+    assert not rows["value_cap_300"].published
+    assert not os.path.exists(stale_q), "stale quarantine sibling survived"
+    assert not os.path.exists(stale_p), "stale published sibling survived"

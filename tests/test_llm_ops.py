@@ -993,3 +993,27 @@ def test_maxsim_ann_prunes_and_still_finds_true_top1(spark):
         .collect()
     }
     assert top1 == {2 * k: 2 * k + 1 for k in range(6)}
+
+
+def test_session_memo_registry_covers_every_memo_dict(spark, sf_dir):
+    """bench's leak guard snapshots the sanctioned persistent-RDD set
+    ONCE, in the prelude — so every module-level memo cache must be in
+    _SESSION_MEMOS (and thus warmed by the prelude), or it populates
+    lazily inside a timed rep and the guard unpersists it as a "leak"
+    after rep 1, silently defeating the memo (ADVICE r14). This pins
+    registry completeness BY ENUMERATION: a new *_CACHE dict fails here
+    until it registers a warmer."""
+    import fintech_data_lake_as_code_spark.operators.dedup as D
+
+    memo_dicts = sorted(
+        n for n, v in vars(D).items()
+        if isinstance(v, dict) and n.endswith("_CACHE")
+    )
+    assert len(D._SESSION_MEMOS) == len(memo_dicts), (
+        f"memo dicts {memo_dicts} vs {len(D._SESSION_MEMOS)} warmers — "
+        "register the new memo in _SESSION_MEMOS"
+    )
+    D.warm_session_memos(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for name in memo_dicts:
+        assert key in getattr(D, name), f"{name} not populated by warm"

@@ -867,3 +867,16 @@ def test_bucketed_registration_mismatch_rebuilds(spark, sf_dir):
 
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     assert _registered_layout_matches(spark, table, "o_orderkey", path)
+
+
+def test_benford_denominator_reuses_the_grouped_exchange(spark, sf_dir):
+    """agg_benford_digits' denominator derives from the 9-row grouped
+    relation: once AQE finalizes, the denominator branch must read a
+    ReusedExchange of the groupBy's shuffle so events is scanned ONCE
+    (the pre-r15 digits.count() branch shared no exchange with the
+    groupBy and read events twice, contradicting the docstring)."""
+    df = SPECS["agg_benford_digits"].fn(spark, sf_dir)
+    df.collect()  # AQE reuse materializes at runtime, not in the static plan
+    final = executed_plan(df).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("FileScan parquet") == 1

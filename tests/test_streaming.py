@@ -915,3 +915,83 @@ def test_stream_dedup_postings_empty_marker_treated_as_absent(spark, tmp_path):
     w2 = IncrementalDedupIndex(str(root))
     w2.process(docs.where(F.col("doc_id") == 2), 1)  # must not raise
     assert _fs_read_text(spark, str(marker)).strip() == fingerprint
+
+
+def test_scd2_batch0_double_delivery_collapses_to_one_version(spark, tmp_path):
+    """At-least-once double delivery WITHIN the first micro-batch: the
+    batch-0 branch must dedupe event_id like the merge branch does, or
+    the duplicated event emits two version rows (one zero-length
+    interval). r15 latent-backlog pin."""
+    import datetime as dt
+
+    from fintech_data_lake_as_code_spark.streaming.queries import (
+        Scd2Merger,
+        _scd2_rows,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, ts timestamp"
+    )
+    dup = (1, 7, "signup", 1.0, t0)
+    b0 = spark.createDataFrame(
+        [dup, dup, (3, 7, "click", 3.0, t0 + 2 * m)], schema
+    )
+    mg = Scd2Merger(str(tmp_path / "scd2_dup"))
+    mg.merge(b0, 0)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(mg.latest_dir())
+        .select("user_id", "event_id", "valid_from_epoch",
+                "valid_to_epoch", "is_current")
+        .collect()
+    )
+    truth = sorted(
+        tuple(r)
+        for r in _scd2_rows(
+            spark.createDataFrame([dup, (3, 7, "click", 3.0, t0 + 2 * m)],
+                                  schema)
+        )
+        .select("user_id", "event_id", "valid_from_epoch",
+                "valid_to_epoch", "is_current")
+        .collect()
+    )
+    assert got == truth
+    assert len(got) == 2  # one version row per unique event
+
+
+def test_watermark_late_source_is_pid_keyed_and_sweeps_dead_owners(
+    spark, sf_dir
+):
+    """The PID-keyed landing (ADVICE r14): a dir owned by a DEAD process
+    is reclaimed, a dir owned by a LIVE foreign process is untouchable,
+    and non-pid entries are ignored — so concurrent sessions can never
+    rmtree the dir a peer's running file-stream source is polling."""
+    import os
+    import subprocess
+
+    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.registry import registry as reg
+
+    base = scratch_dir(sf_dir, "stream_late")
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead_dir = os.path.join(base, f"pid{p.pid}")
+    live_dir = os.path.join(base, "pid1")  # PID 1 always exists
+    other = os.path.join(base, "not_a_pid")
+    for d in (dead_dir, live_dir, other):
+        os.makedirs(d, exist_ok=True)
+    try:
+        df = reg()["stream_watermark_late"].fn(spark, sf_dir)
+        assert df.count() > 0
+        assert not os.path.exists(dead_dir), "dead owner's dir not swept"
+        assert os.path.exists(live_dir), "live peer's dir must survive"
+        assert os.path.exists(other), "non-pid entries are not ours to sweep"
+        assert os.path.isdir(os.path.join(base, f"pid{os.getpid()}"))
+    finally:
+        import shutil
+
+        shutil.rmtree(live_dir, ignore_errors=True)
+        shutil.rmtree(other, ignore_errors=True)

@@ -169,3 +169,19 @@ def test_vectorized_agg_integer_moments(spark, edge_dir):
         math.sqrt(float(n * sxx - sx * sx) / float(n) / float(n - 1)) / 1e6, 4
     )
     assert rows[0][2] == exp
+
+
+def test_collation_literals_are_in_domain(spark, sf_dir):
+    """The UTF8_LCASE equality and ordering counts must SPLIT the data:
+    the pre-r15 out-of-domain literals ('web', 'n') matched 0 rows and
+    all rows respectively, so a collation regression graded green.
+    With 'src7'/'src15' over the src0..src19 tag universe both counts
+    sit strictly between 0 and n_rows."""
+    from fintech_data_lake_as_code_spark.registry import registry as reg
+
+    rows = reg()["fn_collation"].fn(spark, sf_dir).collect()
+    tot = sum(r.n_rows for r in rows)
+    eq = sum(r.n_src7_ci for r in rows)
+    ge = sum(r.n_ge_src15_ci for r in rows)
+    assert 0 < eq < tot
+    assert 0 < ge < tot
