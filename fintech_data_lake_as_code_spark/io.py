@@ -102,7 +102,27 @@ def write_marker(path: str, text: str) -> None:
     One copy, shared by every local marker guard (seeded_landing, the
     bucketed _LAYOUT, the Derby seed); the lake-scheme analog is
     streaming.queries._fs_write_text."""
+    import time
     import uuid
+
+    # sweep orphaned temp siblings a crashed writer left behind — but
+    # ONLY stale ones (a live peer's in-flight temp is milliseconds old;
+    # unlinking it would break the peer's os.replace), and never this
+    # write's own temp
+    d, base = os.path.split(path)
+    cutoff = time.time() - 3600
+    try:
+        for f in os.listdir(d or "."):
+            if not f.startswith(base + ".tmp."):
+                continue
+            p = os.path.join(d, f)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
+            except OSError:
+                pass  # raced with a peer's sweep/replace — already gone
+    except OSError:
+        pass  # unreadable dir: the marker write below will raise anyway
 
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:

@@ -646,3 +646,30 @@ def test_write_marker_is_absent_or_complete(tmp_path):
     assert marker.read_text() == "8:key:def\n"
     leftovers = [f for f in os.listdir(tmp_path) if f != "_LAYOUT"]
     assert not leftovers, leftovers
+
+
+def test_write_marker_sweeps_only_stale_orphan_temps(tmp_path):
+    # A crashed writer's .tmp.<uuid> sibling must not live forever — but
+    # a FRESH temp may belong to a live peer mid-write (unlinking it
+    # would break the peer's os.replace), and another marker's temps are
+    # not ours to touch. The sweep is age-gated and prefix-scoped.
+    import os
+    import time
+
+    from fintech_data_lake_as_code_spark.io import write_marker
+
+    marker = tmp_path / "_LAYOUT"
+    stale = tmp_path / "_LAYOUT.tmp.deadbeef"
+    fresh = tmp_path / "_LAYOUT.tmp.cafef00d"
+    other = tmp_path / "_OTHER.tmp.deadbeef"
+    for p in (stale, fresh, other):
+        p.write_text("orphan\n")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    os.utime(other, (old, old))
+
+    write_marker(str(marker), "8:key:abc")
+    assert marker.read_text() == "8:key:abc\n"
+    assert not stale.exists(), "stale orphan temp must be swept"
+    assert fresh.exists(), "a fresh temp may be a live peer's in-flight write"
+    assert other.exists(), "another marker's temps are not ours to sweep"
