@@ -36,6 +36,12 @@ def main() -> int:
         default="Asia/Kolkata",
         help="hostile session timezone (the driver may run anywhere)",
     )
+    ap.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated registry keys to rehearse instead of a "
+        "--start/--count window (changed-key spot checks)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,7 +59,18 @@ def main() -> int:
     from fintech_data_lake_as_code_spark.plans.oracle_check import compare
 
     qs, oracles = e.queries(), e.oracle_sql()
-    window = list(qs)[args.start : args.start + args.count]
+    if args.keys is not None:
+        window = [k.strip() for k in args.keys.split(",") if k.strip()]
+        unknown = [k for k in window if k not in qs]
+        if unknown or not window:
+            # same loud-failure stance as the empty window below
+            ap.error(
+                f"--keys selects nothing usable: unknown={unknown}"
+                if window
+                else "--keys is empty"
+            )
+    else:
+        window = list(qs)[args.start : args.start + args.count]
     if not window:
         # a mistyped --start/--count would otherwise print "0/0 ok" and
         # exit 0 — a silently-passing empty rehearsal is worse than none
@@ -71,8 +88,13 @@ def main() -> int:
         sys.stdout.write(f"\n{'ok  ' if ok else 'FAIL'} {key}: {res}\n")
         sys.stdout.flush()
         fails += 0 if ok else 1
+    label = (
+        f"keys[{','.join(window)}]"
+        if args.keys is not None
+        else f"keys[{args.start}:{args.start + len(window)}]"
+    )
     sys.stdout.write(
-        f"\nREHEARSAL keys[{args.start}:{args.start + len(window)}] "
+        f"\nREHEARSAL {label} "
         f"at {args.sf} tz={args.tz}: {len(window) - fails}/{len(window)} ok\n"
     )
     spark.stop()
