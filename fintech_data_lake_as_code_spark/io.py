@@ -88,6 +88,42 @@ def scratch_dir(sf_dir: str, key: str) -> str:
     return path
 
 
+def pid_scratch_dir(sf_dir: str, key: str) -> str:
+    """Per-PROCESS scratch subdir `<scratch>/<key>/pid<N>`, cleared on
+    entry so a rerun within one process is deterministic. A single
+    shared dir raced concurrent sessions over the same sf_dir (one
+    process rmtree'd the sink/checkpoint/source a peer's RUNNING
+    streaming query was using — ADVICE r14 on stream_watermark_late; the
+    same hazard applies to every streaming key that clears its scratch
+    up front), while a uuid-per-run dir leaked a full copy per
+    invocation with nothing ever reclaiming it. PID keying gives each
+    process its own dir; dirs left by DEAD processes are swept here so
+    growth stays bounded (kill-0 probe — a PID is never shared by two
+    live processes, so a live peer's dir is provably untouchable);
+    non-pid entries are not ours to sweep."""
+    import shutil
+
+    base = scratch_dir(sf_dir, key)
+    for d in os.listdir(base):
+        if not d.startswith("pid"):
+            continue
+        try:
+            owner = int(d[3:])
+        except ValueError:
+            continue
+        if owner == os.getpid():
+            continue
+        try:
+            os.kill(owner, 0)  # signal 0: existence probe, no delivery
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — a live peer, leave it
+    mine = os.path.join(base, f"pid{os.getpid()}")
+    shutil.rmtree(mine, ignore_errors=True)
+    return mine
+
+
 def write_marker(path: str, text: str) -> None:
     """Write a small marker file so it is always ABSENT or COMPLETE,
     never empty/torn: temp sibling + fsync + atomic os.replace. A bare

@@ -89,11 +89,10 @@ def _load_all_modules() -> None:
 # 50/50 green: the 49-key r10 cohort + the 1 stale regrade scan_avro).
 # Round 15 registers no new keys (no table-format jar on disk —
 # re-probed a fifth time, that axis stays closed, r11–r14 precedent)
-# and stale-marks TWO keys (see _STALE_REGRADE). Rank-(0,0) demand 2 +
-# the 47-key r11 cohort = 49 ≤ 50 — no overflow, `_DEFER_NEXT_ROUND`
-# is empty, the one spare slot falls to the first r12-vintage key in
-# registration order, and the floor lifts to r12 after the r15 grade
-# (pinned by tests/test_registry_vintage.py).
+# and stale-marks THREE keys (see _STALE_REGRADE). Rank-(0,0) demand 3
+# + the 47-key r11 cohort = exactly 50 — no overflow, no spare,
+# `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r12 after the
+# r15 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
     # round 11 greens — the r15 grading cohort (stalest)
     **dict.fromkeys(
@@ -222,21 +221,29 @@ _VERDICT_ROUND: dict[str, int] = {
 #   r13/r14 precedent: output-identical re-wraps re-certify) the r12
 #   verdict no longer covers the shipping join predicate.
 # - stream_watermark_late (r14 vintage, 1-round-old caution precedent):
-#   its fixed landing dir becomes applicationId-keyed this round
-#   (ADVICE r14 — two concurrent sessions raced on the shared dir, one
-#   rmtree'ing the dir the peer's file-stream source was polling).
-#   Output-identical, but the graded source-landing path is re-keyed.
+#   its fixed landing dir becomes PID-keyed this round (ADVICE r14 —
+#   two concurrent sessions raced on the shared dir, one rmtree'ing the
+#   dir the peer's file-stream source was polling; the sweep logic now
+#   lives in io.pid_scratch_dir). Output-identical, but the graded
+#   source-landing path is re-keyed.
+# - stream_backfill_availablenow (r14 vintage): the same shared-scratch
+#   race existed on its SINK+CHECKPOINT dirs (rmtree'd up front each
+#   run); re-keyed through io.pid_scratch_dir this round together with
+#   the rest of the family (stream_foreachbatch_merge/stream_scd2_apply/
+#   stream_dedup_incremental are r15-cohort or already stale, so their
+#   re-key is certified by this round's grade without extra slots —
+#   this key is the one family member that needed its own slot).
 _STALE_REGRADE = frozenset(
     {
         "stream_dedup_incremental",
         "stream_watermark_late",
+        "stream_backfill_availablenow",
     }
 )
 
-# Round 15 has no budget overflow: 2 rank-(0,0) stale regrades + the
-# 47-key r11 cohort = 49 < 50 (the spare slot falls to the first
-# r12-vintage key in registration order). tests/test_registry_vintage.py
-# pins that this deferral set is exactly as large as the budget overflow.
+# Round 15 has no budget overflow: 3 rank-(0,0) stale regrades + the
+# 47-key r11 cohort = exactly 50. tests/test_registry_vintage.py pins
+# that this deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
 

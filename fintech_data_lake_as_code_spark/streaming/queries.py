@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.exact import cents as _cents
-from ..io import load, scratch_dir
+from ..io import load, pid_scratch_dir, scratch_dir
 from ..registry import query
 
 _RUN_COUNTER = itertools.count()
@@ -266,41 +266,17 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    # PID-keyed source dir under a shared parent (ADVICE r14): a single
-    # fixed dir raced two concurrent sessions (one process rmtree'd the
-    # dir a peer's running file-stream source was polling), while the
-    # uuid-per-run shape this lineage replaced accumulated a full events
-    # copy per invocation with nothing ever reclaiming it. PID keying
-    # gives each process its own dir (concurrency-safe), the up-front
-    # rmtree reclaims THIS process's previous rep (bounded within a
-    # session), and dirs left by DEAD processes are swept below — live
-    # peers are provably untouchable (kill-0 probe; a PID cannot be
-    # shared by two live processes). No marker guard here ON PURPOSE:
-    # the in-run append of batch 2 makes the dir non-reusable, so every
-    # run pays the (cheap) landing write.
-    base = scratch_dir(sf_dir, "stream_late")
+    # PID-keyed source dir (ADVICE r14, io.pid_scratch_dir): concurrent
+    # sessions each land into their own subdir, dead owners' dirs are
+    # swept, this process's previous rep is cleared. No marker guard
+    # here ON PURPOSE: the in-run append of batch 2 makes the dir
+    # non-reusable, so every run pays the (cheap) landing write.
+    src = pid_scratch_dir(sf_dir, "stream_late")
     # legacy pre-r15 fixed dir: reclaim once, nothing writes it anymore
     shutil.rmtree(
-        os.path.join(os.path.dirname(base), "stream_late_src"),
+        os.path.join(os.path.dirname(src), "..", "stream_late_src"),
         ignore_errors=True,
     )
-    for d in os.listdir(base):
-        if not d.startswith("pid"):
-            continue
-        try:
-            owner = int(d[3:])
-        except ValueError:
-            continue
-        if owner == os.getpid():
-            continue
-        try:
-            os.kill(owner, 0)  # signal 0: existence probe, no delivery
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-        except PermissionError:
-            pass  # alive under another uid — a live peer, leave it
-    src = os.path.join(base, f"pid{os.getpid()}")
-    shutil.rmtree(src, ignore_errors=True)
     ev = load(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
     ev.coalesce(2).write.mode("overwrite").json(src + "/batch1")
@@ -613,14 +589,13 @@ def stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's DMS task state. Readback aggregates the lake by partition and
     must equal the batch aggregate (full oracle: nothing lost, nothing
     duplicated)."""
-    import shutil
-
     src = _events_json_dir(spark, sf_dir)
-    out = scratch_dir(sf_dir, "stream_backfill_out")
-    ckpt = scratch_dir(sf_dir, "stream_backfill_ckpt")
-    # deterministic rerun within one process/session: clear sink+offsets
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # PID-keyed sink+offsets (io.pid_scratch_dir): cleared on entry for
+    # a deterministic rerun, isolated per process so a peer session's
+    # clear can never race this query's running checkpoint/sink — the
+    # stream_foreachbatch_merge rationale
+    out = pid_scratch_dir(sf_dir, "stream_backfill_out")
+    ckpt = pid_scratch_dir(sf_dir, "stream_backfill_ckpt")
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -1073,13 +1048,13 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     work scales with batch + snapshot, never with stream history. The
     oracle is the batch latest-state over the whole event log — the
     merged snapshot must equal it exactly."""
-    import shutil
-
     src = _events_json_dir(spark, sf_dir)
-    root = scratch_dir(sf_dir, "stream_fbm_versions")
-    ckpt = scratch_dir(sf_dir, "stream_fbm_ckpt")
-    shutil.rmtree(root, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # PID-keyed (io.pid_scratch_dir): clearing a SHARED versions/ckpt
+    # root raced concurrent sessions — one process rmtree'd the snapshot
+    # generation a peer's running merge was reading back (the
+    # stream_watermark_late hazard, ADVICE r14, applied to the sink side)
+    root = pid_scratch_dir(sf_dir, "stream_fbm_versions")
+    ckpt = pid_scratch_dir(sf_dir, "stream_fbm_ckpt")
 
     merger = SnapshotMerger(root)
     stream = (
@@ -1419,13 +1394,10 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension must equal the from-scratch computation exactly — the
     strongest possible check that late-arriving changes were spliced
     into history correctly."""
-    import shutil
-
     src = _events_json_dir(spark, sf_dir)
-    root = scratch_dir(sf_dir, "stream_scd2_versions")
-    ckpt = scratch_dir(sf_dir, "stream_scd2_ckpt")
-    shutil.rmtree(root, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # PID-keyed roots — the stream_foreachbatch_merge rationale
+    root = pid_scratch_dir(sf_dir, "stream_scd2_versions")
+    ckpt = pid_scratch_dir(sf_dir, "stream_scd2_ckpt")
 
     merger = Scd2Merger(root)
     stream = (
@@ -1914,13 +1886,14 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory, and replayed batches are idempotent overwrites (see
     `IncrementalDedupIndex`)."""
     import os
-    import shutil
 
     src = _docs_json_dir(spark, sf_dir)
-    root = scratch_dir(sf_dir, "stream_dedup_inc")
-    ckpt = scratch_dir(sf_dir, "stream_dedup_inc_ckpt")
-    shutil.rmtree(root, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # PID-keyed roots — the stream_foreachbatch_merge rationale; the
+    # postings table name hashes the root (IncrementalDedupIndex), so
+    # per-process roots also give per-process catalog identities and two
+    # live sessions can never insert into one bucketed table's location
+    root = pid_scratch_dir(sf_dir, "stream_dedup_inc")
+    ckpt = pid_scratch_dir(sf_dir, "stream_dedup_inc_ckpt")
 
     docs_schema = T.StructType(
         [

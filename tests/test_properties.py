@@ -673,3 +673,33 @@ def test_write_marker_sweeps_only_stale_orphan_temps(tmp_path):
     assert not stale.exists(), "stale orphan temp must be swept"
     assert fresh.exists(), "a fresh temp may be a live peer's in-flight write"
     assert other.exists(), "another marker's temps are not ours to sweep"
+
+
+def test_pid_scratch_dir_contract(tmp_path, monkeypatch):
+    # io.pid_scratch_dir (the streaming keys' shared scratch isolation):
+    # a dead owner's dir is reclaimed, a live foreign process's dir is
+    # untouchable, non-pid entries are ignored, and this process's own
+    # previous dir is cleared so reruns are deterministic.
+    import os
+    import subprocess
+
+    from fintech_data_lake_as_code_spark import io as fio
+
+    monkeypatch.setattr(fio, "SCRATCH_ROOT", str(tmp_path))
+    sf = str(tmp_path / "sfX")
+    base = fio.scratch_dir(sf, "k")
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead = os.path.join(base, f"pid{p.pid}")
+    live = os.path.join(base, "pid1")  # PID 1 always exists
+    other = os.path.join(base, "not_a_pid")
+    mine_debris = os.path.join(base, f"pid{os.getpid()}", "debris")
+    for d in (dead, live, other, mine_debris):
+        os.makedirs(d, exist_ok=True)
+
+    mine = fio.pid_scratch_dir(sf, "k")
+    assert mine == os.path.join(base, f"pid{os.getpid()}")
+    assert not os.path.exists(dead), "dead owner's dir not swept"
+    assert os.path.exists(live), "live peer's dir must survive"
+    assert os.path.exists(other), "non-pid entries are not ours to sweep"
+    assert not os.path.exists(mine), "own previous dir is cleared on entry"
