@@ -148,3 +148,55 @@ def test_stale_set_keys_exist():
     keys = set(R.registry().keys())
     unknown = set(R._STALE_REGRADE) - keys
     assert not unknown, f"stale-regrade names not in registry: {sorted(unknown)}"
+
+
+# Keys whose LATEST recorded grade legitimately-or-knowingly carries zero
+# oracle rows. A 0-row hash match certifies schema only — the operator
+# could be arbitrarily wrong and still grade green — so every entry here
+# is either scheduled to be made discriminating (with the round) or must
+# carry a rationale. Remove each key when its fix re-grades non-empty.
+VACUOUS_EMPTY_ALLOWED = {
+    # fixture gives every customer an order; threshold fix stocked r16
+    "join_anti",
+    # every sf0.01 viewer also purchases; anti-predicate fix stocked r17
+    "rule_b10_cross_sell",
+}
+
+
+def test_latest_grades_are_not_vacuously_empty(green_rounds):
+    """No key's latest green verdict may rest on a 0-row result.
+
+    The r15 vacuousness audit over recorded `oracle_rows` found two keys
+    grading green on structurally empty results (the fn_collation class
+    of hazard, caught there by hand). This pins the audit: any future
+    key — or fixture regeneration — that drains a graded result to zero
+    rows fails here instead of silently certifying nothing."""
+    latest: dict[str, tuple[int, int | None]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        try:
+            data = json.load(open(path))
+        except (json.JSONDecodeError, OSError):
+            continue
+        for key, v in data.items():
+            if isinstance(v, dict) and _green(v):
+                latest[key] = (rnd, v.get("oracle_rows"))
+    empty = {
+        k: rnd
+        for k, (rnd, n) in latest.items()
+        if n == 0 and k not in VACUOUS_EMPTY_ALLOWED
+    }
+    assert not empty, (
+        f"keys whose latest green grade is a 0-row match: {empty} — make "
+        "the query discriminating on the fixture or whitelist with a "
+        "rationale in VACUOUS_EMPTY_ALLOWED"
+    )
+    stale_whitelist = {
+        k
+        for k in VACUOUS_EMPTY_ALLOWED
+        if k in latest and latest[k][1] not in (0, None)
+    }
+    assert not stale_whitelist, (
+        f"whitelisted keys now grade non-empty — drop them from "
+        f"VACUOUS_EMPTY_ALLOWED: {sorted(stale_whitelist)}"
+    )
