@@ -81,3 +81,68 @@ def seeded_dir(request, tmp_path_factory) -> str:
 def test_seeded_events_match_oracle(spark, seeded_dir, key):
     rows = _compare(spark, key, seeded_dir)
     assert rows, f"{key} produced no rows on the seeded fixture"
+
+
+JOIN_KEYS = (
+    "join_anti",            # non-empty anti set HERE (fixture-dead on sf)
+    "join_semi",
+    "join_left_right_full",  # unmatched accounting on BOTH sides
+    "join_lateral",         # per-key top-2 under planted price ties
+)
+
+
+@pytest.fixture(scope="module", params=[7, 4242])
+def join_dir(request, tmp_path_factory) -> str:
+    """customer/orders where the shipped fixture's blind spots are live:
+    ~1/3 of customers have NO orders (the sf tables give every customer
+    an order, so join_anti's sf0.01 result is structurally empty), some
+    orders are ORPHANS (o_custkey outside customer — right/full
+    unmatched legs), and o_totalprice draws from a .125 grid so the
+    lateral top-2 hits exact price ties broken by o_orderkey."""
+    rng = np.random.default_rng(request.param)
+    d = str(tmp_path_factory.mktemp(f"join_sf_{request.param}"))
+    n_cust = 30
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(1, n_cust + 1), type=pa.int64()),
+                "c_nationkey": pa.array(
+                    rng.integers(0, 5, n_cust), type=pa.int64()
+                ),
+                "c_mktsegment": pa.array(
+                    rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD"], n_cust),
+                    type=pa.string(),
+                ),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    n_ord = 120
+    # order owners: customers 1..20 only (21..30 are anti-join rows),
+    # plus orphan keys 900+ that match no customer
+    owners = np.concatenate(
+        [rng.integers(1, 21, n_ord - 8), 900 + rng.integers(0, 4, 8)]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(1, n_ord + 1), type=pa.int64()),
+                "o_custkey": pa.array(owners, type=pa.int64()),
+                "o_totalprice": pa.array(
+                    rng.integers(8_000, 8_040, n_ord) * 0.125,
+                    type=pa.float64(),
+                ),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    return d
+
+
+@pytest.mark.parametrize("key", JOIN_KEYS)
+def test_seeded_joins_match_oracle(spark, join_dir, key):
+    rows = _compare(spark, key, join_dir)
+    assert rows, f"{key} produced no rows on the seeded join fixture"
+    if key == "join_anti":
+        # customers 21..30 have no orders: the anti leg is LIVE here
+        assert sum(r[1] for r in rows) == 10
