@@ -146,3 +146,67 @@ def test_seeded_joins_match_oracle(spark, join_dir, key):
     if key == "join_anti":
         # customers 21..30 have no orders: the anti leg is LIVE here
         assert sum(r[1] for r in rows) == 10
+
+
+DEDUP_KEYS = (
+    "dedup_exact",
+    "dedup_ngram_jaccard",   # PPJoin prefix filter on borderline pairs
+    "dedup_near_minhash",    # 16-perm banding, bit-exact in both engines
+    "dedup_simhash",         # 6x10-bit bands + Hamming-1 multi-probe
+)
+
+
+@pytest.fixture(scope="module", params=[31337, 271828])
+def dedup_dir(request, tmp_path_factory) -> str:
+    """documents drawn from a 40-word vocabulary so random pairs carry
+    NATURAL partial shingle overlap — including pairs near the 0.6
+    Jaccard / hamming-9 decision boundaries the shipped corpus only
+    approaches from the planted-twin side. Every dedup oracle mirrors
+    its full pipeline (perturbation, perms, banding, multi-probe) in
+    DuckDB, so the compare is bit-exact even for the probabilistic
+    blockers."""
+    rng = np.random.default_rng(request.param)
+    d = str(tmp_path_factory.mktemp(f"dedup_sf_{request.param}"))
+    vocab = np.array([f"w{i}" for i in range(400)])
+    # 15 base docs + for each a MUTANT with a substitution rate swept
+    # 0..40%: the pair spectrum crosses the Jaccard-0.6 / hamming-9
+    # decision boundaries from both sides (the shipped corpus only has
+    # extreme twins). A boundary pair a probabilistic blocker misses is
+    # missed identically in the mirrored oracle — bit-exact, no flakes.
+    texts = []
+    for i in range(15):
+        words = rng.choice(vocab, rng.integers(24, 41))
+        texts.append(" ".join(words))
+        mut = words.copy()
+        k = int(len(mut) * (0.4 * i / 14))
+        if k:
+            mut[rng.choice(len(mut), k, replace=False)] = rng.choice(
+                vocab, k
+            )
+        texts.append(" ".join(mut))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(30), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * 30, type=pa.string()),
+                "source": pa.array(
+                    rng.choice(["web", "books", "code"], 30),
+                    type=pa.string(),
+                ),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+@pytest.mark.parametrize("key", DEDUP_KEYS)
+def test_seeded_dedup_matches_oracle(spark, dedup_dir, key):
+    # rows may legitimately be empty for a seed (near-dup content is
+    # random); the value is the bit-exact compare across the boundary
+    # pairs, not a fixed count
+    _compare(spark, key, dedup_dir)
