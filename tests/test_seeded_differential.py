@@ -210,3 +210,66 @@ def test_seeded_dedup_matches_oracle(spark, dedup_dir, key):
     # random); the value is the bit-exact compare across the boundary
     # pairs, not a fixed count
     _compare(spark, key, dedup_dir)
+
+
+EMB_KEYS = (
+    "dedup_embedding_cosine",  # 0.99 bp gate from both sides
+    "sim_topk_cosine",         # exact ranking on a fresh distribution
+    "embedding_quantize_int8",  # bound contract on adversarial vectors
+)
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory) -> str:
+    """embeddings: 40 random float32 vectors (ids 0..39, labels id%5 —
+    the query set 0..9 stays populated) plus four CRAFTED same-label
+    pairs at cosine 0.9950 / 0.9905 / 0.9895 / 0.9850 — the 0.99 gate
+    approached from both sides with a >=5e-4 margin (float32 storage
+    shifts the realized cosine by ~1e-7, so neither engine can land on
+    the bp rounding knife edge). Crafted ids are odd, dodging the
+    operator's own %10 twin planting; crafted labels >= 10 so random
+    vectors never join them."""
+    rng = np.random.default_rng(90210)
+    d = str(tmp_path_factory.mktemp("emb_sf"))
+    dim = 16
+    ids, labels, vecs = [], [], []
+    for i in range(40):
+        ids.append(i)
+        labels.append(i % 5)
+        vecs.append(rng.normal(size=dim))
+    for j, cos in enumerate([0.9950, 0.9905, 0.9895, 0.9850]):
+        v1 = rng.normal(size=dim)
+        v1 /= np.linalg.norm(v1)
+        u = rng.normal(size=dim)
+        u -= (u @ v1) * v1
+        u /= np.linalg.norm(u)
+        v2 = cos * v1 + np.sqrt(1 - cos * cos) * u
+        ids += [201 + 4 * j, 203 + 4 * j]
+        labels += [10 + j, 10 + j]
+        vecs += [v1, v2]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels, type=pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return d
+
+
+@pytest.mark.parametrize("key", EMB_KEYS)
+def test_seeded_embeddings_match_oracle(spark, emb_dir, key):
+    rows = _compare(spark, key, emb_dir)
+    assert rows, f"{key} produced no rows on the seeded embeddings"
+    if key == "dedup_embedding_cosine":
+        crafted = {
+            (a, b) for a, b, _ in [tuple(r) for r in rows] if a >= 200
+        }
+        # both above-gate pairs in, both below-gate pairs out
+        assert crafted == {(201, 203), (205, 207)}, crafted
