@@ -24,6 +24,11 @@ KEYS = (
     "win_match_recognize",    # per-user sequence order under ties
     "win_islands_consecutive",  # gap/island edges under duplicate ts
     "win_sessionize",         # session splits exactly at the gap bound
+    "rule_b3_overdraft_freeze",  # ledger sign + 24h freeze windows
+    "cdc_latest_state",       # max_by under exact (ts, event_id) ties
+    "win_ewma",               # integer-exact EWMA on a fresh series
+    "win_drawdown",           # running-peak drawdown under ties
+    "agg_retention_cohort",   # cohort-day bucketing across day edges
 )
 
 
