@@ -29,6 +29,11 @@ KEYS = (
     "win_ewma",               # integer-exact EWMA on a fresh series
     "win_drawdown",           # running-peak drawdown under ties
     "agg_retention_cohort",   # cohort-day bucketing across day edges
+    "agg_maxby_latest",       # max_by ties on duplicate (user, ts)
+    "agg_mode_exact",         # mode tie-break on the .5-cent value grid
+    "agg_gini",               # exact-cents Lorenz sums, fresh spend curve
+    "agg_time_rollup",        # hour/day bucket edges on collided ts
+    "agg_benford_digits",     # leading-digit histogram, single-scan
 )
 
 
