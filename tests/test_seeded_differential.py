@@ -283,3 +283,146 @@ def test_seeded_embeddings_match_oracle(spark, emb_dir, key):
         }
         # both above-gate pairs in, both below-gate pairs out
         assert crafted == {(201, 203), (205, 207)}, crafted
+
+
+LAKE_KEYS = (
+    "sql_pricing_summary",  # Q1 cutoff actually filters rows here
+    "profile_columns",      # value-histogram profile on fresh grids
+    "subquery_family",      # decorrelation + exact cross-multiply avg
+    "sort_multi",           # multi-key sort with planted priority ties
+    "limit_topk",           # top-k tie-breaks on the .125 price grid
+    "topk_per_group",       # per-group rank ties
+    "agg_percentile",       # exact percentiles landing ON tied values
+)
+
+
+@pytest.fixture(scope="module", params=[60901, 13])
+def lake_dir(request, tmp_path_factory) -> str:
+    """Full-schema customer/orders/nation/lineitem with adversarial
+    value grids: prices on .125 and discounts/taxes on .005 (exact
+    .5-cent rounding ties), order priorities drawn from a 3-value pool
+    so multi-key sorts tie on the leading key, and l_shipdate
+    STRADDLING the 1998-09-01 pricing-summary cutoff (the shipped
+    fixture exercises only one side of the predicate)."""
+    rng = np.random.default_rng(request.param)
+    d = str(tmp_path_factory.mktemp(f"lake_sf_{request.param}"))
+    n_cust, n_ord, n_li = 30, 120, 400
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(1, n_cust + 1), type=pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer{i}" for i in range(1, n_cust + 1)],
+                    type=pa.string(),
+                ),
+                "c_nationkey": pa.array(
+                    rng.integers(0, 5, n_cust), type=pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    rng.integers(-8_000, 80_000, n_cust) * 0.125,
+                    type=pa.float64(),
+                ),
+                "c_mktsegment": pa.array(
+                    rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD"], n_cust),
+                    type=pa.string(),
+                ),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(5), type=pa.int32()),
+                "n_name": pa.array(
+                    [f"NATION{i}" for i in range(5)], type=pa.string()
+                ),
+                "n_regionkey": pa.array([0, 0, 1, 1, 1], type=pa.int32()),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+    cutoff = 904_608_000  # 1998-09-01 00:00:00 UTC
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(1, n_ord + 1), type=pa.int64()),
+                "o_custkey": pa.array(
+                    np.concatenate(
+                        [rng.integers(1, 21, n_ord - 8),
+                         900 + rng.integers(0, 4, 8)]
+                    ),
+                    type=pa.int64(),
+                ),
+                "o_orderstatus": pa.array(
+                    rng.choice(["O", "F", "P"], n_ord), type=pa.string()
+                ),
+                "o_totalprice": pa.array(
+                    rng.integers(8_000, 8_040, n_ord) * 0.125,
+                    type=pa.float64(),
+                ),
+                "o_orderdate": pa.array(
+                    (cutoff + rng.integers(-100, 100, n_ord) * 86_400)
+                    * 1_000_000,
+                    type=pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    rng.choice(
+                        ["1-URGENT", "2-HIGH", "3-MEDIUM"], n_ord
+                    ),
+                    type=pa.string(),
+                ),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(
+                    rng.integers(1, n_ord + 1, n_li), type=pa.int64()
+                ),
+                "l_partkey": pa.array(
+                    rng.integers(1, 51, n_li), type=pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    rng.integers(1, 11, n_li), type=pa.int64()
+                ),
+                "l_linenumber": pa.array(
+                    rng.integers(1, 8, n_li), type=pa.int32()
+                ),
+                "l_quantity": pa.array(
+                    rng.integers(4, 200, n_li) * 0.25, type=pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    rng.integers(8_000, 80_000, n_li) * 0.125,
+                    type=pa.float64(),
+                ),
+                "l_discount": pa.array(
+                    rng.integers(0, 21, n_li) * 0.005, type=pa.float64()
+                ),
+                "l_tax": pa.array(
+                    rng.integers(0, 17, n_li) * 0.005, type=pa.float64()
+                ),
+                "l_returnflag": pa.array(
+                    rng.choice(["A", "N", "R"], n_li), type=pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    rng.choice(["O", "F"], n_li), type=pa.string()
+                ),
+                "l_shipdate": pa.array(
+                    (cutoff + rng.integers(-90, 90, n_li) * 86_400)
+                    * 1_000_000,
+                    type=pa.timestamp("us"),
+                ),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    return d
+
+
+@pytest.mark.parametrize("key", LAKE_KEYS)
+def test_seeded_lake_tables_match_oracle(spark, lake_dir, key):
+    rows = _compare(spark, key, lake_dir)
+    assert rows, f"{key} produced no rows on the seeded lake tables"
