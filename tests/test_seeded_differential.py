@@ -163,6 +163,8 @@ DEDUP_KEYS = (
     "dedup_ngram_jaccard",   # PPJoin prefix filter on borderline pairs
     "dedup_near_minhash",    # 16-perm banding, bit-exact in both engines
     "dedup_simhash",         # 6x10-bit bands + Hamming-1 multi-probe
+    "dedup_cluster_cc",      # label propagation over TRANSITIVE chains
+    "dedup_keep_best",       # survivor election within chained clusters
 )
 
 
@@ -194,14 +196,26 @@ def dedup_dir(request, tmp_path_factory) -> str:
                 vocab, k
             )
         texts.append(" ".join(mut))
+        # TRANSITIVE chains for the CC keys: bases 2 and 4 get a
+        # GRANDCHILD mutated ~10% further from the mutant — similar to
+        # the mutant, usually not to the base, so the cluster only
+        # forms through label propagation, not direct pairing
+        if i in (2, 4):
+            gc = mut.copy()
+            k2 = max(1, len(gc) // 10)
+            gc[rng.choice(len(gc), k2, replace=False)] = rng.choice(
+                vocab, k2
+            )
+            texts.append(" ".join(gc))
+    n_docs = len(texts)
     pq.write_table(
         pa.table(
             {
-                "doc_id": pa.array(range(30), type=pa.int64()),
+                "doc_id": pa.array(range(n_docs), type=pa.int64()),
                 "text": pa.array(texts, type=pa.string()),
-                "lang": pa.array(["en"] * 30, type=pa.string()),
+                "lang": pa.array(["en"] * n_docs, type=pa.string()),
                 "source": pa.array(
-                    rng.choice(["web", "books", "code"], 30),
+                    rng.choice(["web", "books", "code"], n_docs),
                     type=pa.string(),
                 ),
                 "n_chars": pa.array(
@@ -293,6 +307,7 @@ LAKE_KEYS = (
     "limit_topk",           # top-k tie-breaks on the .125 price grid
     "topk_per_group",       # per-group rank ties
     "agg_percentile",       # exact percentiles landing ON tied values
+    "graph_pagerank",       # 10 integer-exact iterations, fresh graph
 )
 
 
