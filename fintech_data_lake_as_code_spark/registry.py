@@ -80,47 +80,24 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r14.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r15.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r14 fold the vintage
-# census is 47@r11 / 48@r12 / 49@r13 / 50@r14 (CORRECTNESS_r14 was
-# 50/50 green: the 49-key r10 cohort + the 1 stale regrade scan_avro).
-# Round 15 registers no new keys (no table-format jar on disk —
-# re-probed a fifth time, that axis stays closed, r11–r14 precedent)
-# and stale-marks THREE keys (see _STALE_REGRADE). Rank-(0,0) demand 3
-# + the 47-key r11 cohort = exactly 50 — no overflow, no spare,
-# `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r12 after the
-# r15 grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r15 fold the vintage
+# census is 47@r12 / 49@r13 / 48@r14 / 50@r15 (CORRECTNESS_r15 was
+# 50/50 green: the 47-key r11 cohort + the 3 stale regrades
+# stream_dedup_incremental / stream_watermark_late /
+# stream_backfill_availablenow). Round 16 registers no new keys (no
+# table-format jar on disk — re-probed a SIXTH time, that axis stays
+# closed, r11–r15 precedent) and stale-marks TWO keys (see
+# _STALE_REGRADE). Rank-(0,0) demand 2 + the 47-key r12 cohort = 49 —
+# one slot of natural headroom (the 50th prefix slot falls to the
+# first-registered r13 key, which simply re-certifies a round early),
+# `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r13 after the
+# r16 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 11 greens — the r15 grading cohort (stalest)
-    **dict.fromkeys(
-        [
-            "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
-            "agg_kanonymity", "agg_mode_exact", "agg_pareto_8020",
-            "agg_regression_ols", "dedup_cluster_cc",
-            "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
-            "dedup_semantic_cluster", "dq_expectations",
-            "embedding_quantize_int8", "fn_collation", "fn_conditional",
-            "fn_crypto", "fn_datetime", "fn_math_decimal", "fn_string",
-            "fn_try_ansi",
-            "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
-            "join_spatial_grid",
-            "sample_negative_pairs", "sample_temperature_mix",
-            "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
-            "sim_topk_ivf_kmeans", "sink_compression_codecs",
-            "sink_write_audit_publish", "sql_recursive_cte",
-            "stream_foreachbatch_merge", "stream_scd2_apply",
-            "stream_tws_topk_state", "subquery_family",
-            "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
-            "win_anomaly_zscore", "win_drawdown", "win_ewma",
-            "win_match_recognize", "win_resample_interp",
-            "win_transition_matrix",
-        ],
-        11,
-    ),
-    # round 12 greens
+    # round 12 greens — the r16 grading cohort (stalest)
     **dict.fromkeys(
         [
             "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
@@ -139,7 +116,6 @@ _VERDICT_ROUND: dict[str, int] = {
             "rule_b4_first_forex", "rule_b5_limit_3days",
             "rule_b6_enquiry_intent", "rule_b7_regular_forex",
             "rule_b8_regular_investor", "rule_b9_large_investor",
-            "stream_dedup_incremental",
             "stream_observe_metrics", "stream_python_datasource",
             "stream_transform_with_state",
             "text_bpe_train", "win_rfm_score",
@@ -172,8 +148,7 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         13,
     ),
-    # round 14 greens — freshest, grade last (CORRECTNESS_r14: 50/50 =
-    # the 49-key r10 cohort + the stale regrade scan_avro)
+    # round 14 greens
     **dict.fromkeys(
         [
             "agg_approx_percentile", "agg_histogram_bins",
@@ -192,57 +167,80 @@ _VERDICT_ROUND: dict[str, int] = {
             "scan_text", "scan_xml", "set_bag_ops",
             "sink_compacted", "sink_partitioned",
             "sink_sorted_lake", "sink_zorder_lake",
-            "sql_pricing_summary", "stream_backfill_availablenow",
+            "sql_pricing_summary",
             "stream_bronze_ingest",
             "stream_dedupe", "stream_join_static",
             "stream_rate_sim", "stream_session", "stream_sliding",
             "stream_stateful_freeze", "stream_stream_join",
             "stream_tumbling",
-            "stream_watermark_late", "text_decontaminate",
+            "text_decontaminate",
             "text_ngram_freq",
         ],
         14,
+    ),
+    # round 15 greens — freshest, grade last (CORRECTNESS_r15: 50/50 =
+    # the 47-key r11 cohort + the 3 stale regrades)
+    **dict.fromkeys(
+        [
+            "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
+            "agg_kanonymity", "agg_mode_exact", "agg_pareto_8020",
+            "agg_regression_ols", "dedup_cluster_cc",
+            "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
+            "dedup_semantic_cluster", "dq_expectations",
+            "embedding_quantize_int8", "fn_collation", "fn_conditional",
+            "fn_crypto", "fn_datetime", "fn_math_decimal", "fn_string",
+            "fn_try_ansi",
+            "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
+            "join_spatial_grid",
+            "sample_negative_pairs", "sample_temperature_mix",
+            "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
+            "sim_topk_ivf_kmeans", "sink_compression_codecs",
+            "sink_write_audit_publish", "sql_recursive_cte",
+            "stream_backfill_availablenow", "stream_dedup_incremental",
+            "stream_foreachbatch_merge", "stream_scd2_apply",
+            "stream_tws_topk_state", "stream_watermark_late",
+            "subquery_family",
+            "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
+            "win_anomaly_zscore", "win_drawdown", "win_ewma",
+            "win_match_recognize", "win_resample_interp",
+            "win_transition_matrix",
+        ],
+        15,
     ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The r14 stale (scan_avro) was re-certified in r14
-# (CORRECTNESS_r14 50/50 green). Round-15 code changes outside the r11
-# grading cohort (whose latent-backlog fixes — scd2 batch-0 dedupe, WAP
-# verdict-flip clear, integer-bp cosine gates, cluster_cc stall-detector
-# tidy, fn_collation in-domain literals, benford single-scan — grade
-# this round by vintage and need no stale slots) touch TWO keys:
-# - stream_dedup_incremental (r12 vintage): ADVICE r14 medium — the r14
-#   shared-PPJoin-core refactor changed the `_candidate_ids` join
-#   predicate it executes every micro-batch (the `~b.is_new | (a < b)`
-#   orientation guard). Behavior is provably unchanged for the all-old
-#   streaming index side, but by this file's own discipline (scan_avro
-#   r13/r14 precedent: output-identical re-wraps re-certify) the r12
-#   verdict no longer covers the shipping join predicate.
-# - stream_watermark_late (r14 vintage, 1-round-old caution precedent):
-#   its fixed landing dir becomes PID-keyed this round (ADVICE r14 —
-#   two concurrent sessions raced on the shared dir, one rmtree'ing the
-#   dir the peer's file-stream source was polling; the sweep logic now
-#   lives in io.pid_scratch_dir). Output-identical, but the graded
-#   source-landing path is re-keyed.
-# - stream_backfill_availablenow (r14 vintage): the same shared-scratch
-#   race existed on its SINK+CHECKPOINT dirs (rmtree'd up front each
-#   run); re-keyed through io.pid_scratch_dir this round together with
-#   the rest of the family (stream_foreachbatch_merge/stream_scd2_apply/
-#   stream_dedup_incremental are r15-cohort or already stale, so their
-#   re-key is certified by this round's grade without extra slots —
-#   this key is the one family member that needed its own slot).
+# never-graded keys. The r15 stales (stream_dedup_incremental /
+# stream_watermark_late / stream_backfill_availablenow) were all
+# re-certified in r15 (CORRECTNESS_r15 50/50 green). Round-16 code
+# changes outside the r12 grading cohort (whose one latent-backlog fix —
+# join_anti's discriminating orders-side threshold — grades this round
+# by vintage and needs no stale slot) touch TWO keys, both r13-vintage
+# fixes pulled forward from r17 onto the round's spare slots (VERDICT
+# r15 "Next round" #3/#4 — the slots are free, so waiting a round
+# leaves known-weak grades standing for no reason):
+# - rule_b10_cross_sell (r13 vintage): the r15 vacuousness audit showed
+#   its latest grade rests on a 0-row result (every sf0.01 pension-fund
+#   regular also purchases other products, so the anti-join drains and
+#   the green certifies schema only). The anti predicate becomes
+#   discriminating ("no purchase with value > 150") in BOTH query and
+#   oracle — a graded-output change, so the r13 verdict is void.
+# - text_fingerprint (r13 vintage): latent int64 overflow — the
+#   `% 1000000007` modulus applied only AFTER the full position-weighted
+#   sum, so a ~150k-word document overflows the ANSI BIGINT sum. Terms
+#   are now reduced mod M BEFORE summing (the polynomial identity holds
+#   under modular reduction), oracle changed identically — the graded
+#   expression changed, so the r13 verdict is void.
 _STALE_REGRADE = frozenset(
     {
-        "stream_dedup_incremental",
-        "stream_watermark_late",
-        "stream_backfill_availablenow",
+        "rule_b10_cross_sell",
+        "text_fingerprint",
     }
 )
 
-# Round 15 has no budget overflow: 3 rank-(0,0) stale regrades + the
-# 47-key r11 cohort = exactly 50. tests/test_registry_vintage.py pins
+# Round 16 has no budget overflow: 2 rank-(0,0) stale regrades + the
+# 47-key r12 cohort = 49 of 50. tests/test_registry_vintage.py pins
 # that this deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
