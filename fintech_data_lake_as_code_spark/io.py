@@ -28,6 +28,8 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 # Scratch space for queries that need a sink side (partitioned writes,
 # json/text round-trips, streaming sources). Never under /root/testdata.
+# Must stay HOST-LOCAL: pid_scratch_dir's dead-owner sweep assumes one
+# PID namespace (see its docstring) — never point this at a shared mount.
 SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_scratch")
 
 
@@ -98,9 +100,16 @@ def pid_scratch_dir(sf_dir: str, key: str) -> str:
     up front), while a uuid-per-run dir leaked a full copy per
     invocation with nothing ever reclaiming it. PID keying gives each
     process its own dir; dirs left by DEAD processes are swept here so
-    growth stays bounded (kill-0 probe — a PID is never shared by two
-    live processes, so a live peer's dir is provably untouchable);
-    non-pid entries are not ours to sweep."""
+    growth stays bounded (kill-0 probe: within ONE host's PID namespace
+    a PID is never shared by two live processes, so a live peer's dir
+    cannot be swept); non-pid entries are not ours to sweep.
+
+    SAME-HOST ASSUMPTION: the kill-0 probe is only sound when every
+    process sharing the scratch root shares one PID namespace. Pointing
+    SPARK_GRAFT_SCRATCH at a mount shared across containers/hosts would
+    make a live REMOTE peer's pid dir probe as dead (ProcessLookupError)
+    and get swept — reintroducing the race this helper closes. Keep the
+    scratch root host-local (the default under /tmp is)."""
     import shutil
 
     base = scratch_dir(sf_dir, key)

@@ -189,15 +189,23 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     GROUP BY c.c_mktsegment
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS via left-anti join (ref B4 first-occurrence pattern,
-    setupTables.py:35-36)."""
+    setupTables.py:35-36): customers with no large order.
+
+    The orders-side threshold keeps the anti set non-empty on the
+    fixture (every sf0.01 customer has SOME order, so the unfiltered
+    anti-join is structurally empty and its grade would certify schema
+    only — the r15 vacuousness-audit finding). The filter lives on the
+    right side BEFORE the anti join, mirroring join_semi's shape."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

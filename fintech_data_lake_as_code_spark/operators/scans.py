@@ -14,14 +14,13 @@ lake's hour-bucketing so downstream reads get partition pruning for free.
 
 from __future__ import annotations
 
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.exact import cents, exact_sum
-from ..io import load, scratch_dir
+from ..io import load, pid_scratch_dir, scratch_dir
 from ..registry import query
 
 
@@ -623,8 +622,15 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged files (dq_expectations' shape); promotion is a metadata-cheap
     directory publish in a real table format — modeled here as a
     rewrite because plain parquet has no atomic rename, which is
-    exactly the gap WAP + table formats close at 100 TB."""
-    staged_dir = scratch_dir(sf_dir, "wap_staging")
+    exactly the gap WAP + table formats close at 100 TB.
+
+    Every wap_* dir is PID-keyed via io.pid_scratch_dir (ADVICE r15:
+    the sibling verdict-flip clear on SHARED scratch could rmtree a dir
+    a concurrent session was reading — the same cross-process race
+    class the streaming family closed in r15). Each process now stages,
+    publishes, and quarantines in its own pid dir; the sibling clear
+    only ever touches this process's opposite-verdict dir."""
+    staged_dir = pid_scratch_dir(sf_dir, "wap_staging")
     ev = load(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
     ev.select("event_id", "user_id", "value").write.mode(
         "overwrite"
@@ -664,18 +670,19 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (rule, _) in enumerate(rules):
         n_viol = int(audit[f"v_{i}"])
         ok = n_viol == 0
-        target = scratch_dir(
+        target = pid_scratch_dir(
             sf_dir, f"wap_{'published' if ok else 'quarantine'}_{rule}"
         )
         # a verdict FLIP across runs (rule or data changed) would leave
         # the opposite verdict's directory from the prior run looking
         # committed — a reader listing wap_published_* must never see a
         # batch this run quarantined; clear the sibling before promoting
-        sibling = scratch_dir(
+        # (pid_scratch_dir clears ITS OWN pid dir on entry, so the call
+        # below is the clear — and it can only touch this process's dir)
+        pid_scratch_dir(
             sf_dir, f"wap_{'quarantine' if ok else 'published'}_{rule}"
         )
-        shutil.rmtree(sibling, ignore_errors=True)
-        # mode("overwrite") already clears the target; no pre-rmtree
+        # pid_scratch_dir cleared the target; overwrite rewrites it
         staged.write.mode("overwrite").parquet(target)
         n_target = spark.read.parquet(target).count()
         rows.append(

@@ -158,7 +158,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(SUM(((CAST(i AS BIGINT) * 31 + len(parts[i])) * 131
-                     + ascii(parts[i])) * CAST(i AS BIGINT))
+                     + ascii(parts[i])) * CAST(i AS BIGINT)
+                    % 1000000007)
                 % 1000000007 AS BIGINT) AS fingerprint
     FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
          UNNEST(generate_series(1, len(parts))) AS t(i)
@@ -168,7 +169,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: position-weighted polynomial rolling hash over
     words — pure integer arithmetic, so the DuckDB oracle reproduces it
-    exactly (unlike xxhash-based fingerprints)."""
+    exactly (unlike xxhash-based fingerprints).
+
+    Each term is reduced mod M = 1e9+7 BEFORE the sum, and the partial
+    sums fold mod M again: mod distributes over addition, so the result
+    is identical wherever both forms are defined, but the unreduced form
+    overflows — terms grow as O(i^2 * 131 * 31), so a ~150k-word document
+    pushes the raw BIGINT sum past 2^63-1 and ANSI mode hard-fails with
+    ARITHMETIC_OVERFLOW. Reduced terms are < 1e9+7, so the sum is never
+    the overflow site any more; the new binding constraint is the raw
+    per-term product, which stays in-range to ~5e7 words per document
+    (~300 MB of text in ONE doc) — far past any real corpus document,
+    vs the old ~1.5e5-word cliff. Planted long-doc pin:
+    tests/test_udf_edges.py::test_text_fingerprint_long_doc_no_overflow."""
     d = load(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
@@ -177,7 +190,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") * 31 + F.length("word")) * 131 + F.ascii("word")
     ) * F.col("i")
     return words.groupBy("doc_id").agg(
-        (F.sum(term) % 1000000007).alias("fingerprint")
+        (F.sum(term % 1000000007) % 1000000007).alias("fingerprint")
     )
 
 

@@ -90,12 +90,11 @@ def _load_all_modules() -> None:
 # stream_dedup_incremental / stream_watermark_late /
 # stream_backfill_availablenow). Round 16 registers no new keys (no
 # table-format jar on disk — re-probed a SIXTH time, that axis stays
-# closed, r11–r15 precedent) and stale-marks TWO keys (see
-# _STALE_REGRADE). Rank-(0,0) demand 2 + the 47-key r12 cohort = 49 —
-# one slot of natural headroom (the 50th prefix slot falls to the
-# first-registered r13 key, which simply re-certifies a round early),
-# `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r13 after the
-# r16 grade (pinned by tests/test_registry_vintage.py).
+# closed, r11–r15 precedent) and stale-marks THREE keys (see
+# _STALE_REGRADE). Rank-(0,0) demand 3 + the 47-key r12 cohort =
+# exactly 50 — no overflow, no spare, `_DEFER_NEXT_ROUND` is empty,
+# and the floor lifts to r13 after the r16 grade (pinned by
+# tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
     # round 12 greens — the r16 grading cohort (stalest)
     **dict.fromkeys(
@@ -216,10 +215,10 @@ _VERDICT_ROUND: dict[str, int] = {
 # re-certified in r15 (CORRECTNESS_r15 50/50 green). Round-16 code
 # changes outside the r12 grading cohort (whose one latent-backlog fix —
 # join_anti's discriminating orders-side threshold — grades this round
-# by vintage and needs no stale slot) touch TWO keys, both r13-vintage
-# fixes pulled forward from r17 onto the round's spare slots (VERDICT
-# r15 "Next round" #3/#4 — the slots are free, so waiting a round
-# leaves known-weak grades standing for no reason):
+# by vintage and needs no stale slot) touch THREE keys. Two are
+# r13-vintage fixes pulled forward from r17 onto the round's spare
+# slots (VERDICT r15 "Next round" #3/#4 — the slots are free, so
+# waiting a round leaves known-weak grades standing for no reason):
 # - rule_b10_cross_sell (r13 vintage): the r15 vacuousness audit showed
 #   its latest grade rests on a 0-row result (every sf0.01 pension-fund
 #   regular also purchases other products, so the anti-join drains and
@@ -232,15 +231,25 @@ _VERDICT_ROUND: dict[str, int] = {
 #   are now reduced mod M BEFORE summing (the polynomial identity holds
 #   under modular reduction), oracle changed identically — the graded
 #   expression changed, so the r13 verdict is void.
+# The third is a 1-round-old caution-precedent re-key (the r15
+# watermark_late/backfill precedent exactly):
+# - sink_write_audit_publish (r15 vintage): ADVICE r15 — the verdict-
+#   flip sibling clear rmtree'd SHARED (non-PID-keyed) scratch, so a
+#   concurrent session reading wap_published_<rule> could see the dir
+#   vanish mid-read. All wap_* staging/publish/quarantine dirs are now
+#   PID-keyed via io.pid_scratch_dir (closing the last shared-scratch
+#   clear in the repo); output-identical, but the graded promotion
+#   paths are re-keyed.
 _STALE_REGRADE = frozenset(
     {
         "rule_b10_cross_sell",
         "text_fingerprint",
+        "sink_write_audit_publish",
     }
 )
 
-# Round 16 has no budget overflow: 2 rank-(0,0) stale regrades + the
-# 47-key r12 cohort = 49 of 50. tests/test_registry_vintage.py pins
+# Round 16 has no budget overflow: 3 rank-(0,0) stale regrades + the
+# 47-key r12 cohort = exactly 50. tests/test_registry_vintage.py pins
 # that this deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 

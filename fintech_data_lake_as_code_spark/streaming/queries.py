@@ -272,11 +272,15 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here ON PURPOSE: the in-run append of batch 2 makes the dir
     # non-reusable, so every run pays the (cheap) landing write.
     src = pid_scratch_dir(sf_dir, "stream_late")
-    # legacy pre-r15 fixed dir: reclaim once, nothing writes it anymore
-    shutil.rmtree(
-        os.path.join(os.path.dirname(src), "..", "stream_late_src"),
-        ignore_errors=True,
-    )
+    # legacy pre-r15 fixed dir: reclaim once, nothing writes it anymore.
+    # isdir-guarded (ADVICE r15) so steady-state runs skip the delete
+    # entirely; a mixed-version overlap (a still-running pre-r15 session
+    # polling this dir) remains exposed for the one run that finds the
+    # dir — accepted as the one-time migration cost. Drop the whole
+    # reclaim once a round has passed with no legacy dirs seen.
+    legacy = os.path.join(os.path.dirname(src), "..", "stream_late_src")
+    if os.path.isdir(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
     ev = load(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
     ev.coalesce(2).write.mode("overwrite").json(src + "/batch1")

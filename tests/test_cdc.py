@@ -263,7 +263,10 @@ def test_wap_verdict_flip_clears_the_stale_sibling_dir(spark, sf_dir):
     must not survive looking committed — a reader listing published
     dirs would see a batch the current audit quarantined (r15
     latent-backlog pin). Simulated by planting a fake committed sibling
-    before the run."""
+    before the run. Since r16 the wap_* dirs are PID-keyed
+    (io.pid_scratch_dir — ADVICE r15 closed the cross-process clear
+    race), so the stale sibling a flip must clear is THIS process's own
+    pid dir; that is where the markers are planted."""
     import os
 
     from fintech_data_lake_as_code_spark.io import scratch_dir
@@ -272,9 +275,15 @@ def test_wap_verdict_flip_clears_the_stale_sibling_dir(spark, sf_dir):
     # value_positive passes on the fixture -> publishes; plant a stale
     # quarantine sibling. value_cap_300 fails -> quarantines; plant a
     # stale published sibling.
-    stale_q = scratch_dir(sf_dir, "wap_quarantine_value_positive")
-    stale_p = scratch_dir(sf_dir, "wap_published_value_cap_300")
+    pid = f"pid{os.getpid()}"
+    stale_q = os.path.join(
+        scratch_dir(sf_dir, "wap_quarantine_value_positive"), pid
+    )
+    stale_p = os.path.join(
+        scratch_dir(sf_dir, "wap_published_value_cap_300"), pid
+    )
     for d in (stale_q, stale_p):
+        os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "stale.marker"), "w") as fh:
             fh.write("left by a prior flipped-verdict run\n")
 

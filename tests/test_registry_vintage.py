@@ -156,9 +156,11 @@ def test_stale_set_keys_exist():
 # is either scheduled to be made discriminating (with the round) or must
 # carry a rationale. Remove each key when its fix re-grades non-empty.
 VACUOUS_EMPTY_ALLOWED = {
-    # fixture gives every customer an order; threshold fix stocked r16
+    # discriminating threshold (o_totalprice > 400000) landed r16; entry
+    # self-expires when CORRECTNESS_r16 records the non-empty grade
     "join_anti",
-    # every sf0.01 viewer also purchases; anti-predicate fix stocked r17
+    # discriminating anti predicate (no purchase with value > 150)
+    # landed r16 on a stale slot; self-expires with the r16 grade
     "rule_b10_cross_sell",
 }
 

@@ -133,15 +133,19 @@ def join_dir(request, tmp_path_factory) -> str:
     owners = np.concatenate(
         [rng.integers(1, 21, n_ord - 8), 900 + rng.integers(0, 4, 8)]
     )
+    # join_anti's r16 predicate is "no order with o_totalprice > 400000":
+    # the first 12 (non-orphan) orders sit strictly above that threshold
+    # on the same .125 grid, the rest stay ~1000 — so the anti set here
+    # exercises BOTH legs: customers with no orders at all (21..30) AND
+    # customers whose orders are all small.
+    prices = rng.integers(8_000, 8_040, n_ord) * 0.125
+    prices[:12] = rng.integers(3_200_001, 3_200_041, 12) * 0.125
     pq.write_table(
         pa.table(
             {
                 "o_orderkey": pa.array(range(1, n_ord + 1), type=pa.int64()),
                 "o_custkey": pa.array(owners, type=pa.int64()),
-                "o_totalprice": pa.array(
-                    rng.integers(8_000, 8_040, n_ord) * 0.125,
-                    type=pa.float64(),
-                ),
+                "o_totalprice": pa.array(prices, type=pa.float64()),
             }
         ),
         os.path.join(d, "orders.parquet"),
@@ -154,8 +158,12 @@ def test_seeded_joins_match_oracle(spark, join_dir, key):
     rows = _compare(spark, key, join_dir)
     assert rows, f"{key} produced no rows on the seeded join fixture"
     if key == "join_anti":
-        # customers 21..30 have no orders: the anti leg is LIVE here
-        assert sum(r[1] for r in rows) == 10
+        # both anti legs LIVE: the 10 order-less customers (21..30) are
+        # always anti; at most 12 of customers 1..20 hold a big order,
+        # so at least 8 small-only customers join them — and at least
+        # one customer DOES hold a big order, so the set is proper
+        total = sum(r[1] for r in rows)
+        assert 18 <= total < 30, total
 
 
 DEDUP_KEYS = (

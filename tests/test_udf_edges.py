@@ -171,6 +171,67 @@ def test_vectorized_agg_integer_moments(spark, edge_dir):
     assert rows[0][2] == exp
 
 
+def test_text_fingerprint_long_doc_no_overflow(spark, tmp_path):
+    """A ~200k-word document must fingerprint without overflow.
+
+    Pre-r16, `text_fingerprint` applied `% 1e9+7` only AFTER the full
+    position-weighted sum; terms grow as ~4061*i^2, so this document's
+    raw sum exceeds 2^63-1 and Spark's ANSI-mode BIGINT sum hard-fails
+    with ARITHMETIC_OVERFLOW (asserted arithmetically below — the raw
+    sum is recomputed here in Python bignums). The r16 form reduces each
+    term mod M before summing (mod distributes over addition, so the
+    result is unchanged wherever both are defined) and must match the
+    hand-computed bignum truth. The truth stands in for the DuckDB
+    oracle HERE because the oracle's lateral
+    UNNEST(generate_series(1, len(parts))) carries the whole 200k-item
+    list on every emitted row — quadratic at this doc length (it never
+    is at grade scale, where fixture docs are short); Spark-vs-oracle
+    agreement on ordinary docs is certified by the driver grade."""
+    M = 1_000_000_007
+    cycle = ["alpha", "bb", "ccc", "dddd"]
+    long_words = [cycle[i % 4] for i in range(200_000)]
+    docs = {
+        7: "the quick brown fox",
+        9: " ".join(long_words),
+    }
+    d = str(tmp_path / "longdoc_sf")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), type=pa.int64()),
+                "text": pa.array([docs[k] for k in sorted(docs)], type=pa.string()),
+                "lang": pa.array(["en", "en"], type=pa.string()),
+                "source": pa.array(["web", "web"], type=pa.string()),
+                "n_chars": pa.array(
+                    [len(docs[k]) for k in sorted(docs)], type=pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    def term(i: int, w: str) -> int:
+        return ((i * 31 + len(w)) * 131 + ord(w[0])) * i
+
+    raw_sum = sum(term(i + 1, w) for i, w in enumerate(long_words))
+    assert raw_sum > 2**63 - 1, (
+        "planted doc no longer overflows the pre-fix unreduced sum — "
+        f"raw sum {raw_sum} <= int64 max; lengthen the document"
+    )
+    expected = {
+        doc_id: sum(
+            term(i + 1, w) % M for i, w in enumerate(text.split(" "))
+        )
+        % M
+        for doc_id, text in docs.items()
+    }
+
+    sdf = entry.queries()["text_fingerprint"](spark, d)
+    got = {r[0]: r[1] for r in sdf.collect()}
+    assert got == expected
+
+
 def test_collation_literals_are_in_domain(spark, sf_dir):
     """The UTF8_LCASE equality and ordering counts must SPLIT the data:
     the pre-r15 out-of-domain literals ('web', 'n') matched 0 rows and
