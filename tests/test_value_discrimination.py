@@ -71,11 +71,17 @@ def _perturb(table: pa.Table, name: str) -> pa.Table:
       shares — deliberately not a round factor);
     - embeddings only: drop label 0 entirely (flips the
       countDistinct(label) headers of the recall-contract keys, which
-      survive uniform row thinning)."""
+      survive uniform row thinning);
+    - events only: drop the max user_id entirely (flips the distinct-ID
+      DOMAIN summaries — scan_text's n_ids/max_id survive thinning
+      because every user keeps some events; first run caught this)."""
     n = table.num_rows
     table = table.take([i for i in range(n) if i % 7 != 0])
     if name == "embeddings" and "label" in table.column_names:
         table = table.filter(pc.not_equal(table.column("label"), 0))
+    if name == "events" and "user_id" in table.column_names:
+        umax = pc.max(table.column("user_id"))
+        table = table.filter(pc.not_equal(table.column("user_id"), umax))
     for i, field in enumerate(table.schema):
         if pa.types.is_float64(field.type):
             scaled = pc.multiply(table.column(i), 1.37)
