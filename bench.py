@@ -330,11 +330,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # One single-shot shuffle probe per extras block (VERDICT r14 #6):
-    # the late blocks are where mid-run service degradation lands (the
-    # r14 v5/v4 numbers were exactly this), and a run-wide pre/post pair
-    # can't localize WHICH block ran degraded. One rep, not median-of-5
-    # — it contextualizes the block, the run-wide pair stays the signal.
+    # One cheap shuffle probe per extras block (VERDICT r14 #6): the
+    # late blocks are where mid-run service degradation lands (the r14
+    # v5/v4 numbers were exactly this), and a run-wide pre/post pair
+    # can't localize WHICH block ran degraded. Median of 3 quick reps,
+    # not the run-wide median-of-5 — it contextualizes the block while
+    # the run-wide pair stays the signal. (r15/r16 ran this single-shot
+    # and the `extra` block read ~1.9 on two otherwise-clean days while
+    # idle single shots spread 0.89–1.2 s — a one-GC-pause artifact the
+    # median suppresses; ~2 s extra untimed cost per block.)
     block_shuffle: dict[str, float] = {}
 
     def _probe_shuffle_once() -> float:
@@ -347,9 +351,8 @@ def main() -> None:
     def _time_block(keys: list[str], tag: str) -> dict[str, float]:
         out: dict[str, float] = {}
         if keys:
-            block_shuffle[tag] = round(
-                _probe_shuffle_once() / _SHUF_REF_SEC, 3
-            )
+            reps = sorted(_probe_shuffle_once() for _ in range(3))
+            block_shuffle[tag] = round(reps[1] / _SHUF_REF_SEC, 3)
         for key in keys:
             fn = queries.get(key)
             if fn is None:
