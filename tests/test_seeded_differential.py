@@ -34,6 +34,20 @@ KEYS = (
     "agg_gini",               # exact-cents Lorenz sums, fresh spend curve
     "agg_time_rollup",        # hour/day bucket edges on collided ts
     "agg_benford_digits",     # leading-digit histogram, single-scan
+    # r16 additions — the rest of the events-only r12 cohort through the
+    # same adversarial net in the round it re-grades:
+    "join_asof_interval",     # ignore-nulls last_value under (ts,id) ties
+    "rule_b1_city_hop",       # lag(city) across exact ts collisions
+    "rule_b2_session_overlap",  # overlap edge EXACTLY at collided ts
+    "cdc_merge_upsert",       # max_by ties + op routing on the .5 grid
+    "cdc_incremental_agg",    # Z-set retract/insert under the same ties
+    "cdc_envelope_roundtrip",  # to_json/from_json identity on seeded props
+    "win_rfm_score",          # R/F/M quintile ties on the value grid
+    "rule_b4_first_forex",    # min-ts first-occurrence under ts collisions
+    "rule_b7_regular_forex",  # distinct-day regularity across day edges
+    "rule_b9_large_investor",  # top-10 election with value-grid ties
+    # (b5/b6/b8 drain to zero rows on one of the two seeds — a 0-row
+    # compare certifies nothing, so they stay out of this net)
 )
 
 
