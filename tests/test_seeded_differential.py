@@ -46,8 +46,10 @@ KEYS = (
     "rule_b4_first_forex",    # min-ts first-occurrence under ts collisions
     "rule_b7_regular_forex",  # distinct-day regularity across day edges
     "rule_b9_large_investor",  # top-10 election with value-grid ties
-    # (b5/b6/b8 drain to zero rows on one of the two seeds — a 0-row
-    # compare certifies nothing, so they stay out of this net)
+    "agg_pivot",              # pivoted exact-cents sums on the .5 grid
+    "join_range_banded",      # banded interval join, points ON band edges
+    # (b5/b6/b8 and agg_having drain to zero rows on one of the two
+    # seeds — a 0-row compare certifies nothing, so they stay out)
 )
 
 
@@ -112,6 +114,7 @@ JOIN_KEYS = (
     "join_semi",
     "join_left_right_full",  # unmatched accounting on BOTH sides
     "join_lateral",         # per-key top-2 under planted price ties
+    "join_inner_equi",      # orphan orders excluded + exact-cents sums
 )
 
 
