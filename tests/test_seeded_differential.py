@@ -333,6 +333,11 @@ LAKE_KEYS = (
     "topk_per_group",       # per-group rank ties
     "agg_percentile",       # exact percentiles landing ON tied values
     "graph_pagerank",       # 10 integer-exact iterations, fresh graph
+    # r16 additions — remaining lineitem-shaped r12-cohort keys:
+    "agg_global",           # global exact-cents aggregates on tied grids
+    "agg_groupby",          # grouped sums under .5-cent discount ties
+    "agg_stats_corr",       # decimal(38) moments vs HUGEINT on fresh data
+    # (filter_pred drains to 0 rows here; reshape_unpivot needs events)
 )
 
 
