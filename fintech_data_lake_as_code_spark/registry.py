@@ -240,6 +240,11 @@ _VERDICT_ROUND: dict[str, int] = {
 #   PID-keyed via io.pid_scratch_dir (closing the last shared-scratch
 #   clear in the repo); output-identical, but the graded promotion
 #   paths are re-keyed.
+# NOT stale-marked (deliberate): stream_watermark_late's legacy-reclaim
+# rmtree gained an os.path.isdir guard (ADVICE r15 #4) — strictly
+# behavior-preserving (the guarded rmtree produces the identical end
+# state; no graded path or predicate changes), the r8–r12 refactor
+# precedent, unlike the re-keyed paths above.
 _STALE_REGRADE = frozenset(
     {
         "rule_b10_cross_sell",
