@@ -80,48 +80,21 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r15.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r16.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r15 fold the vintage
-# census is 47@r12 / 49@r13 / 48@r14 / 50@r15 (CORRECTNESS_r15 was
-# 50/50 green: the 47-key r11 cohort + the 3 stale regrades
-# stream_dedup_incremental / stream_watermark_late /
-# stream_backfill_availablenow). Round 16 registers no new keys (no
-# table-format jar on disk — re-probed a SIXTH time, that axis stays
-# closed, r11–r15 precedent) and stale-marks THREE keys (see
-# _STALE_REGRADE). Rank-(0,0) demand 3 + the 47-key r12 cohort =
-# exactly 50 — no overflow, no spare, `_DEFER_NEXT_ROUND` is empty,
-# and the floor lifts to r13 after the r16 grade (pinned by
-# tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r16 fold the vintage
+# census is 47@r13 / 48@r14 / 49@r15 / 50@r16 (CORRECTNESS_r16 was
+# 50/50 green: the 47-key r12 cohort + the 3 stale regrades
+# rule_b10_cross_sell / text_fingerprint / sink_write_audit_publish).
+# Round 17 registers no new keys (no table-format jar on disk —
+# re-probed a SEVENTH time, that axis stays closed, r11–r16 precedent).
+# Rank-(0,0) demand = len(_STALE_REGRADE) + the 47-key r13 cohort ≤ 50 —
+# no overflow, `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r14
+# after the r17 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 12 greens — the r16 grading cohort (stalest)
-    **dict.fromkeys(
-        [
-            "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
-            "agg_percentile", "agg_pivot", "agg_rollup_cube_gsets",
-            "agg_stats_corr", "agg_time_rollup", "cdc_dedupe_batch",
-            "cdc_envelope_roundtrip", "cdc_incremental_agg",
-            "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
-            "cdc_snapshot_diff", "datagen_customeractivity", "dedup_exact",
-            "filter_null_domain", "filter_pred",
-            "join_anti", "join_asof_backward",
-            "join_asof_interval", "join_broadcast", "join_cross_topk",
-            "join_inner_equi", "join_left_right_full", "join_multiway",
-            "join_range_banded", "join_scd2_pointintime", "join_semi",
-            "join_theta_range", "reshape_unpivot", "rule_b1_city_hop",
-            "rule_b2_session_overlap", "rule_b3_overdraft_freeze",
-            "rule_b4_first_forex", "rule_b5_limit_3days",
-            "rule_b6_enquiry_intent", "rule_b7_regular_forex",
-            "rule_b8_regular_investor", "rule_b9_large_investor",
-            "stream_observe_metrics", "stream_python_datasource",
-            "stream_transform_with_state",
-            "text_bpe_train", "win_rfm_score",
-        ],
-        12,
-    ),
-    # round 13 greens
+    # round 13 greens — the r17 grading cohort (stalest)
     **dict.fromkeys(
         [
             "agg_approx_distinct", "agg_distinct", "cdc_gdpr_erasure",
@@ -131,11 +104,10 @@ _VERDICT_ROUND: dict[str, int] = {
             "limit_topk",
             "multimodal_cols", "multimodal_decode",
             "multimodal_framesample", "project_rename_cast",
-            "rule_b10_cross_sell", "sample_stratified_split",
-            "scan_python_datasource",
+            "sample_stratified_split", "scan_python_datasource",
             "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
             "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
-            "text_bpe_tokenize", "text_chunk", "text_fingerprint",
+            "text_bpe_tokenize", "text_chunk",
             "text_idf_rarity", "text_langid", "text_pack_sequences",
             "text_quality", "text_redact_pii", "text_stats",
             "token_count_bpe", "topk_per_group", "udf_cogrouped",
@@ -177,8 +149,7 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         14,
     ),
-    # round 15 greens — freshest, grade last (CORRECTNESS_r15: 50/50 =
-    # the 47-key r11 cohort + the 3 stale regrades)
+    # round 15 greens
     **dict.fromkeys(
         [
             "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
@@ -194,7 +165,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "sample_negative_pairs", "sample_temperature_mix",
             "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
             "sim_topk_ivf_kmeans", "sink_compression_codecs",
-            "sink_write_audit_publish", "sql_recursive_cte",
+            "sql_recursive_cte",
             "stream_backfill_availablenow", "stream_dedup_incremental",
             "stream_foreachbatch_merge", "stream_scd2_apply",
             "stream_tws_topk_state", "stream_watermark_late",
@@ -206,56 +177,50 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         15,
     ),
+    # round 16 greens — freshest, grade last (CORRECTNESS_r16: 50/50 =
+    # the 47-key r12 cohort + the 3 stale regrades)
+    **dict.fromkeys(
+        [
+            "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
+            "agg_percentile", "agg_pivot", "agg_rollup_cube_gsets",
+            "agg_stats_corr", "agg_time_rollup", "cdc_dedupe_batch",
+            "cdc_envelope_roundtrip", "cdc_incremental_agg",
+            "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
+            "cdc_snapshot_diff", "datagen_customeractivity", "dedup_exact",
+            "filter_null_domain", "filter_pred",
+            "join_anti", "join_asof_backward",
+            "join_asof_interval", "join_broadcast", "join_cross_topk",
+            "join_inner_equi", "join_left_right_full", "join_multiway",
+            "join_range_banded", "join_scd2_pointintime", "join_semi",
+            "join_theta_range", "reshape_unpivot", "rule_b10_cross_sell",
+            "rule_b1_city_hop",
+            "rule_b2_session_overlap", "rule_b3_overdraft_freeze",
+            "rule_b4_first_forex", "rule_b5_limit_3days",
+            "rule_b6_enquiry_intent", "rule_b7_regular_forex",
+            "rule_b8_regular_investor", "rule_b9_large_investor",
+            "sink_write_audit_publish",
+            "stream_observe_metrics", "stream_python_datasource",
+            "stream_transform_with_state",
+            "text_bpe_train", "text_fingerprint", "win_rfm_score",
+        ],
+        16,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The r15 stales (stream_dedup_incremental /
-# stream_watermark_late / stream_backfill_availablenow) were all
-# re-certified in r15 (CORRECTNESS_r15 50/50 green). Round-16 code
-# changes outside the r12 grading cohort (whose one latent-backlog fix —
-# join_anti's discriminating orders-side threshold — grades this round
-# by vintage and needs no stale slot) touch THREE keys. Two are
-# r13-vintage fixes pulled forward from r17 onto the round's spare
-# slots (VERDICT r15 "Next round" #3/#4 — the slots are free, so
-# waiting a round leaves known-weak grades standing for no reason):
-# - rule_b10_cross_sell (r13 vintage): the r15 vacuousness audit showed
-#   its latest grade rests on a 0-row result (every sf0.01 pension-fund
-#   regular also purchases other products, so the anti-join drains and
-#   the green certifies schema only). The anti predicate becomes
-#   discriminating ("no purchase with value > 150") in BOTH query and
-#   oracle — a graded-output change, so the r13 verdict is void.
-# - text_fingerprint (r13 vintage): latent int64 overflow — the
-#   `% 1000000007` modulus applied only AFTER the full position-weighted
-#   sum, so a ~150k-word document overflows the ANSI BIGINT sum. Terms
-#   are now reduced mod M BEFORE summing (the polynomial identity holds
-#   under modular reduction), oracle changed identically — the graded
-#   expression changed, so the r13 verdict is void.
-# The third is a 1-round-old caution-precedent re-key (the r15
-# watermark_late/backfill precedent exactly):
-# - sink_write_audit_publish (r15 vintage): ADVICE r15 — the verdict-
-#   flip sibling clear rmtree'd SHARED (non-PID-keyed) scratch, so a
-#   concurrent session reading wap_published_<rule> could see the dir
-#   vanish mid-read. All wap_* staging/publish/quarantine dirs are now
-#   PID-keyed via io.pid_scratch_dir (closing the last shared-scratch
-#   clear in the repo); output-identical, but the graded promotion
-#   paths are re-keyed.
-# NOT stale-marked (deliberate): stream_watermark_late's legacy-reclaim
-# rmtree gained an os.path.isdir guard (ADVICE r15 #4) — strictly
-# behavior-preserving (the guarded rmtree produces the identical end
-# state; no graded path or predicate changes), the r8–r12 refactor
-# precedent, unlike the re-keyed paths above.
-_STALE_REGRADE = frozenset(
-    {
-        "rule_b10_cross_sell",
-        "text_fingerprint",
-        "sink_write_audit_publish",
-    }
-)
+# never-graded keys. The r16 stales (rule_b10_cross_sell /
+# text_fingerprint / sink_write_audit_publish) were all re-certified in
+# r16 (CORRECTNESS_r16 50/50 green, non-vacuous rows: 83 / 500 / 2).
+# Round 17 stale-marks nothing so far: the round's operator-side work
+# (latent sweep targets) lives inside the r13 cohort, which re-grades
+# this round by vintage anyway and needs no stale slot.
+_STALE_REGRADE = frozenset()
 
-# Round 16 has no budget overflow: 3 rank-(0,0) stale regrades + the
-# 47-key r12 cohort = exactly 50. tests/test_registry_vintage.py pins
-# that this deferral set is exactly as large as the budget overflow.
+# Round 17 has no budget overflow: 0 rank-(0,0) stale regrades + the
+# 47-key r13 cohort = 47 ≤ 50 (3 spare slots). tests/
+# test_registry_vintage.py pins that this deferral set is exactly as
+# large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
 

@@ -155,14 +155,10 @@ def test_stale_set_keys_exist():
 # could be arbitrarily wrong and still grade green — so every entry here
 # is either scheduled to be made discriminating (with the round) or must
 # carry a rationale. Remove each key when its fix re-grades non-empty.
-VACUOUS_EMPTY_ALLOWED = {
-    # discriminating threshold (o_totalprice > 400000) landed r16; entry
-    # self-expires when CORRECTNESS_r16 records the non-empty grade
-    "join_anti",
-    # discriminating anti predicate (no purchase with value > 150)
-    # landed r16 on a stale slot; self-expires with the r16 grade
-    "rule_b10_cross_sell",
-}
+VACUOUS_EMPTY_ALLOWED: set[str] = set()
+# (join_anti and rule_b10_cross_sell self-expired with CORRECTNESS_r16:
+# both now grade non-empty — 5 and 83 oracle rows — so the whitelist is
+# empty for the first time since the r15 vacuousness audit.)
 
 
 def test_latest_grades_are_not_vacuously_empty(green_rounds):
@@ -173,8 +169,13 @@ def test_latest_grades_are_not_vacuously_empty(green_rounds):
     of hazard, caught there by hand). This pins the audit: any future
     key — or fixture regeneration — that drains a graded result to zero
     rows fails here instead of silently certifying nothing."""
+    # fold in NUMERIC round order (ADVICE r16 #2): lexicographic order
+    # breaks at round 100+ (r100 sorts before r16)
     latest: dict[str, tuple[int, int | None]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(os.path.basename(p).split("_r")[1].split(".")[0]),
+    ):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         try:
             data = json.load(open(path))

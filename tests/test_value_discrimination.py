@@ -42,10 +42,21 @@ _TABLES = (
 ).split()
 
 
+def _round_of(path: str) -> int:
+    return int(os.path.basename(path).split("_r")[1].split(".")[0])
+
+
 def _latest_small_grade_keys() -> list[str]:
-    """Keys whose latest green driver grade rests on <= 2 oracle rows."""
+    """Keys whose latest green driver grade rests on <= 2 oracle rows.
+
+    Files are folded in NUMERIC round order (ADVICE r16 #2): plain
+    lexicographic sort holds for the zero-padded r01–r99 names but would
+    silently pick the wrong "latest" at round 100+ (r100 sorts before
+    r16), the same parse test_registry_vintage.green_rounds uses."""
     latest: dict[str, int | None] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=_round_of
+    ):
         try:
             data = json.load(open(path))
         except (json.JSONDecodeError, OSError):
