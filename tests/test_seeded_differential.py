@@ -48,24 +48,43 @@ KEYS = (
     "rule_b9_large_investor",  # top-10 election with value-grid ties
     "agg_pivot",              # pivoted exact-cents sums on the .5 grid
     "join_range_banded",      # banded interval join, points ON band edges
-    # (b5/b6/b8 and agg_having drain to zero rows on one of the two
-    # seeds — a 0-row compare certifies nothing, so they stay out)
+    # r17 additions — the five keys the r15/r16 seeds drained to zero
+    # rows, revived by the denser skewed-user fixture (VERDICT r16 #2):
+    "rule_b5_limit_3days",    # 3-consecutive-day runs need daily density
+    "rule_b6_enquiry_intent",  # >10 views needs heavy users
+    "rule_b8_regular_investor",  # >=4 click days AND >$100 sum
+    "agg_having",             # >65 events splits heavy vs light users
+    "rule_b10_cross_sell",    # anti leg LIVE: boosted values cross 150
 )
 
 
 def _events_dir(tmp_path_factory, seed: int) -> str:
     rng = np.random.default_rng(seed)
-    n = 400
+    n = 1400
     d = str(tmp_path_factory.mktemp(f"seeded_sf_{seed}"))
     base = 1_700_000_000
     # ten days (so consecutive-day islands can form) x a SMALL intra-day
-    # offset pool (so exact (user_id, ts) collisions still occur)
+    # offset pool (so exact (user_id, ts) collisions still occur — both
+    # seeds carry 17-23 exact (user_id, ts) duplicates at this density)
     secs = (
         base
         + rng.integers(0, 10, n) * 86_400
         + rng.integers(0, 600, n)
     )
     event_id = rng.permutation(n) + 1
+    # SKEWED user weights (quadratic decay): per-user event counts span
+    # ~1..270 so the threshold keys actually split the population —
+    # agg_having's >65 and b6's >10-view cuts land INSIDE the per-user
+    # range on both seeds (the r15 uniform draw left every user below
+    # both cuts and drained the keys to 0 rows, VERDICT r16 #2)
+    w = np.array([(15 - i) ** 2 for i in range(1, 15)], dtype=float)
+    users = rng.choice(np.arange(1, 15), n, p=w / w.sum())
+    # multiples of 0.005: value*100 lands on exact .5 ties; every 37th
+    # row is boosted x12 (still exact cents, 0.06 grid) so purchase
+    # values cross rule_b10's 150 gate — its anti leg excludes 3 of the
+    # 10 regulars on each seed instead of nobody
+    vals = rng.integers(0, 4000, n) * 0.005
+    vals[::37] = vals[::37] * 12
     pq.write_table(
         pa.table(
             {
@@ -74,19 +93,14 @@ def _events_dir(tmp_path_factory, seed: int) -> str:
                     (secs * 1_000_000).astype("int64"),
                     type=pa.timestamp("us"),
                 ),
-                "user_id": pa.array(
-                    rng.integers(1, 15, n), type=pa.int64()
-                ),
+                "user_id": pa.array(users, type=pa.int64()),
                 "event_type": pa.array(
                     rng.choice(
                         ["view", "click", "purchase", "signup", "error"], n
                     ),
                     type=pa.string(),
                 ),
-                # multiples of 0.005: value*100 lands on exact .5 ties
-                "value": pa.array(
-                    rng.integers(0, 4000, n) * 0.005, type=pa.float64()
-                ),
+                "value": pa.array(vals, type=pa.float64()),
                 "props": pa.array(
                     [json.dumps({"k": int(i)}) for i in event_id],
                     type=pa.string(),
@@ -107,6 +121,25 @@ def seeded_dir(request, tmp_path_factory) -> str:
 def test_seeded_events_match_oracle(spark, seeded_dir, key):
     rows = _compare(spark, key, seeded_dir)
     assert rows, f"{key} produced no rows on the seeded fixture"
+    if key in ("agg_having", "rule_b6_enquiry_intent"):
+        # the threshold must SPLIT the 14-user population, not wave
+        # everyone through (the r15 seeds left it draining to zero;
+        # a fixture where every user qualifies is the opposite vacuity)
+        assert 0 < len(rows) < 14, (key, len(rows))
+    if key == "rule_b10_cross_sell":
+        # the anti leg must be LIVE: fewer qualifiers than regulars
+        # (>=5 distinct view days), i.e. the 150-gate excluded someone
+        import duckdb
+
+        con = duckdb.connect()
+        n_regulars = con.execute(
+            "SELECT COUNT(*) FROM ("
+            "  SELECT user_id FROM read_parquet(?)"
+            "  WHERE event_type = 'view' GROUP BY user_id"
+            "  HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 5)",
+            [os.path.join(seeded_dir, "events.parquet")],
+        ).fetchone()[0]
+        assert 0 < len(rows) < n_regulars, (len(rows), n_regulars)
 
 
 JOIN_KEYS = (
@@ -337,7 +370,10 @@ LAKE_KEYS = (
     "agg_global",           # global exact-cents aggregates on tied grids
     "agg_groupby",          # grouped sums under .5-cent discount ties
     "agg_stats_corr",       # decimal(38) moments vs HUGEINT on fresh data
-    # (filter_pred drains to 0 rows here; reshape_unpivot needs events)
+    # r17 addition — shipdates now straddle BOTH predicate windows, so
+    # filter_pred's 1996 BETWEEN window is live (VERDICT r16 #2);
+    # (reshape_unpivot needs events, covered by the planted fixtures)
+    "filter_pred",          # conjunctive BETWEEN/IN with live date window
 )
 
 
@@ -455,8 +491,20 @@ def lake_dir(request, tmp_path_factory) -> str:
                 "l_linestatus": pa.array(
                     rng.choice(["O", "F"], n_li), type=pa.string()
                 ),
+                # first half STRADDLES the 1998-09-01 pricing cutoff;
+                # second half lands INSIDE filter_pred's 1996-01-01..
+                # 1997-01-01 BETWEEN window (r17: the cutoff-only draw
+                # left that window empty and filter_pred out of the net)
                 "l_shipdate": pa.array(
-                    (cutoff + rng.integers(-90, 90, n_li) * 86_400)
+                    np.concatenate(
+                        [
+                            cutoff
+                            + rng.integers(-90, 90, n_li - n_li // 2)
+                            * 86_400,
+                            820_454_400  # 1996-01-01 00:00:00 UTC
+                            + rng.integers(0, 366, n_li // 2) * 86_400,
+                        ]
+                    )
                     * 1_000_000,
                     type=pa.timestamp("us"),
                 ),
