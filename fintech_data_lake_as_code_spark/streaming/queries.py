@@ -263,24 +263,14 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     still open when the stream stops are exactly the rows the oracle's
     WHERE excludes. Emission-order/timing remain engine-specific; the
     CONTENT does not. Also asserted in tests/test_streaming.py."""
-    import os
-    import shutil
-
     # PID-keyed source dir (ADVICE r14, io.pid_scratch_dir): concurrent
     # sessions each land into their own subdir, dead owners' dirs are
     # swept, this process's previous rep is cleared. No marker guard
     # here ON PURPOSE: the in-run append of batch 2 makes the dir
     # non-reusable, so every run pays the (cheap) landing write.
+    # (The pre-r15 fixed-dir reclaim was dropped in r17 per its own exit
+    # criterion: r16 passed with zero legacy stream_late_src dirs seen.)
     src = pid_scratch_dir(sf_dir, "stream_late")
-    # legacy pre-r15 fixed dir: reclaim once, nothing writes it anymore.
-    # isdir-guarded (ADVICE r15) so steady-state runs skip the delete
-    # entirely; a mixed-version overlap (a still-running pre-r15 session
-    # polling this dir) remains exposed for the one run that finds the
-    # dir — accepted as the one-time migration cost. Drop the whole
-    # reclaim once a round has passed with no legacy dirs seen.
-    legacy = os.path.join(os.path.dirname(src), "..", "stream_late_src")
-    if os.path.isdir(legacy):
-        shutil.rmtree(legacy, ignore_errors=True)
     ev = load(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
     ev.coalesce(2).write.mode("overwrite").json(src + "/batch1")
