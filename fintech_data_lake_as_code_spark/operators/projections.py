@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_sum
+from ..functions.exact import cents, exact_sum
 from ..io import load
 from ..registry import query
 
@@ -23,8 +23,10 @@ from ..registry import query
     oracle="""
     SELECT l_orderkey AS order_key,
            CAST(l_linenumber AS BIGINT) AS line_no,
-           CAST(l_quantity AS INTEGER) AS qty_int,
-           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int,
+           CAST((CAST(ROUND(l_extendedprice * 1000, 0) AS BIGINT)
+                 * CAST(ROUND((1 - l_discount) * 1000, 0) AS BIGINT)
+                 + 50) // 100 AS DOUBLE) / 10000 AS net_price,
            UPPER(l_returnflag) AS rflag
     FROM lineitem
     WHERE l_orderkey % 10 = 0
@@ -32,16 +34,32 @@ from ..registry import query
 )
 def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """select / alias / cast incl. arithmetic projection (ref A8 typed
-    columns, setupTables.py:49-59)."""
+    columns, setupTables.py:49-59).
+
+    Engine semantics the oracle must MIRROR, not reinterpret (both from
+    the r17 seeded-net sweep, the first fixture with fractional
+    quantities / 3-decimal price grids):
+    - Spark's double->int cast TRUNCATES toward zero; DuckDB's rounds
+      half-to-even (13.75 -> 13 vs 14), so the oracle casts TRUNC().
+    - net_price rounds to 4 decimals in exact integer 1e-4 units
+      (price and discount are <=3-decimal-exact, so their product is
+      6-decimal-exact; +50 // 100 is half-away-from-zero on positive
+      cents-of-cents) — ROUND(x, 4) on the double product lands on
+      exact X.XXXX5 ties that Spark and DuckDB break differently."""
     li = load(spark, sf_dir, "lineitem")
-    return li.where(F.col("l_orderkey") % 10 == 0).select(
-        F.col("l_orderkey").alias("order_key"),
-        F.col("l_linenumber").cast("bigint").alias("line_no"),
-        F.col("l_quantity").cast("int").alias("qty_int"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
-            "net_price"
-        ),
-        F.upper("l_returnflag").alias("rflag"),
+    p6 = cents(F.col("l_extendedprice"), 3) * cents(1 - F.col("l_discount"), 3)
+    return (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .withColumn("_p6", p6)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").cast("bigint").alias("line_no"),
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            (F.expr("(_p6 + 50) div 100").cast("double") / 10000).alias(
+                "net_price"
+            ),
+            F.upper("l_returnflag").alias("rflag"),
+        )
     )
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.exact import cents
+from ..functions.exact import cents, unscale
 from ..io import load
 from ..registry import query
 
@@ -66,9 +66,12 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_lag_lead",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(value, 2) AS value_amt,
-           ROUND(LAG(value, 1, 0.0) OVER w, 2) AS prev_value,
-           ROUND(LEAD(value, 1, 0.0) OVER w, 2) AS next_value,
+           CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS DOUBLE) / 100
+             AS value_amt,
+           CAST(LAG(CAST(ROUND(value * 100, 0) AS BIGINT), 1, 0) OVER w
+                AS DOUBLE) / 100 AS prev_value,
+           CAST(LEAD(CAST(ROUND(value * 100, 0) AS BIGINT), 1, 0) OVER w
+                AS DOUBLE) / 100 AS next_value,
            CAST(FLOOR(EPOCH(ts)) AS BIGINT)
              - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) AS gap_s
     FROM events
@@ -77,15 +80,22 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead with defaults + inter-event gap (ref B1 city-hop base,
-    setupTables.py:31)."""
+    setupTables.py:31).
+
+    Values go through the exact-cents scale (functions/exact.py), not
+    ROUND(value, 2): on half-cent doubles Spark's decimal-string ROUND
+    and DuckDB's binary ROUND disagree by one cent (9.905 -> 9.91 vs
+    9.90) — caught by the r17 seeded-net sweep the first time this key
+    met the .5-cent value grid."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = cents(F.col("value"))
     return ev.select(
         "event_id",
         "user_id",
-        F.round("value", 2).alias("value_amt"),
-        F.round(F.lag("value", 1, 0.0).over(w), 2).alias("prev_value"),
-        F.round(F.lead("value", 1, 0.0).over(w), 2).alias("next_value"),
+        unscale(c).alias("value_amt"),
+        unscale(F.lag(c, 1, 0).over(w)).alias("prev_value"),
+        unscale(F.lead(c, 1, 0).over(w)).alias("next_value"),
         (
             F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
         ).alias("gap_s"),
@@ -96,27 +106,41 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_frame",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-             AS running_total,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
-             AS moving_avg_5
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS running_total,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER mv AS DOUBLE)
+             / (COUNT(*) OVER mv * 100) AS moving_avg_5
     FROM events
+    WINDOW mv AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,
 )
 def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + bounded moving average with explicit frames (ref B3
-    running balance, setupTables.py:33-34)."""
+    running balance, setupTables.py:33-34).
+
+    Both aggregates run over integer CENTS (functions/exact.py), not
+    ROUND(SUM(value), 2): a running FLOAT sum is order-dependent and its
+    half-cent boundaries round differently per engine (the r17 seeded-net
+    sweep caught one-cent flips the first time this key met the .5-cent
+    grid); the moving average divides the exact cents sum by the exact
+    frame count — the same integers in both engines, hence the same
+    double."""
     ev = load(spark, sf_dir, "events")
     base = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     moving = base.rowsBetween(-4, Window.currentRow)
+    c = cents(F.col("value"))
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(running), 2).alias("running_total"),
-        F.round(F.avg("value").over(moving), 4).alias("moving_avg_5"),
+        unscale(F.sum(c).over(running)).alias("running_total"),
+        (
+            F.sum(c).over(moving).cast("double")
+            / (F.count(F.lit(1)).over(moving) * 100)
+        ).alias("moving_avg_5"),
     )
 
 

@@ -55,13 +55,29 @@ KEYS = (
     "rule_b8_regular_investor",  # >=4 click days AND >$100 sum
     "agg_having",             # >65 events splits heavy vs light users
     "rule_b10_cross_sell",    # anti leg LIVE: boosted values cross 150
+    # r17 additions — the events-family r13 cohort through the net in
+    # the round it re-grades (the r16 precedent; the sweep's probe run
+    # caught win_lag_lead / win_running_frame one-cent ROUND flips here):
+    "agg_approx_distinct",    # HLL++ vs exact distinct contract
+    "agg_distinct",           # countDistinct under the skewed users
+    "cdc_gdpr_erasure",       # erasure targeting under collided ts
+    "fn_bitwise",             # bit flags from the fresh event mix
+    "fn_json",                # props parse on permuted event_ids
+    "fn_map_struct",          # map/struct build on fresh values
+    "set_distinct_ops",       # INTERSECT/EXCEPT cohorts, value>90 gates
+    "set_union_all",          # unionByName counts on the value grid
+    "udf_scalar_python",      # Arrow scalar lane on .5-cent values
+    "udf_vectorized_agg",     # pandas UDAF on collided (user, ts)
+    "udf_cogrouped",          # full-outer cogroup, Python cents ties
+    "win_funnel_conversion",  # step ordering under exact ts collisions
+    "win_lag_lead",           # exact-cents lag/lead (r17 sweep fix)
+    "win_running_frame",      # exact-cents running sums (r17 sweep fix)
 )
 
 
-def _events_dir(tmp_path_factory, seed: int) -> str:
+def _build_events(d: str, seed: int) -> None:
     rng = np.random.default_rng(seed)
     n = 1400
-    d = str(tmp_path_factory.mktemp(f"seeded_sf_{seed}"))
     base = 1_700_000_000
     # ten days (so consecutive-day islands can form) x a SMALL intra-day
     # offset pool (so exact (user_id, ts) collisions still occur — both
@@ -109,12 +125,40 @@ def _events_dir(tmp_path_factory, seed: int) -> str:
         ),
         os.path.join(d, "events.parquet"),
     )
-    return d
+    # companion orders table for the cogrouped-reconciliation key (r17):
+    # custkeys span the event users 1..14 PLUS orphans 90..93 (od-only
+    # cogroups) while some light users get no orders (ev-only cogroups),
+    # so the full-outer reconciliation exercises all three legs; prices
+    # on the .005 grid land value*100 on exact .5 ties — the Python-side
+    # half-away-from-zero cents path vs the oracle's ROUND.
+    # Drawn AFTER every events draw: the RNG stream above (and the
+    # fixture properties asserted on it) is unchanged.
+    n_ord = 60
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(1, n_ord + 1), type=pa.int64()),
+                "o_custkey": pa.array(
+                    np.concatenate(
+                        [rng.integers(1, 15, n_ord - 6),
+                         90 + rng.integers(0, 4, 6)]
+                    ),
+                    type=pa.int64(),
+                ),
+                "o_totalprice": pa.array(
+                    rng.integers(0, 40000, n_ord) * 0.005, type=pa.float64()
+                ),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
 
 
 @pytest.fixture(scope="module", params=[20250815, 994871])
 def seeded_dir(request, tmp_path_factory) -> str:
-    return _events_dir(tmp_path_factory, request.param)
+    d = str(tmp_path_factory.mktemp(f"seeded_sf_{request.param}"))
+    _build_events(d, request.param)
+    return d
 
 
 @pytest.mark.parametrize("key", KEYS)
@@ -151,16 +195,14 @@ JOIN_KEYS = (
 )
 
 
-@pytest.fixture(scope="module", params=[7, 4242])
-def join_dir(request, tmp_path_factory) -> str:
+def _build_join(d: str, seed: int) -> None:
     """customer/orders where the shipped fixture's blind spots are live:
     ~1/3 of customers have NO orders (the sf tables give every customer
     an order, so join_anti's sf0.01 result is structurally empty), some
     orders are ORPHANS (o_custkey outside customer — right/full
     unmatched legs), and o_totalprice draws from a .125 grid so the
     lateral top-2 hits exact price ties broken by o_orderkey."""
-    rng = np.random.default_rng(request.param)
-    d = str(tmp_path_factory.mktemp(f"join_sf_{request.param}"))
+    rng = np.random.default_rng(seed)
     n_cust = 30
     pq.write_table(
         pa.table(
@@ -200,6 +242,12 @@ def join_dir(request, tmp_path_factory) -> str:
         ),
         os.path.join(d, "orders.parquet"),
     )
+
+
+@pytest.fixture(scope="module", params=[7, 4242])
+def join_dir(request, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp(f"join_sf_{request.param}"))
+    _build_join(d, request.param)
     return d
 
 
@@ -226,8 +274,7 @@ DEDUP_KEYS = (
 )
 
 
-@pytest.fixture(scope="module", params=[31337, 271828])
-def dedup_dir(request, tmp_path_factory) -> str:
+def _build_dedup(d: str, seed: int) -> None:
     """documents drawn from a 40-word vocabulary so random pairs carry
     NATURAL partial shingle overlap — including pairs near the 0.6
     Jaccard / hamming-9 decision boundaries the shipped corpus only
@@ -235,8 +282,7 @@ def dedup_dir(request, tmp_path_factory) -> str:
     its full pipeline (perturbation, perms, banding, multi-probe) in
     DuckDB, so the compare is bit-exact even for the probabilistic
     blockers."""
-    rng = np.random.default_rng(request.param)
-    d = str(tmp_path_factory.mktemp(f"dedup_sf_{request.param}"))
+    rng = np.random.default_rng(seed)
     vocab = np.array([f"w{i}" for i in range(400)])
     # 15 base docs + for each a MUTANT with a substitution rate swept
     # 0..40%: the pair spectrum crosses the Jaccard-0.6 / hamming-9
@@ -283,6 +329,36 @@ def dedup_dir(request, tmp_path_factory) -> str:
         ),
         os.path.join(d, "documents.parquet"),
     )
+    # companion embeddings for the multimodal join key (r17): vec_ids
+    # overlap doc_ids 0..19 (doc_id % 4 == 0 rows stay matched), fresh
+    # float32 vectors. Drawn AFTER every documents draw — the RNG stream
+    # above is unchanged.
+    n_vec, dim = 20, 8
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vec), type=pa.int64()),
+                "embedding": pa.array(
+                    [
+                        np.asarray(rng.normal(size=dim), dtype=np.float32)
+                        .tolist()
+                        for _ in range(n_vec)
+                    ],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array(
+                    (np.arange(n_vec) % 5).astype("int32"), type=pa.int32()
+                ),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+
+@pytest.fixture(scope="module", params=[31337, 271828])
+def dedup_dir(request, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp(f"dedup_sf_{request.param}"))
+    _build_dedup(d, request.param)
     return d
 
 
@@ -294,15 +370,46 @@ def test_seeded_dedup_matches_oracle(spark, dedup_dir, key):
     _compare(spark, key, dedup_dir)
 
 
+TEXT_KEYS = (
+    # r17: the documents-family r13 cohort through the same adversarial
+    # corpus in the round it re-grades (vocabulary docs + mutant chains;
+    # plus the companion embeddings table for the multimodal join)
+    "fn_hash",                 # md5/sha256 on the synthetic corpus
+    "sample_stratified_split",  # hash-split balance on fresh docs
+    "text_bpe_tokenize",       # merge-literal tokenizer on w-vocab text
+    "text_chunk",              # chunk boundaries on 24-40-word docs
+    "text_idf_rarity",         # IDF over the 400-word vocabulary
+    "text_langid",             # n-gram profile scores on synthetic text
+    "text_pack_sequences",     # greedy packing of fresh length mix
+    "text_quality",            # length/punct/stopword ratios
+    "text_redact_pii",         # regex sweep over non-PII corpus
+    "text_stats",              # per-doc counts on fresh docs
+    "token_count_bpe",         # regex token counts
+    "udtf_expand",             # per-token UDTF expansion rows
+    "multimodal_cols",         # docs JOIN embeddings metadata row
+    "multimodal_decode",       # BMP encode/decode layout math
+    "multimodal_framesample",  # frame-sample stride math
+)
+
+
+@pytest.mark.parametrize("key", TEXT_KEYS)
+def test_seeded_text_matches_oracle(spark, dedup_dir, key):
+    rows = _compare(spark, key, dedup_dir)
+    assert rows, f"{key} produced no rows on the seeded corpus"
+
+
 EMB_KEYS = (
     "dedup_embedding_cosine",  # 0.99 bp gate from both sides
     "sim_topk_cosine",         # exact ranking on a fresh distribution
     "embedding_quantize_int8",  # bound contract on adversarial vectors
+    # r17: embeddings-family r13 cohort in the round it re-grades
+    "fn_array",                # HOF sums/sorts on crafted vectors
+    "sim_maxsim_ann",          # PLAID retrieve-rerank recall contract
+    "sim_topk_lsh",            # hyperplane LSH + multi-probe recall
 )
 
 
-@pytest.fixture(scope="module")
-def emb_dir(tmp_path_factory) -> str:
+def _build_emb(d: str) -> None:
     """embeddings: 40 random float32 vectors (ids 0..39, labels id%5 —
     the query set 0..9 stays populated) plus four CRAFTED same-label
     pairs at cosine 0.9950 / 0.9905 / 0.9895 / 0.9850 — the 0.99 gate
@@ -312,7 +419,6 @@ def emb_dir(tmp_path_factory) -> str:
     operator's own %10 twin planting; crafted labels >= 10 so random
     vectors never join them."""
     rng = np.random.default_rng(90210)
-    d = str(tmp_path_factory.mktemp("emb_sf"))
     dim = 16
     ids, labels, vecs = [], [], []
     for i in range(40):
@@ -342,6 +448,12 @@ def emb_dir(tmp_path_factory) -> str:
         ),
         os.path.join(d, "embeddings.parquet"),
     )
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("emb_sf"))
+    _build_emb(d)
     return d
 
 
@@ -374,19 +486,23 @@ LAKE_KEYS = (
     # filter_pred's 1996 BETWEEN window is live (VERDICT r16 #2);
     # (reshape_unpivot needs events, covered by the planted fixtures)
     "filter_pred",          # conjunctive BETWEEN/IN with live date window
+    # r17: lake-family r13 cohort in the round it re-grades (the sweep's
+    # probe run caught project_rename_cast's truncate-vs-round cast here)
+    "project_rename_cast",  # exact 1e-4 net price + TRUNC-mirrored cast
+    "win_distribution",     # cume_dist/percent_rank under price ties
+    "win_ranking",          # ntile/rank on .125-grid acctbal ties
+    "graph_triangle_count",  # support-5 projection graph, 10 suppliers
 )
 
 
-@pytest.fixture(scope="module", params=[60901, 13])
-def lake_dir(request, tmp_path_factory) -> str:
+def _build_lake(d: str, seed: int) -> None:
     """Full-schema customer/orders/nation/lineitem with adversarial
     value grids: prices on .125 and discounts/taxes on .005 (exact
     .5-cent rounding ties), order priorities drawn from a 3-value pool
     so multi-key sorts tie on the leading key, and l_shipdate
     STRADDLING the 1998-09-01 pricing-summary cutoff (the shipped
     fixture exercises only one side of the predicate)."""
-    rng = np.random.default_rng(request.param)
-    d = str(tmp_path_factory.mktemp(f"lake_sf_{request.param}"))
+    rng = np.random.default_rng(seed)
     n_cust, n_ord, n_li = 30, 120, 400
     pq.write_table(
         pa.table(
@@ -512,6 +628,12 @@ def lake_dir(request, tmp_path_factory) -> str:
         ),
         os.path.join(d, "lineitem.parquet"),
     )
+
+
+@pytest.fixture(scope="module", params=[60901, 13])
+def lake_dir(request, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp(f"lake_sf_{request.param}"))
+    _build_lake(d, request.param)
     return d
 
 
