@@ -212,9 +212,16 @@ _VERDICT_ROUND: dict[str, int] = {
 # never-graded keys. The r16 stales (rule_b10_cross_sell /
 # text_fingerprint / sink_write_audit_publish) were all re-certified in
 # r16 (CORRECTNESS_r16 50/50 green, non-vacuous rows: 83 / 500 / 2).
-# Round 17 stale-marks nothing so far: the round's operator-side work
-# (latent sweep targets) lives inside the r13 cohort, which re-grades
-# this round by vintage anyway and needs no stale slot.
+# Round 17 stale-marks nothing: the round's operator-side fixes
+# (win_lag_lead / win_running_frame exact-cents, project_rename_cast
+# exact net-price + TRUNC-mirrored oracle — all r17 sweep findings)
+# live inside the r13 cohort, which re-grades this round by vintage
+# anyway and needs no stale slot.
+# NOT stale-marked (deliberate): stream_watermark_late lost its
+# pre-r15 legacy-dir reclaim block (its own exit criterion fired: r16
+# passed with zero legacy dirs) — strictly behavior-preserving dead-code
+# removal in steady state (the guarded block was a no-op), the r8–r12
+# refactor precedent, re-verified cold at sf0.01 under hostile TZ.
 _STALE_REGRADE = frozenset()
 
 # Round 17 has no budget overflow: 0 rank-(0,0) stale regrades + the
