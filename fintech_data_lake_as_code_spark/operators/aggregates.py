@@ -917,22 +917,43 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, the sketch streams with bounded memory and a DETERMINISTIC
     rank-error guarantee (<= 1/accuracy regardless of partitioning or
     merge order). Engine-portable contract as in agg_approx_distinct:
-    the graded output carries the exact p50 plus `within_bound` — the
-    approx estimate (rank error <= 1e-4 at accuracy 10000) must land
-    inside the exact [p49.9, p50.1] value band, a 10x-slack envelope
-    that any conforming sketch satisfies — so the oracle's literal TRUE
-    fails the hash the moment the sketch drifts out of its guarantee.
-    The estimate itself stays out of the output (sketch values are
-    engine-specific); at 100 TB you keep only the approx."""
+    the graded output carries the exact p50 plus `within_bound`, and the
+    oracle's literal TRUE fails the hash the moment the sketch drifts
+    out of its guarantee. The estimate itself stays out of the output
+    (sketch values are engine-specific); at 100 TB you keep only the
+    approx.
+
+    The bound is checked in RANK space, matching the guarantee GK
+    actually makes: the estimate's rank interval [count(< v), count(<= v)]
+    must overlap [n/2 - slack, n/2 + slack] with slack = ceil(1e-3 * n)
+    + 1 — 10x the accuracy-10000 rank error, plus one because the sketch
+    returns an ELEMENT. The previous VALUE-space band (exact p49.9 ..
+    p50.1) silently assumed 0.002*n >> 1: on a 118-row group the band
+    spans less than one rank gap, so it contains NO data element and a
+    perfectly rank-exact sketch fails it (r17 seeded-net finding on the
+    .125-grid lake fixture). The rank check costs one broadcast join of
+    the 3-row estimate relation back onto the scan — a contract-audit
+    pass, not the production path."""
     li = load(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
-    approx = F.percentile_approx(price, F.lit(0.5), F.lit(10000))
-    lo = F.percentile(price, F.lit(0.499))
-    hi = F.percentile(price, F.lit(0.501))
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(price, F.lit(0.5)), 4).alias("exact_p50"),
-        F.count("*").alias("n_rows"),
-        ((approx >= lo) & (approx <= hi)).alias("within_bound"),
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(price, F.lit(0.5), F.lit(10000)).alias("_approx")
+    )
+    n = F.count("*")
+    slack = F.ceil(n * F.lit(1e-3)) + 1
+    n_below = F.sum((price < F.col("_approx")).cast("long"))
+    n_at_or_below = F.sum((price <= F.col("_approx")).cast("long"))
+    return (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(price, F.lit(0.5)), 4).alias("exact_p50"),
+            n.alias("n_rows"),
+            (
+                (n_below <= n / 2 + slack)
+                & (n_at_or_below >= n / 2 - slack)
+            ).alias("within_bound"),
+        )
     )
 
 

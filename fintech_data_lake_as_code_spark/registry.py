@@ -212,20 +212,29 @@ _VERDICT_ROUND: dict[str, int] = {
 # never-graded keys. The r16 stales (rule_b10_cross_sell /
 # text_fingerprint / sink_write_audit_publish) were all re-certified in
 # r16 (CORRECTNESS_r16 50/50 green, non-vacuous rows: 83 / 500 / 2).
-# Round 17 stale-marks nothing: the round's operator-side fixes
-# (win_lag_lead / win_running_frame exact-cents, project_rename_cast
-# exact net-price + TRUNC-mirrored oracle — all r17 sweep findings)
-# live inside the r13 cohort, which re-grades this round by vintage
-# anyway and needs no stale slot.
+# Round 17's operator-side fixes (win_lag_lead / win_running_frame
+# exact-cents, project_rename_cast exact net-price + TRUNC-mirrored
+# oracle — all r17 sweep findings) live inside the r13 cohort, which
+# re-grades this round by vintage anyway and needs no stale slot. ONE
+# key is stale-marked, an r14-vintage fix pulled forward onto the
+# round's spare slots (the r16 rule_b10/text_fingerprint precedent):
+# - agg_approx_percentile (r14 vintage): the r17 seeded-net probe of
+#   next round's cohort showed the `within_bound` contract fails a
+#   rank-exact sketch on small groups — the exact-value band
+#   (p49.9..p50.1) spans less than one rank gap when 0.002*n < 1, and
+#   percentile_approx returns an ELEMENT, so no conforming answer can
+#   land inside it. The bound is now checked in RANK space (count-
+#   below/at vs n/2 ± slack); the graded boolean's expression changed,
+#   so the r14 verdict is void.
 # NOT stale-marked (deliberate): stream_watermark_late lost its
 # pre-r15 legacy-dir reclaim block (its own exit criterion fired: r16
 # passed with zero legacy dirs) — strictly behavior-preserving dead-code
 # removal in steady state (the guarded block was a no-op), the r8–r12
 # refactor precedent, re-verified cold at sf0.01 under hostile TZ.
-_STALE_REGRADE = frozenset()
+_STALE_REGRADE = frozenset({"agg_approx_percentile"})
 
-# Round 17 has no budget overflow: 0 rank-(0,0) stale regrades + the
-# 47-key r13 cohort = 47 ≤ 50 (3 spare slots). tests/
+# Round 17 has no budget overflow: 1 rank-(0,0) stale regrade + the
+# 47-key r13 cohort = 48 ≤ 50 (2 spare slots). tests/
 # test_registry_vintage.py pins that this deferral set is exactly as
 # large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()

@@ -72,6 +72,25 @@ KEYS = (
     "win_funnel_conversion",  # step ordering under exact ts collisions
     "win_lag_lead",           # exact-cents lag/lead (r17 sweep fix)
     "win_running_frame",      # exact-cents running sums (r17 sweep fix)
+    # r17 pull-forward — the events-family r14 cohort probed green on
+    # these fixtures ahead of its r18 re-grade (spare-slot discipline):
+    "agg_rolling_distinct",   # sliding distinct under collided ts
+    "agg_sketch_cms",         # CMS point queries on the skewed users
+    "agg_sketch_hll",         # HLL register merge on fresh ids
+    "fn_variant",             # variant parse on permuted props
+    "scan_json_corrupt",      # permissive-mode corrupt-record buckets
+    "scan_json_lines",        # landed JSONL round-trip
+    "scan_partition_pruned",  # partition pruning on landed dirs
+    "scan_schema_evolution",  # mergeSchema across landed generations
+    "scan_text",              # whole-line text scan summary
+    "scan_xml",               # from-scratch XML row parse
+    "set_bag_ops",            # INTERSECT/EXCEPT ALL multiplicities
+    "sink_compacted",         # small-file compaction audit
+    "sink_partitioned",       # hive-partitioned sink audit
+    "sink_sorted_lake",       # sorted-files layout audit
+    "sink_zorder_lake",       # z-order interleave audit
+    "scan_jdbc",              # Derby round-trip of the per-user ledger
+    "join_skew_salted",       # salted hot-key join (customer dim added)
 )
 
 
@@ -151,6 +170,27 @@ def _build_events(d: str, seed: int) -> None:
             }
         ),
         os.path.join(d, "orders.parquet"),
+    )
+    # companion customer dim for the salted skew join (r17): custkeys
+    # cover the event users 1..14 AND the planted hot key 0 (so the
+    # skew leg joins rows here — TPC-H-style custkeys start at 1 and
+    # would drop it), plus 16..17 with no events. Drawn after all prior
+    # draws; streams above unchanged.
+    cust_keys = list(range(0, 18))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(cust_keys, type=pa.int64()),
+                "c_mktsegment": pa.array(
+                    rng.choice(
+                        ["BUILDING", "MACHINERY", "HOUSEHOLD"],
+                        len(cust_keys),
+                    ),
+                    type=pa.string(),
+                ),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
     )
 
 
@@ -271,6 +311,9 @@ DEDUP_KEYS = (
     "dedup_simhash",         # 6x10-bit bands + Hamming-1 multi-probe
     "dedup_cluster_cc",      # label propagation over TRANSITIVE chains
     "dedup_keep_best",       # survivor election within chained clusters
+    # r17 pull-forward (r14 cohort, probed green on the mutant corpus):
+    "dedup_containment",     # asymmetric C(A,B) prefix filter
+    "dedup_incremental",     # PPJoin probe side = new docs only
 )
 
 
@@ -389,6 +432,13 @@ TEXT_KEYS = (
     "multimodal_cols",         # docs JOIN embeddings metadata row
     "multimodal_decode",       # BMP encode/decode layout math
     "multimodal_framesample",  # frame-sample stride math
+    # r17 pull-forward (r14 cohort, probed green on the mutant corpus):
+    "fn_url",                  # URL parse family on doc-derived urls
+    "sample_bootstrap_means",  # LCG bootstrap replicates
+    "sample_split_leakage_safe",  # cluster-aware split, no leakage
+    "sample_weighted_priority",  # deterministic weighted sampling
+    "text_decontaminate",      # benchmark-shingle broadcast filter
+    "text_ngram_freq",         # top-ngram election with tie-breaks
 )
 
 
@@ -492,6 +542,15 @@ LAKE_KEYS = (
     "win_distribution",     # cume_dist/percent_rank under price ties
     "win_ranking",          # ntile/rank on .125-grid acctbal ties
     "graph_triangle_count",  # support-5 projection graph, 10 suppliers
+    # r17 pull-forward (r14 cohort; the probe here caught
+    # agg_approx_percentile's value-band contract failing small groups)
+    "agg_approx_percentile",  # rank-space sketch contract (r17 fix)
+    "agg_histogram_bins",   # cents-exact bucket arithmetic
+    "join_bucketed_colocated",  # co-bucketed exchange-free join
+    "scan_avro",            # from-scratch avro round-trip
+    "scan_csv",             # csv round-trip with header/types
+    "scan_orc",             # orc round-trip
+    "scan_parquet",         # parquet scan summary
 )
 
 
