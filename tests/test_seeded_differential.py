@@ -91,6 +91,22 @@ KEYS = (
     "sink_zorder_lake",       # z-order interleave audit
     "scan_jdbc",              # Derby round-trip of the per-user ledger
     "join_skew_salted",       # salted hot-key join (customer dim added)
+    # r17 pull-forward — events-family r15 cohort, probed green ahead
+    # of its r19 re-grade. join_spatial_grid is excluded WITH RATIONALE:
+    # its points derive from distinct user_ids, and 14 users scatter a
+    # 37x41 plane too sparsely for any neighbor pair (0 rows on both
+    # seeds — a 0-row compare certifies nothing); it keeps its planted
+    # fixture coverage.
+    "agg_bitmap_distinct",    # roaring-style bitmap distinct counts
+    "agg_kanonymity",         # k-anonymity bucket census
+    "agg_pareto_8020",        # top-decile share on the skewed users
+    "agg_regression_ols",     # decimal(38) moment sums
+    "dq_expectations",        # expectation pass/fail census
+    "fn_try_ansi",            # try_* null-on-error arithmetic
+    "join_asof_forward",      # forward as-of under collided ts
+    "sink_compression_codecs",  # multi-codec landed round-trip
+    "udf_map_in_arrow",       # mapInArrow batch lane
+    "win_resample_interp",    # grid resample + linear interpolation
 )
 
 
@@ -314,6 +330,9 @@ DEDUP_KEYS = (
     # r17 pull-forward (r14 cohort, probed green on the mutant corpus):
     "dedup_containment",     # asymmetric C(A,B) prefix filter
     "dedup_incremental",     # PPJoin probe side = new docs only
+    # r17 pull-forward (r15 cohort):
+    "dedup_paragraph",       # paragraph-frequency counting
+    "dedup_semantic_cluster",  # SemDeDup recall contract
 )
 
 
@@ -439,6 +458,15 @@ TEXT_KEYS = (
     "sample_weighted_priority",  # deterministic weighted sampling
     "text_decontaminate",      # benchmark-shingle broadcast filter
     "text_ngram_freq",         # top-ngram election with tie-breaks
+    # r17 pull-forward (r15 cohort):
+    "fn_collation",            # collation-sensitive compare census
+    "fn_crypto",               # aes round-trip + hmac lengths
+    "fn_string",               # string family on the mutant corpus
+    "join_fuzzy_edit_distance",  # levenshtein<=1 lexicon probes
+    "sample_temperature_mix",  # temperature-weighted source mix
+    "text_repetition_gopher",  # gopher repetition ratios
+    "text_zipf_fit",           # zipf slope on the 400-word vocab
+    "scan_binaryfile",         # real .bmp binaryFile ingest
 )
 
 
@@ -456,6 +484,11 @@ EMB_KEYS = (
     "fn_array",                # HOF sums/sorts on crafted vectors
     "sim_maxsim_ann",          # PLAID retrieve-rerank recall contract
     "sim_topk_lsh",            # hyperplane LSH + multi-probe recall
+    # r17 pull-forward (r15 cohort):
+    "sample_negative_pairs",   # LCG negative sampling
+    "sim_maxsim_multivector",  # exact MaxSim over pseudo-multivectors
+    "sim_topk_ivf",            # IVF-flat fixed-grid quantizer
+    "sim_topk_ivf_kmeans",     # trained-quantizer recall contract
 )
 
 
@@ -551,6 +584,11 @@ LAKE_KEYS = (
     "scan_csv",             # csv round-trip with header/types
     "scan_orc",             # orc round-trip
     "scan_parquet",         # parquet scan summary
+    # r17 pull-forward (r15 cohort):
+    "fn_conditional",       # case/coalesce/nullif ladder
+    "fn_datetime",          # datetime family on straddled dates
+    "fn_math_decimal",      # decimal math on the .125/.005 grids
+    "sql_recursive_cte",    # iterative-union recursion
 )
 
 
