@@ -107,6 +107,23 @@ KEYS = (
     "sink_compression_codecs",  # multi-codec landed round-trip
     "udf_map_in_arrow",       # mapInArrow batch lane
     "win_resample_interp",    # grid resample + linear interpolation
+    # r17 closure batch — with these, EVERY registered non-streaming,
+    # non-generator key is in the net (residue: 18 stream_* keys, each
+    # running a real micro-batch drain — covered by test_streaming plus
+    # the per-round driver grade; datagen_* / scan_python_datasource,
+    # whose generated rows are fixture-independent so a seeded compare
+    # adds nothing; and join_spatial_grid, rationale above):
+    "cdc_dedupe_batch",       # redelivery collapse on collided ids
+    "cdc_snapshot_diff",      # inserted/changed/unchanged census
+    "filter_null_domain",     # enum-domain bucket census
+    "join_scd2_pointintime",  # point-in-time interval join
+    "reshape_unpivot",        # wide->long stack round-trip
+    "sink_write_audit_publish",  # WAP audit gate on fresh rows
+    "win_anomaly_zscore",     # rolling z-score outlier flags
+    "win_asof_gap_fill",      # gap-fill with last-known values
+    "win_range_interval",     # trailing-hour RANGE frame
+    "win_transition_matrix",  # event-type Markov transitions
+    "join_asof_backward",     # backward as-of with o_orderdate == ts ties
 )
 
 
@@ -182,6 +199,20 @@ def _build_events(d: str, seed: int) -> None:
                 ),
                 "o_totalprice": pa.array(
                     rng.integers(0, 40000, n_ord) * 0.005, type=pa.float64()
+                ),
+                # same (day x 600-offset) grid as the events ts draw, so
+                # exact o_orderdate == ts ties occur — the <= boundary a
+                # BACKWARD as-of join must include
+                "o_orderdate": pa.array(
+                    (
+                        (
+                            base
+                            + rng.integers(-2, 10, n_ord) * 86_400
+                            + rng.integers(0, 600, n_ord)
+                        )
+                        * 1_000_000
+                    ).astype("int64"),
+                    type=pa.timestamp("us"),
                 ),
             }
         ),
@@ -467,6 +498,9 @@ TEXT_KEYS = (
     "text_repetition_gopher",  # gopher repetition ratios
     "text_zipf_fit",           # zipf slope on the 400-word vocab
     "scan_binaryfile",         # real .bmp binaryFile ingest
+    # r17 closure batch:
+    "text_bpe_train",          # BPE merges from the word-freq table
+    "text_fingerprint",        # mod-before-sum polynomial hash
 )
 
 
@@ -589,6 +623,12 @@ LAKE_KEYS = (
     "fn_datetime",          # datetime family on straddled dates
     "fn_math_decimal",      # decimal math on the .125/.005 grids
     "sql_recursive_cte",    # iterative-union recursion
+    # r17 closure batch (region/part companions added to the builder):
+    "join_broadcast",       # dim-chain broadcast join
+    "join_multiway",        # 5-table chain incl. orphan orders
+    "join_cross_topk",      # bounded cross-relation top-k
+    "join_theta_range",     # bands with p_size ON the 15/35 edges
+    "agg_rollup_cube_gsets",  # rollup/cube/grouping-sets census
 )
 
 
@@ -724,6 +764,34 @@ def _build_lake(d: str, seed: int) -> None:
             }
         ),
         os.path.join(d, "lineitem.parquet"),
+    )
+    # region + part companions (r17, drawn after all prior draws): the
+    # two regions nation points at, and parts whose p_size hits the
+    # theta-band EDGES 15 and 35 exactly (the > lo AND <= hi boundary)
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], type=pa.int32()),
+                "r_name": pa.array(["REGION0", "REGION1"], type=pa.string()),
+            }
+        ),
+        os.path.join(d, "region.parquet"),
+    )
+    n_part = 40
+    sizes = rng.integers(1, 51, n_part)
+    sizes[:2] = [15, 35]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(1, n_part + 1), type=pa.int64()),
+                "p_size": pa.array(sizes, type=pa.int32()),
+                "p_retailprice": pa.array(
+                    rng.integers(7_000, 15_000, n_part) * 0.125,
+                    type=pa.float64(),
+                ),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
     )
 
 
