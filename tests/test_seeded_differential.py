@@ -235,9 +235,25 @@ def _build_events(d: str, seed: int) -> None:
                     ),
                     type=pa.string(),
                 ),
+                # nationkey for the stream-static enrichment join
+                # (drawn after the segment draw; prior streams unchanged)
+                "c_nationkey": pa.array(
+                    rng.integers(0, 5, len(cust_keys)), type=pa.int32()
+                ),
             }
         ),
         os.path.join(d, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(5), type=pa.int32()),
+                "n_name": pa.array(
+                    [f"NATION{i}" for i in range(5)], type=pa.string()
+                ),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
     )
 
 
@@ -508,6 +524,46 @@ TEXT_KEYS = (
 def test_seeded_text_matches_oracle(spark, dedup_dir, key):
     rows = _compare(spark, key, dedup_dir)
     assert rows, f"{key} produced no rows on the seeded corpus"
+
+
+# r17 closure: the streaming keys through the same net, slow-marked —
+# each runs a real micro-batch drain (landing write + query start), so
+# they ride the slow suite like test_value_discrimination's stream legs.
+# stream_dedup_incremental is documents-family; the other 17 ride the
+# events fixture (customer gained c_nationkey + a nation dim for the
+# stream-static enrichment join).
+STREAM_KEYS = (
+    "stream_backfill_availablenow",
+    "stream_bronze_ingest",
+    "stream_dedupe",
+    "stream_foreachbatch_merge",
+    "stream_join_static",
+    "stream_observe_metrics",
+    "stream_python_datasource",
+    "stream_rate_sim",
+    "stream_scd2_apply",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful_freeze",
+    "stream_stream_join",
+    "stream_transform_with_state",
+    "stream_tumbling",
+    "stream_tws_topk_state",
+    "stream_watermark_late",
+)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("key", STREAM_KEYS)
+def test_seeded_stream_matches_oracle(spark, seeded_dir, key):
+    rows = _compare(spark, key, seeded_dir)
+    assert rows, f"{key} produced no rows on the seeded fixture"
+
+
+@pytest.mark.slow
+def test_seeded_stream_dedup_incremental_matches_oracle(spark, dedup_dir):
+    rows = _compare(spark, "stream_dedup_incremental", dedup_dir)
+    assert rows, "stream_dedup_incremental produced no rows"
 
 
 EMB_KEYS = (
