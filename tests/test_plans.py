@@ -880,3 +880,30 @@ def test_benford_denominator_reuses_the_grouped_exchange(spark, sf_dir):
     final = executed_plan(df).split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final
     assert final.count("FileScan parquet") == 1
+
+
+def test_approx_percentile_contract_join_is_broadcast(spark, sf_dir):
+    """agg_approx_percentile's r17 rank-space contract joins the
+    groups-sized estimate relation back onto the scan: that join must be
+    a BroadcastHashJoin (never a sort-merge shuffle of the fact table),
+    and both fact-side reads must stay pruned to the two referenced
+    columns."""
+    df = SPECS["agg_approx_percentile"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    rs = read_schema(df)
+    assert "l_extendedprice" in rs and "l_returnflag" in rs
+    assert "l_quantity" not in rs and "l_partkey" not in rs, rs
+
+
+def test_project_rename_cast_is_single_codegen_projection(spark, sf_dir):
+    """project_rename_cast's r17 exact net-price (the _p6 withColumn)
+    must collapse into the ONE whole-stage-codegen scan+filter+project
+    pipeline — no exchange, no extra materialization — and keep the
+    6-column pruned read."""
+    df = SPECS["project_rename_cast"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    rs = read_schema(df)
+    assert "l_shipdate" not in rs and "l_partkey" not in rs, rs
