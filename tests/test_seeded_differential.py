@@ -257,7 +257,11 @@ def _build_events(d: str, seed: int) -> None:
     )
 
 
-@pytest.fixture(scope="module", params=[20250815, 994871])
+# third seed added r17 (ADVICE r16 #3: more seeds keep the calibrated
+# thresholds honest against any one seed's accidents); 777001 was
+# property-checked like the first two (threshold splits live, b5/b8/b10
+# legs non-empty, 17 exact (user_id, ts) collisions)
+@pytest.fixture(scope="module", params=[20250815, 994871, 777001])
 def seeded_dir(request, tmp_path_factory) -> str:
     d = str(tmp_path_factory.mktemp(f"seeded_sf_{request.param}"))
     _build_events(d, request.param)
@@ -851,7 +855,7 @@ def _build_lake(d: str, seed: int) -> None:
     )
 
 
-@pytest.fixture(scope="module", params=[60901, 13])
+@pytest.fixture(scope="module", params=[60901, 13, 90125])
 def lake_dir(request, tmp_path_factory) -> str:
     d = str(tmp_path_factory.mktemp(f"lake_sf_{request.param}"))
     _build_lake(d, request.param)
