@@ -570,6 +570,41 @@ def test_seeded_stream_dedup_incremental_matches_oracle(spark, dedup_dir):
     assert rows, "stream_dedup_incremental produced no rows"
 
 
+@pytest.fixture(scope="module")
+def spatial_dir(tmp_path_factory) -> str:
+    """Dense DETERMINISTIC events for join_spatial_grid (the one key the
+    skewed 14-user fixture cannot feed — its points derive from distinct
+    user_ids, and 14 points scatter the 37x41 plane with no neighbor
+    pairs). 600 consecutive user_ids tile the plane densely: 7,965 pairs
+    within radius and 718 EXACTLY at dist2 == 25 — the <= boundary the
+    grid blocking must include."""
+    d = str(tmp_path_factory.mktemp("spatial_sf"))
+    n = 600
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(1, n + 1), type=pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000] * n, type=pa.timestamp("us")
+                ),
+                "user_id": pa.array(range(1, n + 1), type=pa.int64()),
+                "event_type": pa.array(["view"] * n, type=pa.string()),
+                "value": pa.array([1.0] * n, type=pa.float64()),
+                "props": pa.array(["{}"] * n, type=pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+def test_spatial_grid_dense_matches_oracle(spark, spatial_dir):
+    rows = _compare(spark, "join_spatial_grid", spatial_dir)
+    assert len(rows) == 7965, len(rows)
+    # the exact-boundary pairs must be INCLUDED (<=, not <)
+    assert sum(1 for r in rows if r[2] == 25) == 718
+
+
 EMB_KEYS = (
     "dedup_embedding_cosine",  # 0.99 bp gate from both sides
     "sim_topk_cosine",         # exact ranking on a fresh distribution
