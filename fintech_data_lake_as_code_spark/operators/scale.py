@@ -174,6 +174,14 @@ def _bucketed_table(
     # place would leave a shape-matching marker over OLD bucketed rows,
     # silently joined against a fresh oracle every round after
     src = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(src):
+        # surface the engine's standard [PATH_NOT_FOUND] AnalysisException
+        # (what every scan key raises on a bad sf_dir) instead of letting
+        # source_fingerprint's os.stat throw a raw FileNotFoundError —
+        # the r14-review error-path alignment, landed with the key's r18
+        # re-grade window
+        load(spark, sf_dir, name)
+        raise AssertionError("unreachable: load() raises on missing path")
     fingerprint = f"{N_BUCKETS}:{key}:{source_fingerprint(src)}"
     layout_marker = os.path.join(path, "_LAYOUT")
     layout_ok = False
