@@ -703,3 +703,35 @@ def test_pid_scratch_dir_contract(tmp_path, monkeypatch):
     assert os.path.exists(live), "live peer's dir must survive"
     assert os.path.exists(other), "non-pid entries are not ours to sweep"
     assert not os.path.exists(mine), "own previous dir is cleared on entry"
+
+
+def test_cents_agree_across_engines_on_every_half_cent_tie(spark):
+    """The r17 sweep class, pinned exhaustively: on the 0.005 grid every
+    odd multiple lands value*100 on an exact .5 double, where NAIVE
+    ROUND(value, 2) diverges between engines (Spark rounds the shortest
+    decimal repr: 9.905 -> 9.91; DuckDB rounds the binary double:
+    -> 9.90 — the win_lag_lead/win_running_frame finding). The repo
+    convention — scale FIRST, round THEN (exact.cents) — must agree
+    between Spark and DuckDB on EVERY grid point, ties included,
+    because both engines round the SAME already-scaled double."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.functions.exact import cents
+
+    ks = list(range(0, 4000))  # v = k * 0.005; odd k = exact .5-cent tie
+    df = spark.createDataFrame([(k,) for k in ks], "k long").select(
+        "k", cents(F.col("k") * 0.005).alias("c")
+    )
+    got_spark = {r.k: r.c for r in df.collect()}
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            "SELECT k, CAST(ROUND(k * 0.005::DOUBLE * 100, 0) AS BIGINT) "
+            "FROM range(0, 4000) t(k)"
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+    # sanity: the grid actually exercises ties (odd k -> x.5 cents)
+    assert any(k % 2 == 1 for k in ks)
