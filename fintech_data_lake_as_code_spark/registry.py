@@ -80,59 +80,34 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r16.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r17.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r16 fold the vintage
-# census is 47@r13 / 48@r14 / 49@r15 / 50@r16 (CORRECTNESS_r16 was
-# 50/50 green: the 47-key r12 cohort + the 3 stale regrades
-# rule_b10_cross_sell / text_fingerprint / sink_write_audit_publish).
-# Round 17 registers no new keys (no table-format jar on disk —
-# re-probed a SEVENTH time, that axis stays closed, r11–r16 precedent).
-# Rank-(0,0) demand = len(_STALE_REGRADE) + the 47-key r13 cohort ≤ 50 —
-# no overflow, `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r14
-# after the r17 grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r17 fold the vintage
+# census is 45@r14 / 49@r15 / 50@r16 / 50@r17 (CORRECTNESS_r17 was
+# 50/50 green: the 47-key r13 cohort + the stale regrade
+# agg_approx_percentile + the 2 spare slots scan_jdbc / fn_variant).
+# Round 18 registers no new keys (no table-format jar on disk —
+# re-probed an EIGHTH time, that axis stays closed, r11–r17 precedent).
+# Rank-(0,0) demand = len(_STALE_REGRADE) + the 45-key r14 cohort ≤ 50 —
+# no overflow, `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r15
+# after the r18 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 13 greens — the r17 grading cohort (stalest)
+    # round 14 greens — the r18 grading cohort (stalest)
     **dict.fromkeys(
         [
-            "agg_approx_distinct", "agg_distinct", "cdc_gdpr_erasure",
-            "datagen_account_sample",
-            "fn_array", "fn_bitwise", "fn_hash", "fn_json",
-            "fn_map_struct", "graph_pagerank", "graph_triangle_count",
-            "limit_topk",
-            "multimodal_cols", "multimodal_decode",
-            "multimodal_framesample", "project_rename_cast",
-            "sample_stratified_split", "scan_python_datasource",
-            "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
-            "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
-            "text_bpe_tokenize", "text_chunk",
-            "text_idf_rarity", "text_langid", "text_pack_sequences",
-            "text_quality", "text_redact_pii", "text_stats",
-            "token_count_bpe", "topk_per_group", "udf_cogrouped",
-            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
-            "win_asof_gap_fill", "win_distribution",
-            "win_funnel_conversion", "win_islands_consecutive",
-            "win_lag_lead", "win_range_interval", "win_ranking",
-            "win_running_frame", "win_sessionize",
-        ],
-        13,
-    ),
-    # round 14 greens
-    **dict.fromkeys(
-        [
-            "agg_approx_percentile", "agg_histogram_bins",
+            "agg_histogram_bins",
             "agg_retention_cohort", "agg_rolling_distinct",
             "agg_sketch_cms", "agg_sketch_hll",
             "dedup_containment", "dedup_incremental",
             "dedup_near_minhash", "dedup_ngram_jaccard",
-            "dedup_simhash", "fn_url", "fn_variant",
+            "dedup_simhash", "fn_url",
             "join_asof_nearest",
             "join_bucketed_colocated", "join_skew_salted",
             "profile_columns", "sample_bootstrap_means",
             "sample_split_leakage_safe", "sample_weighted_priority",
-            "scan_avro", "scan_csv", "scan_jdbc", "scan_json_corrupt",
+            "scan_avro", "scan_csv", "scan_json_corrupt",
             "scan_json_lines", "scan_orc", "scan_parquet",
             "scan_partition_pruned", "scan_schema_evolution",
             "scan_text", "scan_xml", "set_bag_ops",
@@ -177,8 +152,7 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         15,
     ),
-    # round 16 greens — freshest, grade last (CORRECTNESS_r16: 50/50 =
-    # the 47-key r12 cohort + the 3 stale regrades)
+    # round 16 greens
     **dict.fromkeys(
         [
             "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
@@ -205,38 +179,52 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         16,
     ),
+    # round 17 greens — freshest, grade last (CORRECTNESS_r17: 50/50 =
+    # the 47-key r13 cohort + the stale regrade agg_approx_percentile
+    # + the 2 spare slots scan_jdbc / fn_variant)
+    **dict.fromkeys(
+        [
+            "agg_approx_distinct", "agg_approx_percentile",
+            "agg_distinct", "cdc_gdpr_erasure",
+            "datagen_account_sample",
+            "fn_array", "fn_bitwise", "fn_hash", "fn_json",
+            "fn_map_struct", "fn_variant",
+            "graph_pagerank", "graph_triangle_count",
+            "limit_topk",
+            "multimodal_cols", "multimodal_decode",
+            "multimodal_framesample", "project_rename_cast",
+            "sample_stratified_split", "scan_jdbc",
+            "scan_python_datasource",
+            "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
+            "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
+            "text_bpe_tokenize", "text_chunk",
+            "text_idf_rarity", "text_langid", "text_pack_sequences",
+            "text_quality", "text_redact_pii", "text_stats",
+            "token_count_bpe", "topk_per_group", "udf_cogrouped",
+            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
+            "win_asof_gap_fill", "win_distribution",
+            "win_funnel_conversion", "win_islands_consecutive",
+            "win_lag_lead", "win_range_interval", "win_ranking",
+            "win_running_frame", "win_sessionize",
+        ],
+        17,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The r16 stales (rule_b10_cross_sell /
-# text_fingerprint / sink_write_audit_publish) were all re-certified in
-# r16 (CORRECTNESS_r16 50/50 green, non-vacuous rows: 83 / 500 / 2).
-# Round 17's operator-side fixes (win_lag_lead / win_running_frame
-# exact-cents, project_rename_cast exact net-price + TRUNC-mirrored
-# oracle — all r17 sweep findings) live inside the r13 cohort, which
-# re-grades this round by vintage anyway and needs no stale slot. ONE
-# key is stale-marked, an r14-vintage fix pulled forward onto the
-# round's spare slots (the r16 rule_b10/text_fingerprint precedent):
-# - agg_approx_percentile (r14 vintage): the r17 seeded-net probe of
-#   next round's cohort showed the `within_bound` contract fails a
-#   rank-exact sketch on small groups — the exact-value band
-#   (p49.9..p50.1) spans less than one rank gap when 0.002*n < 1, and
-#   percentile_approx returns an ELEMENT, so no conforming answer can
-#   land inside it. The bound is now checked in RANK space (count-
-#   below/at vs n/2 ± slack); the graded boolean's expression changed,
-#   so the r14 verdict is void.
-# NOT stale-marked (deliberate): stream_watermark_late lost its
-# pre-r15 legacy-dir reclaim block (its own exit criterion fired: r16
-# passed with zero legacy dirs) — strictly behavior-preserving dead-code
-# removal in steady state (the guarded block was a no-op), the r8–r12
-# refactor precedent, re-verified cold at sf0.01 under hostile TZ.
-_STALE_REGRADE = frozenset({"agg_approx_percentile"})
+# never-graded keys. The r17 stale (agg_approx_percentile, rank-space
+# contract rebuild) was re-certified in r17 (CORRECTNESS_r17 50/50
+# green, 3 non-vacuous rows). Round 18's operator-side changes so far
+# (rule_b10_cross_sell / join_anti threshold derivations, ADVICE-r16 #3)
+# keep the graded relations bit-identical on the shipped fixture —
+# stale-marking decided per change as the round proceeds.
+_STALE_REGRADE = frozenset()
 
-# Round 17 has no budget overflow: 1 rank-(0,0) stale regrade + the
-# 47-key r13 cohort = 48 ≤ 50 (2 spare slots). tests/
-# test_registry_vintage.py pins that this deferral set is exactly as
-# large as the budget overflow.
+# Round 18 has no budget overflow: 0 rank-(0,0) stales + the 45-key r14
+# cohort = 45 ≤ 50 (5 spare slots, filled by the oldest r15 keys in
+# registration order). tests/test_registry_vintage.py pins that this
+# deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
 
 
