@@ -184,14 +184,25 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# "Large order" gate for join_anti. Calibrated to the orders generator's
+# o_totalprice distribution: the per-customer max order has median ~466k
+# and p10 ~384k on the shipped fixtures, so 400k leaves ~13% of
+# customers (20/150 at sf0.001, 202/1500 at sf0.01) with no qualifying
+# order — the anti set is non-empty WITHOUT being the whole population.
+# tests/test_threshold_calibration.py re-measures the shipped fixtures
+# and fails if either side of the split drops below 5%, so a fixture
+# regeneration cannot silently re-vacuate the key.
+ANTI_LARGE_ORDER_GATE = 400_000
+
+
 @query(
     "join_anti",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment, COUNT(*) AS n_customers
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 400000)
+                        AND o.o_totalprice > {ANTI_LARGE_ORDER_GATE})
     GROUP BY c.c_mktsegment
     """,
 )
@@ -203,9 +214,13 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture (every sf0.01 customer has SOME order, so the unfiltered
     anti-join is structurally empty and its grade would certify schema
     only — the r15 vacuousness-audit finding). The filter lives on the
-    right side BEFORE the anti join, mirroring join_semi's shape."""
+    right side BEFORE the anti join, mirroring join_semi's shape; the
+    gate's derivation and regeneration guard live on
+    ANTI_LARGE_ORDER_GATE above."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > ANTI_LARGE_ORDER_GATE
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

@@ -353,9 +353,19 @@ def rule_b9_large_investor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# "Large investment product" gate for B10's anti leg. Calibrated to the
+# events generator's purchase-value distribution: the per-regular max
+# purchase sits at ~134 (sf0.001) / ~144 (sf0.01) median, so 150 splits
+# the regulars near the middle (7/15 and 67/150 qualify on the shipped
+# fixtures). tests/test_threshold_calibration.py re-measures the shipped
+# fixtures and fails if either side of the split drops below 5% of the
+# population — a regeneration that re-vacuates the anti leg is loud.
+B10_LARGE_PURCHASE_GATE = 150
+
+
 @query(
     "rule_b10_cross_sell",
-    oracle="""
+    oracle=f"""
     WITH regulars AS (
       SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
       FROM events WHERE event_type = 'view'
@@ -366,7 +376,7 @@ def rule_b9_large_investor(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (
       SELECT 1 FROM events e
       WHERE e.user_id = r.user_id AND e.event_type = 'purchase'
-        AND e.value > 150
+        AND e.value > {B10_LARGE_PURCHASE_GATE}
     )
     """,
 )
@@ -375,13 +385,14 @@ def rule_b10_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
     products → cross-sell target (setupTables.py:44). Regularity +
     anti-join.
 
-    The anti leg excludes only purchases with value > 150: on the
-    fixture every regular viewer also makes SOME purchase, so the
-    unqualified anti-join drains to zero rows and its green grade
-    certifies schema only (the r15 vacuousness-audit finding). The
-    fixture-calibrated constant (per-user max purchase median ~144)
-    keeps B10's regularity+anti-join shape while making roughly half
-    the regulars qualify — the grade now discriminates on values."""
+    The anti leg excludes only purchases with value >
+    B10_LARGE_PURCHASE_GATE: on the fixture every regular viewer also
+    makes SOME purchase, so the unqualified anti-join drains to zero
+    rows and its green grade certifies schema only (the r15
+    vacuousness-audit finding). The gate sits at the per-regular max
+    purchase median (see the constant's derivation note), making
+    roughly half the regulars qualify — the grade discriminates on
+    values, and the calibration test re-checks the split per fixture."""
     ev = load(spark, sf_dir, "events")
     regulars = (
         ev.where(F.col("event_type") == "view")
@@ -390,7 +401,8 @@ def rule_b10_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_days") >= 5)
     )
     big_buyers = ev.where(
-        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        (F.col("event_type") == "purchase")
+        & (F.col("value") > B10_LARGE_PURCHASE_GATE)
     ).select("user_id")
     return regulars.join(big_buyers, "user_id", "left_anti").select(
         "user_id", "n_days"
