@@ -943,8 +943,18 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     slack = F.ceil(n * F.lit(1e-3)) + 1
     n_below = F.sum((price < F.col("_approx")).cast("long"))
     n_at_or_below = F.sum((price <= F.col("_approx")).cast("long"))
+    # null-SAFE key match (ADVICE r17): groupBy emits a NULL-flag group
+    # on both engines, but a plain equi-join would silently drop it from
+    # the Spark side only — eqNullSafe keeps the audit total. Spark
+    # plans EqualNullSafe as a hash-join key, so the broadcast shape
+    # (plan-pinned in test_plans) is unchanged.
+    est = est.withColumnRenamed("l_returnflag", "_est_flag")
     return (
-        li.join(F.broadcast(est), "l_returnflag")
+        li.join(
+            F.broadcast(est),
+            F.col("l_returnflag").eqNullSafe(F.col("_est_flag")),
+        )
+        .drop("_est_flag")
         .groupBy("l_returnflag")
         .agg(
             F.round(F.percentile(price, F.lit(0.5)), 4).alias("exact_p50"),

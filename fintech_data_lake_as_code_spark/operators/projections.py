@@ -55,6 +55,14 @@ def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("order_key"),
             F.col("l_linenumber").cast("bigint").alias("line_no"),
             F.col("l_quantity").cast("int").alias("qty_int"),
+            # (+50) div 100 is half-AWAY-FROM-ZERO only because _p6 >= 0
+            # (fixture invariant: prices > 0, discounts in [0,1] — see
+            # TESTDATA.md's lineitem generator); a negative net price
+            # would flip this to half-toward-+inf on BOTH engines alike
+            # (DuckDB // truncates like Spark div), so cross-engine
+            # equality survives, but the rounding NAME in the docstring
+            # would not. Revisit with sign(_p6)*50 if negatives ever
+            # enter a fixture (ADVICE r17).
             (F.expr("(_p6 + 50) div 100").cast("double") / 10000).alias(
                 "net_price"
             ),

@@ -178,10 +178,11 @@ def _bucketed_table(
         # surface the engine's standard [PATH_NOT_FOUND] AnalysisException
         # (what every scan key raises on a bad sf_dir) instead of letting
         # source_fingerprint's os.stat throw a raw FileNotFoundError —
-        # the r14-review error-path alignment, landed with the key's r18
-        # re-grade window
+        # the r14-review error-path alignment. If the file lands between
+        # the exists() check and the load (concurrent generator, the
+        # ADVICE-r17 TOCTOU note), load() succeeds — fall through to the
+        # normal path rather than treating a valid source as an error.
         load(spark, sf_dir, name)
-        raise AssertionError("unreachable: load() raises on missing path")
     fingerprint = f"{N_BUCKETS}:{key}:{source_fingerprint(src)}"
     layout_marker = os.path.join(path, "_LAYOUT")
     layout_ok = False

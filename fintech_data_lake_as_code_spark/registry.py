@@ -213,16 +213,22 @@ _VERDICT_ROUND: dict[str, int] = {
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The r17 stale (agg_approx_percentile, rank-space
-# contract rebuild) was re-certified in r17 (CORRECTNESS_r17 50/50
-# green, 3 non-vacuous rows). Round 18's operator-side changes so far
-# (rule_b10_cross_sell / join_anti threshold derivations, ADVICE-r16 #3)
-# keep the graded relations bit-identical on the shipped fixture —
-# stale-marking decided per change as the round proceeds.
-_STALE_REGRADE = frozenset()
+# never-graded keys. Round 18's other operator-side changes keep the
+# graded relations bit-identical on the shipped fixture and are NOT
+# stale-marked (deliberate): the b10/join_anti gate hoist embeds the
+# same literals, projections gained a comment, and _bucketed_table's
+# missing-source guard changed on an error path no grade reaches. ONE
+# key is stale-marked:
+# - agg_approx_percentile (r17 vintage): the contract-audit join is now
+#   null-SAFE on l_returnflag (ADVICE r17 — a plain equi-join would
+#   drop a NULL-flag group from the Spark side while the oracle emits
+#   it). Identical output on the shipped fixture (no NULL flags), but
+#   the join condition is part of the graded relation's definition, so
+#   the r17 verdict no longer covers the code that ships.
+_STALE_REGRADE = frozenset({"agg_approx_percentile"})
 
-# Round 18 has no budget overflow: 0 rank-(0,0) stales + the 45-key r14
-# cohort = 45 ≤ 50 (5 spare slots, filled by the oldest r15 keys in
+# Round 18 has no budget overflow: 1 rank-(0,0) stale + the 45-key r14
+# cohort = 46 ≤ 50 (4 spare slots, filled by the oldest r15 keys in
 # registration order). tests/test_registry_vintage.py pins that this
 # deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
