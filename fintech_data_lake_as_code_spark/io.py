@@ -90,6 +90,14 @@ def scratch_dir(sf_dir: str, key: str) -> str:
     return path
 
 
+def pid_scratch_path(sf_dir: str, key: str) -> str:
+    """This process's pid-keyed scratch path, WITHOUT the clear-on-entry
+    side effect of `pid_scratch_dir` — for inspectors (tests, audits)
+    that need to look at what a just-run key left behind. Calling
+    `pid_scratch_dir` to 'find' the dir would wipe it first."""
+    return os.path.join(scratch_dir(sf_dir, key), f"pid{os.getpid()}")
+
+
 def pid_scratch_dir(sf_dir: str, key: str) -> str:
     """Per-PROCESS scratch subdir `<scratch>/<key>/pid<N>`, cleared on
     entry so a rerun within one process is deterministic. A single
@@ -128,7 +136,7 @@ def pid_scratch_dir(sf_dir: str, key: str) -> str:
             shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         except PermissionError:
             pass  # alive under another uid — a live peer, leave it
-    mine = os.path.join(base, f"pid{os.getpid()}")
+    mine = pid_scratch_path(sf_dir, key)
     shutil.rmtree(mine, ignore_errors=True)
     return mine
 
@@ -219,6 +227,43 @@ def module_fingerprint(module) -> str | None:
         return None
 
 
+def landing_lock(out: str):
+    """Same-host advisory writer lock for a shared landing/layout dir.
+
+    The `_SEED`/`_LAYOUT` marker discipline makes REUSE safe, but the
+    initial seeding had a window (the r18 latent sweep's finding in the
+    concurrent-sessions class): two sessions that both observe a
+    missing/mismatched marker both run a mode-overwrite Spark job into
+    the SAME directory — the jobs share the `_temporary` commit dir and
+    one job's cleanup can eat the other's task output, after which a
+    `_SUCCESS` + matching marker can sit over mixed-job debris that
+    every later session trusts. An exclusive flock serializes writers;
+    blocked peers re-check the marker on wake and skip the redundant
+    reseed (double-checked locking).
+
+    The lock file is a SIBLING (`<out>.lock`), never inside `out`: the
+    overwrite job clears `out` itself, and re-creating the lock file
+    there would hand a second writer a fresh inode — two holders of
+    "the" lock. flock is advisory and same-host, exactly the
+    SAME-HOST ASSUMPTION `pid_scratch_dir` already documents for this
+    scratch root."""
+    import contextlib
+    import fcntl
+
+    @contextlib.contextmanager
+    def _held():
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        fh = open(out.rstrip(os.sep) + ".lock", "a")
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+            fh.close()
+
+    return _held()
+
+
 def seeded_landing(
     out: str, fingerprint: str | None, write, committed=None
 ) -> str:
@@ -230,9 +275,11 @@ def seeded_landing(
     write) AND the recorded `_SEED` fingerprint matches the derivation
     code that would write them today. Any mismatch — or an unverifiable
     fingerprint (None) — reseeds via `write()` (an idempotent
-    mode-overwrite job). The reseed costs one landing write; trusting a
-    stale or truncated seed costs a silently wrong graded result every
-    round after.
+    mode-overwrite job) under `landing_lock`, so concurrent sessions
+    racing the first seed serialize instead of interleaving two
+    overwrite jobs in one directory. The reseed costs one landing
+    write; trusting a stale or truncated seed costs a silently wrong
+    graded result every round after.
 
     `committed`: zero-arg completion predicate for seeds without the
     `_SUCCESS` convention (the Derby JDBC seed checks its database
@@ -240,23 +287,33 @@ def seeded_landing(
     marker discipline in one copy — the r13 atomicity fix landed in
     one hand-rolled clone and missed another."""
     marker = os.path.join(out, "_SEED")
-    done = (
-        committed()
-        if committed is not None
-        else os.path.exists(os.path.join(out, "_SUCCESS"))
-    )
-    ok = fingerprint is not None and done
-    if ok and os.path.exists(marker):
-        with open(marker) as fh:
-            ok = fh.read().strip() == fingerprint
-    else:
-        ok = False
-    if not ok:
-        write()
-        if fingerprint is not None:
-            write_marker(marker, fingerprint)
-        elif os.path.exists(marker):
-            os.remove(marker)
+
+    def _ok() -> bool:
+        done = (
+            committed()
+            if committed is not None
+            else os.path.exists(os.path.join(out, "_SUCCESS"))
+        )
+        ok = fingerprint is not None and done
+        if ok and os.path.exists(marker):
+            with open(marker) as fh:
+                return fh.read().strip() == fingerprint
+        return False
+
+    # unlocked fast path: a complete, fingerprint-matching seed is
+    # immutable (writers only ever act on a MISMATCH, and the match is
+    # deterministic given this module's code), so readers skip the lock
+    if _ok():
+        return out
+    with landing_lock(out):
+        # re-check on wake: the peer that held the lock may have seeded
+        # exactly what this session was about to write
+        if not _ok():
+            write()
+            if fingerprint is not None:
+                write_marker(marker, fingerprint)
+            elif os.path.exists(marker):
+                os.remove(marker)
     return out
 
 

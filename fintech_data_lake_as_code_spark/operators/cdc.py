@@ -503,9 +503,9 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     restrict it to the partitions the erased keys actually touch (join
     the request table against the partition index first) instead of a
     full-lake rewrite."""
-    from ..io import scratch_dir
+    from ..io import pid_scratch_dir
 
-    out = scratch_dir(sf_dir, "cdc_gdpr_erasure")
+    out = pid_scratch_dir(sf_dir, "cdc_gdpr_erasure")
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
     erased = F.col("user_id") % 10 == 7
     kept = ev.where(~erased)

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.exact import cents, exact_sum
-from ..io import load, scratch_dir
+# round-trip keys use pid_scratch_dir (see operators/scans.py's import
+# note: peer-session overwrite vs lazy readback); scratch_dir remains
+# only for the SHARED pay-once bucketed layout, whose first build is
+# serialized by io.landing_lock instead
+from ..io import load, pid_scratch_dir, scratch_dir
 from ..registry import query
 
 ORDERS_CSV_SCHEMA = T.StructType(
@@ -56,7 +60,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a full extra pass over the data — never acceptable at scale) and
     header, then aggregate. Splittable uncompressed CSV parallelizes per
     128 MB split like any file source."""
-    out = scratch_dir(sf_dir, "scan_csv")
+    out = pid_scratch_dir(sf_dir, "scan_csv")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -84,7 +88,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round-trip: columnar at rest with the same pushdown
     contract as parquet (predicate reaches the ORC reader; only referenced
     columns are materialized)."""
-    out = scratch_dir(sf_dir, "scan_orc")
+    out = pid_scratch_dir(sf_dir, "scan_orc")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linestatus", "l_extendedprice", "l_discount"
     )
@@ -124,7 +128,7 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to the same exact-cents aggregate."""
     from ..compat import avro_supported
 
-    out = scratch_dir(sf_dir, "scan_avro")
+    out = pid_scratch_dir(sf_dir, "scan_avro")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -164,7 +168,7 @@ def _bucketed_table(
     lesson from sources/jdbc.py, applied to bucket layouts)."""
     import re
 
-    from ..io import sf_tag, source_fingerprint, write_marker
+    from ..io import landing_lock, sf_tag, source_fingerprint, write_marker
 
     tag = re.sub(r"[^a-z0-9]", "_", sf_tag(sf_dir))
     table = f"bkt_{tag}_{name}"
@@ -185,46 +189,58 @@ def _bucketed_table(
         load(spark, sf_dir, name)
     fingerprint = f"{N_BUCKETS}:{key}:{source_fingerprint(src)}"
     layout_marker = os.path.join(path, "_LAYOUT")
-    layout_ok = False
-    if os.path.exists(layout_marker):
-        with open(layout_marker) as fh:
-            layout_ok = fh.read().strip() == fingerprint
-    # a complete layout requires the _SUCCESS marker (bare parquet files
-    # may be the debris of an aborted write) AND a matching _LAYOUT
-    # fingerprint (files bucketed under an older N_BUCKETS/key, or from
-    # a regenerated source, must be rewritten, not re-registered)
-    have_files = (
-        layout_ok
-        and os.path.exists(os.path.join(path, "_SUCCESS"))
-        and any(f.endswith(".parquet") for f in os.listdir(path))
-    )
+
+    def _layout_complete() -> bool:
+        # a complete layout requires the _SUCCESS marker (bare parquet
+        # files may be the debris of an aborted write) AND a matching
+        # _LAYOUT fingerprint (files bucketed under an older
+        # N_BUCKETS/key, or from a regenerated source, must be
+        # rewritten, not re-registered)
+        ok = False
+        if os.path.exists(layout_marker):
+            with open(layout_marker) as fh:
+                ok = fh.read().strip() == fingerprint
+        return (
+            ok
+            and os.path.exists(os.path.join(path, "_SUCCESS"))
+            and any(f.endswith(".parquet") for f in os.listdir(path))
+        )
+
+    have_files = _layout_complete()
     if spark.catalog.tableExists(table):
         if have_files and _registered_layout_matches(spark, table, key, path):
             return spark.table(table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-    if have_files:
-        schema_ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in load(spark, sf_dir, name).schema.fields
-        )
-        spark.sql(
-            f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET"
-            f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS"
-            f" LOCATION '{path}'"
-        )
-    else:
-        (
-            load(spark, sf_dir, name)
-            .write.bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .option("path", path)
-            .mode("overwrite")
-            .saveAsTable(table)
-        )
-        # absent-or-complete marker (io.write_marker): a torn/empty
-        # _LAYOUT reads as a mismatch and re-shuffles the whole layout
-        # every later session
-        write_marker(layout_marker, fingerprint)
+    if not have_files:
+        # serialize concurrent first-builders (io.landing_lock, the
+        # seeded_landing discipline): two sessions racing the layout
+        # write would interleave bucketed overwrite jobs in one dir
+        with landing_lock(path):
+            if not _layout_complete():
+                (
+                    load(spark, sf_dir, name)
+                    .write.bucketBy(N_BUCKETS, key)
+                    .sortBy(key)
+                    .option("path", path)
+                    .mode("overwrite")
+                    .saveAsTable(table)
+                )
+                # absent-or-complete marker (io.write_marker): a torn/
+                # empty _LAYOUT reads as a mismatch and re-shuffles the
+                # whole layout every later session
+                write_marker(layout_marker, fingerprint)
+                return spark.table(table)
+        # a peer completed the layout while this session waited on the
+        # lock — fall through and register its files under our catalog
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in load(spark, sf_dir, name).schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET"
+        f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS"
+        f" LOCATION '{path}'"
+    )
     return spark.table(table)
 
 
@@ -371,7 +387,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     package): write events as <event> rows, read back with an explicit
     schema, aggregate. Timestamps travel as epoch longs (XML has no
     canonical timestamp lexical form across engines)."""
-    out = scratch_dir(sf_dir, "scan_xml")
+    out = pid_scratch_dir(sf_dir, "scan_xml")
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         F.unix_timestamp("ts").alias("ts_epoch"),
@@ -423,7 +439,7 @@ def sink_sorted_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole files (the poor man's z-order; verified file-disjointness in
     tests/test_plans.py). The write is the cost; every later range scan is
     the payoff — same trade as bucketing, applied to range predicates."""
-    out = scratch_dir(sf_dir, "sink_sorted_lake")
+    out = pid_scratch_dir(sf_dir, "sink_sorted_lake")
     ev = load(spark, sf_dir, "events")
     (
         ev.repartitionByRange(8, "ts")
@@ -465,7 +481,7 @@ def sink_zorder_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver — the same class of metadata collect that AQE performs; NOT a
     data collect). The z-value itself is pure map-side bit arithmetic in
     whole-stage codegen; the only shuffle is the range partitioner's."""
-    out = scratch_dir(sf_dir, "sink_zorder_lake")
+    out = pid_scratch_dir(sf_dir, "sink_zorder_lake")
     ev = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

@@ -20,7 +20,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.exact import cents, exact_sum
-from ..io import load, pid_scratch_dir, scratch_dir
+# Round-trip keys (write scratch, lazily read back) use pid_scratch_dir,
+# never the shared scratch_dir: the readback executes at ACTION time, so
+# a peer session's mode-overwrite on a shared dir could delete files
+# under this session's running scan (and two overwrites interleave their
+# _temporary commit dirs). The writes were per-invocation already, so
+# per-process isolation costs nothing (r18 latent sweep of the r14
+# cohort; the streaming keys' ADVICE r14 rationale applied to batch).
+from ..io import load, pid_scratch_dir
 from ..registry import query
 
 
@@ -78,7 +85,7 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON lines round-trip (ref A2/A4: DMS JSON messages
     landed by Firehose; bronze-layer read). Writes events as JSON lines to
     scratch, reads them back with an explicit schema, aggregates."""
-    out = scratch_dir(sf_dir, "scan_json_lines")
+    out = pid_scratch_dir(sf_dir, "scan_json_lines")
     ev = load(spark, sf_dir, "events")
     ev.write.mode("overwrite").json(out)
     back = spark.read.schema(EVENTS_SCHEMA).json(out)
@@ -102,7 +109,7 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-delimited text source/sink (ref A18: account_ids.txt,
     generatedata.py:17-19 / updateTables.py:48-49)."""
-    out = scratch_dir(sf_dir, "scan_text")
+    out = pid_scratch_dir(sf_dir, "scan_text")
     ids = load(spark, sf_dir, "events").select("user_id").distinct()
     ids.select(F.col("user_id").cast("string").alias("value")).write.mode(
         "overwrite"
@@ -130,7 +137,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-partitioned lake write + pruned read-back (ref A7: Firehose
     YYYY/MM/dd/HH UTC prefix, lib/fin-transactions-stack.ts:196-199)."""
-    out = scratch_dir(sf_dir, "sink_partitioned")
+    out = pid_scratch_dir(sf_dir, "sink_partitioned")
     ev = load(spark, sf_dir, "events").withColumn(
         "ingest_date", F.to_date("ts")
     )
@@ -163,7 +170,7 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERMISSIVE reader must park exactly those in _corrupt_record and parse
     the rest — a poison message must never kill the pipeline, and must
     never be silently dropped either."""
-    out = scratch_dir(sf_dir, "scan_json_corrupt")
+    out = pid_scratch_dir(sf_dir, "scan_json_corrupt")
     ev = load(spark, sf_dir, "events")
     # serialize each row to a JSON line, then truncate every 50th to
     # guarantee it cannot parse
@@ -190,7 +197,7 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bronze contract wants the split PERSISTED anyway — valid rows to the
     # silver path, corrupt originals to a quarantine partition — so write
     # the classified records and aggregate the readback.
-    silver = scratch_dir(sf_dir, "scan_json_corrupt_silver")
+    silver = pid_scratch_dir(sf_dir, "scan_json_corrupt_silver")
     (
         back.withColumn(
             "status",
@@ -330,7 +337,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff would come from the partition directory listing instead)."""
     import datetime
 
-    out = scratch_dir(sf_dir, "scan_partition_pruned")
+    out = pid_scratch_dir(sf_dir, "scan_partition_pruned")
     ev = load(spark, sf_dir, "events").withColumn("ingest_date", F.to_date("ts"))
     ev.write.mode("overwrite").partitionBy("ingest_date").parquet(out)
     back = spark.read.parquet(out)
@@ -373,8 +380,8 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the file-count property is asserted in tests. On a real lake this
     runs per-partition behind the ingest watermark, so compaction never
     races the writer."""
-    frag = scratch_dir(sf_dir, "sink_compacted_frag")
-    out = scratch_dir(sf_dir, "sink_compacted")
+    frag = pid_scratch_dir(sf_dir, "sink_compacted_frag")
+    out = pid_scratch_dir(sf_dir, "sink_compacted")
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     ev.repartition(64, "event_id").write.mode("overwrite").parquet(frag)
 
@@ -440,7 +447,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     every older generation; absent fields parse as null). At 100 TB this
     is the only viable path — column addition is a metadata-only change,
     all historical files stay byte-identical."""
-    out = scratch_dir(sf_dir, "scan_schema_evolution")
+    out = pid_scratch_dir(sf_dir, "scan_schema_evolution")
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -731,7 +738,7 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "value")
     rows = []
     for codec in ("gzip", "snappy", "zstd"):
-        out = scratch_dir(sf_dir, f"sink_codec_{codec}")
+        out = pid_scratch_dir(sf_dir, f"sink_codec_{codec}")
         ev.write.mode("overwrite").option("compression", codec).parquet(out)
         back = spark.read.parquet(out)
         r = back.agg(

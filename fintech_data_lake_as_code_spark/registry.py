@@ -217,18 +217,28 @@ _VERDICT_ROUND: dict[str, int] = {
 # graded relations bit-identical on the shipped fixture and are NOT
 # stale-marked (deliberate): the b10/join_anti gate hoist embeds the
 # same literals, projections gained a comment, and _bucketed_table's
-# missing-source guard changed on an error path no grade reaches. ONE
-# key is stale-marked:
+# missing-source guard changed on an error path no grade reaches. The
+# r18 latent sweep's shared-scratch -> pid_scratch_dir conversion also
+# touched 13 round-trip keys that sit INSIDE the r14 grading cohort —
+# they re-certify this round by vintage and need no stale slot. THREE
+# keys are stale-marked:
 # - agg_approx_percentile (r17 vintage): the contract-audit join is now
 #   null-SAFE on l_returnflag (ADVICE r17 — a plain equi-join would
 #   drop a NULL-flag group from the Spark side while the oracle emits
 #   it). Identical output on the shipped fixture (no NULL flags), but
 #   the join condition is part of the graded relation's definition, so
 #   the r17 verdict no longer covers the code that ships.
-_STALE_REGRADE = frozenset({"agg_approx_percentile"})
+# - cdc_gdpr_erasure (r17) and sink_compression_codecs (r15): the only
+#   two pid-conversion keys OUTSIDE the r14 cohort — the rewrite lake /
+#   codec round-trip dirs moved to per-process scratch. Output is
+#   path-independent and rehearsed green, but the graded dataflow's
+#   storage path changed, so re-certify rather than presume.
+_STALE_REGRADE = frozenset(
+    {"agg_approx_percentile", "cdc_gdpr_erasure", "sink_compression_codecs"}
+)
 
-# Round 18 has no budget overflow: 1 rank-(0,0) stale + the 45-key r14
-# cohort = 46 ≤ 50 (4 spare slots, filled by the oldest r15 keys in
+# Round 18 has no budget overflow: 3 rank-(0,0) stales + the 45-key r14
+# cohort = 48 ≤ 50 (2 spare slots, filled by the oldest r15 keys in
 # registration order). tests/test_registry_vintage.py pins that this
 # deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()

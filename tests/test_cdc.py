@@ -103,12 +103,14 @@ def test_gdpr_erasure_physically_removes_erased_users(spark, sf_dir):
     # (reading the manifest is not enough — erasure must be physical)
     from pyspark.sql import functions as F
 
-    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.io import pid_scratch_path
     from fintech_data_lake_as_code_spark.registry import registry
 
     rows = registry()["cdc_gdpr_erasure"].fn(spark, sf_dir).collect()
     assert sum(r.n_rows_erased for r in rows) > 0, "nothing erased — vacuous"
-    out = scratch_dir(sf_dir, "cdc_gdpr_erasure")
+    # pid_scratch_path, not pid_scratch_dir: the dir-returning helper
+    # clears on entry, which would wipe the lake this test inspects
+    out = pid_scratch_path(sf_dir, "cdc_gdpr_erasure")
     leaked = (
         spark.read.parquet(out)
         .where(F.col("user_id") % 10 == 7)

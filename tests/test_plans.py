@@ -205,10 +205,10 @@ def test_sorted_lake_files_have_disjoint_time_ranges(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.io import pid_scratch_path
 
     SPECS["sink_sorted_lake"].fn(spark, sf_dir).collect()
-    out = scratch_dir(sf_dir, "sink_sorted_lake")
+    out = pid_scratch_path(sf_dir, "sink_sorted_lake")
     files = [f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) > 1, "need multiple files to prove disjointness"
     ranges = []
@@ -264,10 +264,10 @@ def test_zorder_files_have_disjoint_z_ranges(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.io import pid_scratch_path
 
     SPECS["sink_zorder_lake"].fn(spark, sf_dir).collect()
-    out = scratch_dir(sf_dir, "sink_zorder_lake")
+    out = pid_scratch_path(sf_dir, "sink_zorder_lake")
     files = [f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) > 1, "need multiple files to prove disjointness"
     ranges = []
@@ -306,15 +306,15 @@ def test_partition_pruning_reaches_directory_listing(spark, sf_dir):
 def test_compaction_reduces_file_count_and_moves_every_byte(spark, sf_dir):
     import glob
 
-    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.io import pid_scratch_path
 
     SPECS["sink_compacted"].fn(spark, sf_dir).collect()
-    frag = glob.glob(f"{scratch_dir(sf_dir, 'sink_compacted_frag')}/*.parquet")
-    out = glob.glob(f"{scratch_dir(sf_dir, 'sink_compacted')}/*.parquet")
+    frag = glob.glob(f"{pid_scratch_path(sf_dir, 'sink_compacted_frag')}/*.parquet")
+    out = glob.glob(f"{pid_scratch_path(sf_dir, 'sink_compacted')}/*.parquet")
     assert len(frag) == 64, f"fragmented stage expected 64 files: {len(frag)}"
     assert len(out) < len(frag) / 4, (len(frag), len(out))
-    n_in = spark.read.parquet(scratch_dir(sf_dir, "sink_compacted_frag")).count()
-    n_out = spark.read.parquet(scratch_dir(sf_dir, "sink_compacted")).count()
+    n_in = spark.read.parquet(pid_scratch_path(sf_dir, "sink_compacted_frag")).count()
+    n_out = spark.read.parquet(pid_scratch_path(sf_dir, "sink_compacted")).count()
     assert n_in == n_out
 
 

@@ -705,6 +705,63 @@ def test_pid_scratch_dir_contract(tmp_path, monkeypatch):
     assert not os.path.exists(mine), "own previous dir is cleared on entry"
 
 
+def _racing_seeder(out: str, log_path: str) -> None:
+    """Worker for the seeded_landing race test (module-level so both
+    fork- and spawn-start multiprocessing can import it)."""
+    import os
+    import time
+
+    from fintech_data_lake_as_code_spark import io as fio
+
+    def write():
+        # append-mode O(1) evidence that THIS process executed write();
+        # the sleep widens the window a second writer would need to
+        # interleave into
+        with open(log_path, "a") as fh:
+            fh.write(f"{os.getpid()}\n")
+        time.sleep(0.3)
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    fio.seeded_landing(out, "race-fp", write)
+
+
+def test_seeded_landing_serializes_concurrent_first_seed(tmp_path):
+    """Two processes race the FIRST seed of one landing dir: the
+    landing_lock plus the on-wake marker re-check must execute write()
+    exactly once (the r18 latent-sweep finding — before the lock, both
+    racers observed a missing _SEED and ran overlapping overwrite jobs
+    into the same directory)."""
+    import multiprocessing as mp
+
+    out = str(tmp_path / "landing")
+    log = str(tmp_path / "writes.log")
+    ctx = mp.get_context("fork")
+    ps = [
+        ctx.Process(target=_racing_seeder, args=(out, log))
+        for _ in range(2)
+    ]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(30)
+        assert p.exitcode == 0
+    with open(log) as fh:
+        writes = fh.read().splitlines()
+    assert len(writes) == 1, (
+        f"expected exactly one seeding write, got {len(writes)} "
+        f"(pids {writes}) — the landing lock failed to serialize"
+    )
+    import os
+
+    assert os.path.exists(os.path.join(out, "_SEED"))
+    # and a THIRD entry after completion takes the fast path: no new write
+    _racing_seeder(out, log)
+    with open(log) as fh:
+        assert len(fh.read().splitlines()) == 1
+
+
 def test_cents_agree_across_engines_on_every_half_cent_tie(spark):
     """The r17 sweep class, pinned exhaustively: on the 0.005 grid every
     odd multiple lands value*100 on an exact .5 double, where NAIVE
