@@ -708,9 +708,10 @@ def win_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolate()`). Each user gets a 21600-second (RESAMPLE_STEP_S) grid over
     their own observation span; every grid point takes the
     distance-weighted average of its neighbors, evaluated ALL-INTEGER:
-    cents x nonnegative second-weights summed then floor-divided (every
-    operand nonnegative, so Spark's truncating `div` and DuckDB's
-    flooring `//` agree exactly).
+    cents x nonnegative second-weights summed then integer-divided.
+    Spark's `div` and DuckDB's `//` BOTH truncate toward zero (verified:
+    -7 div 2 = -7 // 2 = -3), so they agree on any sign; with every
+    operand nonnegative here, truncation equals flooring anyway.
 
     Scale shape: the grid explodes from ONE tiny per-user span row
     (sequence() map-side — never a driver loop); events collapse to one
