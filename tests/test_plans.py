@@ -687,7 +687,82 @@ def test_bucketed_layout_fingerprint_guards_reuse(spark, sf_dir):
     _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     with open(marker) as fh:
         assert fh.read().strip() == expected
-    assert not os.path.exists(sentinel), "stale layout was trusted"
+    assert not os.path.exists(sentinel), "stale layout was swept"
+
+
+def test_bucketed_build_defers_to_peer_completed_layout(spark, sf_dir):
+    # The landing_lock on-wake fall-through (r18 race-class close): a
+    # session that entered the build path because the layout looked
+    # incomplete must RE-CHECK after acquiring the lock, and when a
+    # peer finished the identical layout while it waited, REGISTER the
+    # peer's files (DDL over LOCATION) instead of rewriting them.
+    # Simulated single-process: a wrapped landing_lock plays the peer
+    # by restoring a stashed complete layout during acquisition.
+    import os
+    import shutil
+
+    from fintech_data_lake_as_code_spark import io as fio
+    from fintech_data_lake_as_code_spark.io import scratch_dir, sf_tag
+    from fintech_data_lake_as_code_spark.operators import scale as sc
+
+    sc._bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    path = scratch_dir(sf_dir, "bucketed_orders")
+    stash = path + ".peer_stash"
+    shutil.rmtree(stash, ignore_errors=True)
+    shutil.copytree(path, stash)
+    expected = spark.table(
+        "bkt_" + __import__("re").sub(r"[^a-z0-9]", "_", sf_tag(sf_dir))
+        + "_orders"
+    ).count()
+
+    # make the layout look absent so the builder takes the lock path,
+    # and drop the catalog entry so registration must happen fresh
+    shutil.rmtree(path)
+    spark.sql(
+        "DROP TABLE IF EXISTS bkt_"
+        + __import__("re").sub(r"[^a-z0-9]", "_", sf_tag(sf_dir))
+        + "_orders"
+    )
+
+    real_lock = fio.landing_lock
+    sentinel = os.path.join(stash, "_PEER_SENTINEL")
+    with open(sentinel, "w") as fh:
+        fh.write("peer-built\n")
+
+    class _PeerWins:
+        def __init__(self, out):
+            self._inner = real_lock(out)
+            self._out = out
+
+        def __enter__(self):
+            r = self._inner.__enter__()
+            if os.path.normpath(self._out) == os.path.normpath(path):
+                shutil.rmtree(path, ignore_errors=True)
+                shutil.copytree(stash, path)
+            return r
+
+        def __exit__(self, *a):
+            return self._inner.__exit__(*a)
+
+    orig = fio.landing_lock
+    fio.landing_lock = _PeerWins
+    try:
+        df = sc._bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+        assert df.count() == expected
+        # the peer's files were REGISTERED, not rewritten: the sentinel
+        # inside the restored layout survives (an overwrite job clears
+        # the directory)
+        assert os.path.exists(os.path.join(path, "_PEER_SENTINEL")), (
+            "builder rewrote a layout its peer had already completed"
+        )
+    finally:
+        fio.landing_lock = orig
+        shutil.rmtree(stash, ignore_errors=True)
+        # leave a canonical layout behind for later tests: drop the
+        # sentinel-bearing copy's sentinel only (files are identical)
+        p = os.path.join(path, "_PEER_SENTINEL")
+        if os.path.exists(p):
+            os.remove(p)
 
 
 def test_schema_evolution_null_channel_matches_oracle(spark, tmp_path):
