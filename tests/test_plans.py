@@ -690,6 +690,26 @@ def test_bucketed_layout_fingerprint_guards_reuse(spark, sf_dir):
     assert not os.path.exists(sentinel), "stale layout was swept"
 
 
+def test_bucketed_missing_source_raises_the_standard_scan_error(spark):
+    # The missing-source guard must surface the engine's standard
+    # [PATH_NOT_FOUND] AnalysisException (what every scan key raises on
+    # a bad sf_dir) — not source_fingerprint's raw FileNotFoundError and
+    # not the pre-r18 AssertionError('unreachable') (the ADVICE r17
+    # TOCTOU note: load() falls through if the file lands late).
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from fintech_data_lake_as_code_spark.operators.scale import (
+        _bucketed_table,
+    )
+
+    with pytest.raises(AnalysisException) as ei:
+        _bucketed_table(
+            spark, "/tmp/spark_graft_no_such_sf_dir", "orders", "o_orderkey"
+        )
+    assert "PATH_NOT_FOUND" in str(ei.value)
+
+
 def test_bucketed_build_defers_to_peer_completed_layout(spark, sf_dir):
     # The landing_lock on-wake fall-through (r18 race-class close): a
     # session that entered the build path because the layout looked
