@@ -340,6 +340,13 @@ def main() -> None:
     # idle single shots spread 0.89–1.2 s — a one-GC-pause artifact the
     # median suppresses; ~2 s extra untimed cost per block.)
     block_shuffle: dict[str, float] = {}
+    # Per-block CPU ratios (round 18): adjudication rules key off blocks
+    # "clean on BOTH probe axes" (the triangle reopen rule), but until
+    # now only SHUFFLE was probed per-block — CPU had just the run-wide
+    # pre/post pair, so a mid-run CPU squeeze (r18 run 3: pre 0.683,
+    # post 1.294) could not be pinned to the block it actually hit.
+    # Same median-of-3 discipline; ~0.5 s untimed cost per block.
+    block_cpu: dict[str, float] = {}
 
     def _probe_shuffle_once() -> float:
         t0 = time.perf_counter()
@@ -348,11 +355,20 @@ def main() -> None:
         ).collect()
         return round(time.perf_counter() - t0, 3)
 
+    def _probe_cpu_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id % 7)", "sum(id * 3 + 1)"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
     def _time_block(keys: list[str], tag: str) -> dict[str, float]:
         out: dict[str, float] = {}
         if keys:
             reps = sorted(_probe_shuffle_once() for _ in range(3))
             block_shuffle[tag] = round(reps[1] / _SHUF_REF_SEC, 3)
+            cpu_reps = sorted(_probe_cpu_once() for _ in range(3))
+            block_cpu[tag] = round(cpu_reps[1] / CAL_REF_SEC, 3)
         for key in keys:
             fn = queries.get(key)
             if fn is None:
@@ -453,6 +469,7 @@ def main() -> None:
             },
             "shuffle_probe_attempts": shuffle_attempts,
             "block_shuffle_ratios": block_shuffle,
+            "block_cpu_ratios": block_cpu,
             "cache_leaks": cache_leaks,
             "resident_checkpoints_dropped": resident_checkpoints,
         }
