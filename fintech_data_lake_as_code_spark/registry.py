@@ -80,51 +80,22 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r17.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r18.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r17 fold the vintage
-# census is 45@r14 / 49@r15 / 50@r16 / 50@r17 (CORRECTNESS_r17 was
-# 50/50 green: the 47-key r13 cohort + the stale regrade
-# agg_approx_percentile + the 2 spare slots scan_jdbc / fn_variant).
-# Round 18 registers no new keys (no table-format jar on disk —
-# re-probed an EIGHTH time, that axis stays closed, r11–r17 precedent).
-# Rank-(0,0) demand = len(_STALE_REGRADE) + the 45-key r14 cohort ≤ 50 —
-# no overflow, `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r15
-# after the r18 grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r18 fold the vintage
+# census is 46@r15 / 50@r16 / 48@r17 / 50@r18 (CORRECTNESS_r18 was
+# 50/50 green: the 45-key r14 cohort + the 3 stale regrades
+# agg_approx_percentile / cdc_gdpr_erasure / sink_compression_codecs
+# + the 2 spare slots fn_datetime / fn_string).
+# Round 19 registers no new keys (no table-format jar on disk —
+# re-probed a NINTH time, that axis stays closed, r11–r18 precedent).
+# Rank-(0,0) demand = len(_STALE_REGRADE) + the 46-key r15 cohort ≤ 50 —
+# no overflow, `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r16
+# after the r19 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 14 greens — the r18 grading cohort (stalest)
-    **dict.fromkeys(
-        [
-            "agg_histogram_bins",
-            "agg_retention_cohort", "agg_rolling_distinct",
-            "agg_sketch_cms", "agg_sketch_hll",
-            "dedup_containment", "dedup_incremental",
-            "dedup_near_minhash", "dedup_ngram_jaccard",
-            "dedup_simhash", "fn_url",
-            "join_asof_nearest",
-            "join_bucketed_colocated", "join_skew_salted",
-            "profile_columns", "sample_bootstrap_means",
-            "sample_split_leakage_safe", "sample_weighted_priority",
-            "scan_avro", "scan_csv", "scan_json_corrupt",
-            "scan_json_lines", "scan_orc", "scan_parquet",
-            "scan_partition_pruned", "scan_schema_evolution",
-            "scan_text", "scan_xml", "set_bag_ops",
-            "sink_compacted", "sink_partitioned",
-            "sink_sorted_lake", "sink_zorder_lake",
-            "sql_pricing_summary",
-            "stream_bronze_ingest",
-            "stream_dedupe", "stream_join_static",
-            "stream_rate_sim", "stream_session", "stream_sliding",
-            "stream_stateful_freeze", "stream_stream_join",
-            "stream_tumbling",
-            "text_decontaminate",
-            "text_ngram_freq",
-        ],
-        14,
-    ),
-    # round 15 greens
+    # round 15 greens — the r19 grading cohort (stalest)
     **dict.fromkeys(
         [
             "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
@@ -133,13 +104,13 @@ _VERDICT_ROUND: dict[str, int] = {
             "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
             "dedup_semantic_cluster", "dq_expectations",
             "embedding_quantize_int8", "fn_collation", "fn_conditional",
-            "fn_crypto", "fn_datetime", "fn_math_decimal", "fn_string",
+            "fn_crypto", "fn_math_decimal",
             "fn_try_ansi",
             "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
             "join_spatial_grid",
             "sample_negative_pairs", "sample_temperature_mix",
             "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
-            "sim_topk_ivf_kmeans", "sink_compression_codecs",
+            "sim_topk_ivf_kmeans",
             "sql_recursive_cte",
             "stream_backfill_availablenow", "stream_dedup_incremental",
             "stream_foreachbatch_merge", "stream_scd2_apply",
@@ -179,13 +150,11 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         16,
     ),
-    # round 17 greens — freshest, grade last (CORRECTNESS_r17: 50/50 =
-    # the 47-key r13 cohort + the stale regrade agg_approx_percentile
-    # + the 2 spare slots scan_jdbc / fn_variant)
+    # round 17 greens
     **dict.fromkeys(
         [
-            "agg_approx_distinct", "agg_approx_percentile",
-            "agg_distinct", "cdc_gdpr_erasure",
+            "agg_approx_distinct",
+            "agg_distinct",
             "datagen_account_sample",
             "fn_array", "fn_bitwise", "fn_hash", "fn_json",
             "fn_map_struct", "fn_variant",
@@ -209,36 +178,57 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         17,
     ),
+    # round 18 greens — freshest, grade last (CORRECTNESS_r18: 50/50 =
+    # the 45-key r14 cohort + the 3 stale regrades agg_approx_percentile /
+    # cdc_gdpr_erasure / sink_compression_codecs + the 2 spare slots
+    # fn_datetime / fn_string)
+    **dict.fromkeys(
+        [
+            "agg_approx_percentile", "agg_histogram_bins",
+            "agg_retention_cohort", "agg_rolling_distinct",
+            "agg_sketch_cms", "agg_sketch_hll",
+            "cdc_gdpr_erasure",
+            "dedup_containment", "dedup_incremental",
+            "dedup_near_minhash", "dedup_ngram_jaccard",
+            "dedup_simhash",
+            "fn_datetime", "fn_string", "fn_url",
+            "join_asof_nearest",
+            "join_bucketed_colocated", "join_skew_salted",
+            "profile_columns", "sample_bootstrap_means",
+            "sample_split_leakage_safe", "sample_weighted_priority",
+            "scan_avro", "scan_csv", "scan_json_corrupt",
+            "scan_json_lines", "scan_orc", "scan_parquet",
+            "scan_partition_pruned", "scan_schema_evolution",
+            "scan_text", "scan_xml", "set_bag_ops",
+            "sink_compacted", "sink_compression_codecs",
+            "sink_partitioned",
+            "sink_sorted_lake", "sink_zorder_lake",
+            "sql_pricing_summary",
+            "stream_bronze_ingest",
+            "stream_dedupe", "stream_join_static",
+            "stream_rate_sim", "stream_session", "stream_sliding",
+            "stream_stateful_freeze", "stream_stream_join",
+            "stream_tumbling",
+            "text_decontaminate",
+            "text_ngram_freq",
+        ],
+        18,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. Round 18's other operator-side changes keep the
-# graded relations bit-identical on the shipped fixture and are NOT
-# stale-marked (deliberate): the b10/join_anti gate hoist embeds the
-# same literals, projections gained a comment, and _bucketed_table's
-# missing-source guard changed on an error path no grade reaches. The
-# r18 latent sweep's shared-scratch -> pid_scratch_dir conversion also
-# touched 13 round-trip keys that sit INSIDE the r14 grading cohort —
-# they re-certify this round by vintage and need no stale slot. THREE
-# keys are stale-marked:
-# - agg_approx_percentile (r17 vintage): the contract-audit join is now
-#   null-SAFE on l_returnflag (ADVICE r17 — a plain equi-join would
-#   drop a NULL-flag group from the Spark side while the oracle emits
-#   it). Identical output on the shipped fixture (no NULL flags), but
-#   the join condition is part of the graded relation's definition, so
-#   the r17 verdict no longer covers the code that ships.
-# - cdc_gdpr_erasure (r17) and sink_compression_codecs (r15): the only
-#   two pid-conversion keys OUTSIDE the r14 cohort — the rewrite lake /
-#   codec round-trip dirs moved to per-process scratch. Output is
-#   path-independent and rehearsed green, but the graded dataflow's
-#   storage path changed, so re-certify rather than presume.
-_STALE_REGRADE = frozenset(
-    {"agg_approx_percentile", "cdc_gdpr_erasure", "sink_compression_codecs"}
-)
+# never-graded keys. All three r18 stale-marks (agg_approx_percentile's
+# null-safe contract join, and the cdc_gdpr_erasure /
+# sink_compression_codecs pid-scratch conversions) re-graded green in
+# CORRECTNESS_r18 and are folded above. No round-19 code change touches
+# a graded relation's definition, so the set is empty; re-populate the
+# moment an operator edit changes what a graded key computes or where
+# its round-trip dataflow writes.
+_STALE_REGRADE: frozenset[str] = frozenset()
 
-# Round 18 has no budget overflow: 3 rank-(0,0) stales + the 45-key r14
-# cohort = 48 ≤ 50 (2 spare slots, filled by the oldest r15 keys in
+# Round 19 has no budget overflow: 0 rank-(0,0) stales + the 46-key r15
+# cohort = 46 ≤ 50 (4 spare slots, filled by the oldest r16 keys in
 # registration order). tests/test_registry_vintage.py pins that this
 # deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()
