@@ -308,30 +308,9 @@ def main() -> None:
     # +/-30% with background load; medians are what regressions are graded
     # against. Total = sum of medians.
     N_RUNS = 3
-    timings: dict[str, float] = {}
-    total = 0.0
-    for key in HEADLINE:
-        fn = queries.get(key)
-        if fn is None:
-            continue
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-            _leak_guard(key)
-        dt = round(sorted(runs)[len(runs) // 2], 3)
-        timings[key] = dt
-        total += dt
-        print(
-            f"# {key}: median {dt:.3f}s of "
-            + "/".join(f"{r:.3f}" for r in runs),
-            file=sys.stderr,
-        )
 
-    # One cheap shuffle probe per extras block (VERDICT r14 #6): the
-    # late blocks are where mid-run service degradation lands (the r14
+    # One cheap shuffle probe per block (VERDICT r14 #6): the late
+    # blocks are where mid-run service degradation lands (the r14
     # v5/v4 numbers were exactly this), and a run-wide pre/post pair
     # can't localize WHICH block ran degraded. Median of 3 quick reps,
     # not the run-wide median-of-5 — it contextualizes the block while
@@ -388,6 +367,14 @@ def main() -> None:
                 file=sys.stderr,
             )
         return out
+
+    # The headline block rides the SAME per-block probe path as the
+    # extras (ADVICE r18): until r19 the headline keys were timed by a
+    # separate loop that block_shuffle_ratios/block_cpu_ratios never
+    # covered, so BASELINE.md's per-block adjudication of headline
+    # readings had to be inferred from the run-wide pre-cal alone.
+    timings = _time_block(HEADLINE, "headline")
+    total = round(sum(timings.values()), 3)
 
     extras = _time_block(EXTRAS, "extra")
     extras_total = round(sum(extras.values()), 3)

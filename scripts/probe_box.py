@@ -1,9 +1,19 @@
 #!/usr/bin/env python3
-"""One-shot box-cleanliness probe: the SAME CPU and shuffle probes
-bench.py runs pre/post, against the SAME reference constants, in a
-~20-second standalone session — for deciding WHETHER to spend 15
+"""One-shot box-cleanliness probe: the SAME CPU and shuffle probe
+queries bench.py runs pre/post, against the SAME reference constants,
+in a ~20-second standalone session — for deciding WHETHER to spend 15
 minutes on a bench run (or whether to trust one already recorded)
 without hand-rolling the probe inline every time.
+
+Discipline: one discarded warm-up rep, then median-of-3 per probe —
+a quick screen, not bench's pre/post median-of-5, so treat the ratios
+as band estimates rather than exactly interchangeable with bench's
+recorded calibration pair. The session IS bench's session
+(`session.get_spark`): same master/core env overrides
+(SPARK_GRAFT_CPUS / SPARK_GRAFT_MASTER / SPARK_GRAFT_DRIVER_MEM),
+same `apply_engine_conf` (AQE, shuffle partitions), so a CLEAN
+verdict here predicts bench's own probe ratios on this box instead
+of a hardcoded local[32] stand-in (ADVICE r18).
 
 Exit 0 when both ratios are at or under their clean thresholds
 (CPU <= 0.75 is the BASELINE.md headline-band condition; shuffle
@@ -30,14 +40,9 @@ SHUF_CLEAN = 1.15  # bench.py SHUF_DEGRADED: retry threshold
 
 
 def main() -> int:
-    from pyspark.sql import SparkSession
+    from fintech_data_lake_as_code_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = get_spark("fintech-data-lake-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     def cpu() -> float:
