@@ -98,9 +98,13 @@ def pid_scratch_path(sf_dir: str, key: str) -> str:
     return os.path.join(scratch_dir(sf_dir, key), f"pid{os.getpid()}")
 
 
-def pid_scratch_dir(sf_dir: str, key: str) -> str:
+def pid_scratch_dir(sf_dir: str, key: str, clear: bool = True) -> str:
     """Per-PROCESS scratch subdir `<scratch>/<key>/pid<N>`, cleared on
-    entry so a rerun within one process is deterministic. A single
+    entry so a rerun within one process is deterministic. Pass
+    ``clear=False`` for per-process state that must SURVIVE re-entry
+    within one process (a marker-guarded per-process seed: the Derby
+    database) — dead peers' dirs are still swept, only the
+    clear-on-entry side effect is skipped. A single
     shared dir raced concurrent sessions over the same sf_dir (one
     process rmtree'd the sink/checkpoint/source a peer's RUNNING
     streaming query was using — ADVICE r14 on stream_watermark_late; the
@@ -137,7 +141,8 @@ def pid_scratch_dir(sf_dir: str, key: str) -> str:
         except PermissionError:
             pass  # alive under another uid — a live peer, leave it
     mine = pid_scratch_path(sf_dir, key)
-    shutil.rmtree(mine, ignore_errors=True)
+    if clear:
+        shutil.rmtree(mine, ignore_errors=True)
     return mine
 
 

@@ -221,14 +221,18 @@ _VERDICT_ROUND: dict[str, int] = {
 # never-graded keys. All three r18 stale-marks (agg_approx_percentile's
 # null-safe contract join, and the cdc_gdpr_erasure /
 # sink_compression_codecs pid-scratch conversions) re-graded green in
-# CORRECTNESS_r18 and are folded above. No round-19 code change touches
-# a graded relation's definition, so the set is empty; re-populate the
-# moment an operator edit changes what a graded key computes or where
-# its round-trip dataflow writes.
-_STALE_REGRADE: frozenset[str] = frozenset()
+# CORRECTNESS_r18 and are folded above. ONE key is stale-marked for r19:
+# - scan_jdbc (r17 vintage): the Derby database moved from shared
+#   scratch to per-process scratch (r19 live two-session race find —
+#   embedded Derby is single-JVM, so a shared database path bricked a
+#   concurrent peer's read; see sources/jdbc.py::_derby_root). Output
+#   is path-independent and rehearsed green, but the graded dataflow's
+#   storage path changed, so re-certify rather than presume (the
+#   cdc_gdpr_erasure precedent from r18).
+_STALE_REGRADE = frozenset({"scan_jdbc"})
 
-# Round 19 has no budget overflow: 0 rank-(0,0) stales + the 46-key r15
-# cohort = 46 ≤ 50 (4 spare slots, filled by the oldest r16 keys in
+# Round 19 has no budget overflow: 1 rank-(0,0) stale + the 46-key r15
+# cohort = 47 ≤ 50 (3 spare slots, filled by the oldest r16 keys in
 # registration order). tests/test_registry_vintage.py pins that this
 # deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()

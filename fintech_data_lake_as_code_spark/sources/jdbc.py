@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import exact_sum
-from ..io import module_fingerprint, scratch_dir, seeded_landing
+from ..io import module_fingerprint, pid_scratch_dir, seeded_landing
 from ..registry import query
 from . import datagen as _datagen_module
 from .datagen import CUSTOMERACTIVITY_ORACLE, N_ROWS, customeractivity
@@ -43,8 +43,23 @@ JDBC_TABLE = "customeractivity"
 N_READ_PARTITIONS = 4
 
 
+def _derby_root(sf_dir: str) -> str:
+    """PER-PROCESS Derby root (r19 live-race find): embedded Derby is
+    single-JVM by design — the booting JVM holds `db.lck` for its
+    lifetime, so a SHARED database path let the first session to run
+    `scan_jdbc` brick every concurrent peer's read with "Failed to
+    start database" (reproduced: two cold driver-style sessions racing
+    the same keys — landing_lock serialized the SEED fine, but the
+    post-seed reads still needed the same embedded boot). Each process
+    seeds its own database instead: the seed is generator-derived and
+    deterministic, so per-process copies are semantically identical,
+    and `clear=False` keeps the marker-guarded seed reusable across
+    reruns WITHIN the process while dead peers' copies are swept."""
+    return pid_scratch_dir(sf_dir, "derby", clear=False)
+
+
 def _derby_url(sf_dir: str) -> str:
-    db_path = os.path.join(scratch_dir(sf_dir, "derby"), "oltp_db")
+    db_path = os.path.join(_derby_root(sf_dir), "oltp_db")
     return f"jdbc:derby:{db_path};create=true"
 
 
@@ -66,15 +81,17 @@ def _datagen_fingerprint() -> str | None:
 
 def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load `customeractivity` over JDBC, seeding the Derby database once
-    per scale dir (the write is the "OLTP system exists" precondition, not
-    part of the query). The seed rides `io.seeded_landing` — the ONE
-    marker-guard implementation — with a Derby-specific completion
-    predicate (the database directory exists; JDBC has no `_SUCCESS`
-    job-commit convention, and the `_SEED` marker itself is only written
-    after a successful save). Hand-rolling the guard here is what let
-    the r13 marker-atomicity fix land everywhere but this file."""
+    per (scale dir, PROCESS) — see `_derby_root` for why the database
+    cannot be shared across sessions (the write is the "OLTP system
+    exists" precondition, not part of the query). The seed rides
+    `io.seeded_landing` — the ONE marker-guard implementation — with a
+    Derby-specific completion predicate (the database directory exists;
+    JDBC has no `_SUCCESS` job-commit convention, and the `_SEED` marker
+    itself is only written after a successful save). Hand-rolling the
+    guard here is what let the r13 marker-atomicity fix land everywhere
+    but this file."""
     url = _derby_url(sf_dir)
-    derby_root = scratch_dir(sf_dir, "derby")
+    derby_root = _derby_root(sf_dir)
     db_dir = os.path.join(derby_root, "oltp_db")
 
     def _seed() -> None:

@@ -407,6 +407,23 @@ def test_jdbc_scan_pushes_filter_to_database(spark, sf_dir):
     ), pushed
 
 
+def test_jdbc_derby_database_is_per_process(sf_dir):
+    # r19 live two-session race find: embedded Derby is single-JVM — the
+    # booting JVM holds db.lck for its lifetime, so a SHARED database
+    # path bricks every concurrent peer's read ("Failed to start
+    # database"). The database therefore lives in per-process scratch;
+    # this pins the property (the URL embeds this pid) and that re-entry
+    # within one process reuses the same path (clear=False — a cleared
+    # dir would strand the marker-guarded seed).
+    import os
+
+    from fintech_data_lake_as_code_spark.sources.jdbc import _derby_url
+
+    url = _derby_url(sf_dir)
+    assert f"pid{os.getpid()}" in url, url
+    assert _derby_url(sf_dir) == url  # stable across calls in-process
+
+
 def test_weighted_sample_compiles_to_take_ordered(spark, sf_dir):
     plan = formatted_plan(SPECS["sample_weighted_priority"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
