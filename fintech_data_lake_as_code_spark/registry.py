@@ -80,50 +80,22 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r18.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01–r19.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r18 fold the vintage
-# census is 46@r15 / 50@r16 / 48@r17 / 50@r18 (CORRECTNESS_r18 was
-# 50/50 green: the 45-key r14 cohort + the 3 stale regrades
-# agg_approx_percentile / cdc_gdpr_erasure / sink_compression_codecs
-# + the 2 spare slots fn_datetime / fn_string).
-# Round 19 registers no new keys (no table-format jar on disk —
-# re-probed a NINTH time, that axis stays closed, r11–r18 precedent).
-# Rank-(0,0) demand = len(_STALE_REGRADE) + the 46-key r15 cohort ≤ 50 —
-# no overflow, `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r16
-# after the r19 grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last. After the r19 fold the vintage
+# census is 47@r16 / 47@r17 / 50@r18 / 50@r19 (CORRECTNESS_r19 was
+# 50/50 green: the 46-key r15 cohort + the stale regrade scan_jdbc
+# + the 3 spare slots datagen_customeractivity / text_fingerprint /
+# win_rfm_score).
+# Round 20 registers no new keys (no table-format jar on disk —
+# re-probed a TENTH time, that axis stays closed, r11–r19 precedent).
+# Rank-(0,0) demand = len(_STALE_REGRADE) + the 47-key r16 cohort ≤ 50 —
+# no overflow, `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r17
+# after the r20 grade (pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 15 greens — the r19 grading cohort (stalest)
-    **dict.fromkeys(
-        [
-            "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
-            "agg_kanonymity", "agg_mode_exact", "agg_pareto_8020",
-            "agg_regression_ols", "dedup_cluster_cc",
-            "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
-            "dedup_semantic_cluster", "dq_expectations",
-            "embedding_quantize_int8", "fn_collation", "fn_conditional",
-            "fn_crypto", "fn_math_decimal",
-            "fn_try_ansi",
-            "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
-            "join_spatial_grid",
-            "sample_negative_pairs", "sample_temperature_mix",
-            "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
-            "sim_topk_ivf_kmeans",
-            "sql_recursive_cte",
-            "stream_backfill_availablenow", "stream_dedup_incremental",
-            "stream_foreachbatch_merge", "stream_scd2_apply",
-            "stream_tws_topk_state", "stream_watermark_late",
-            "subquery_family",
-            "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
-            "win_anomaly_zscore", "win_drawdown", "win_ewma",
-            "win_match_recognize", "win_resample_interp",
-            "win_transition_matrix",
-        ],
-        15,
-    ),
-    # round 16 greens
+    # round 16 greens — the r20 grading cohort (stalest)
     **dict.fromkeys(
         [
             "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
@@ -131,7 +103,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "agg_stats_corr", "agg_time_rollup", "cdc_dedupe_batch",
             "cdc_envelope_roundtrip", "cdc_incremental_agg",
             "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
-            "cdc_snapshot_diff", "datagen_customeractivity", "dedup_exact",
+            "cdc_snapshot_diff", "dedup_exact",
             "filter_null_domain", "filter_pred",
             "join_anti", "join_asof_backward",
             "join_asof_interval", "join_broadcast", "join_cross_topk",
@@ -146,7 +118,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "sink_write_audit_publish",
             "stream_observe_metrics", "stream_python_datasource",
             "stream_transform_with_state",
-            "text_bpe_train", "text_fingerprint", "win_rfm_score",
+            "text_bpe_train",
         ],
         16,
     ),
@@ -162,7 +134,7 @@ _VERDICT_ROUND: dict[str, int] = {
             "limit_topk",
             "multimodal_cols", "multimodal_decode",
             "multimodal_framesample", "project_rename_cast",
-            "sample_stratified_split", "scan_jdbc",
+            "sample_stratified_split",
             "scan_python_datasource",
             "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
             "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
@@ -178,10 +150,9 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         17,
     ),
-    # round 18 greens — freshest, grade last (CORRECTNESS_r18: 50/50 =
-    # the 45-key r14 cohort + the 3 stale regrades agg_approx_percentile /
-    # cdc_gdpr_erasure / sink_compression_codecs + the 2 spare slots
-    # fn_datetime / fn_string)
+    # round 18 greens (CORRECTNESS_r18: 50/50 = the 45-key r14 cohort +
+    # the 3 stale regrades agg_approx_percentile / cdc_gdpr_erasure /
+    # sink_compression_codecs + the 2 spare slots fn_datetime / fn_string)
     **dict.fromkeys(
         [
             "agg_approx_percentile", "agg_histogram_bins",
@@ -214,25 +185,56 @@ _VERDICT_ROUND: dict[str, int] = {
         ],
         18,
     ),
+    # round 19 greens — freshest, grade last (CORRECTNESS_r19: 50/50 =
+    # the 46-key r15 cohort + the stale regrade scan_jdbc + the 3 spare
+    # slots datagen_customeractivity / text_fingerprint / win_rfm_score)
+    **dict.fromkeys(
+        [
+            "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
+            "agg_kanonymity", "agg_mode_exact", "agg_pareto_8020",
+            "agg_regression_ols",
+            "datagen_customeractivity", "dedup_cluster_cc",
+            "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
+            "dedup_semantic_cluster", "dq_expectations",
+            "embedding_quantize_int8", "fn_collation", "fn_conditional",
+            "fn_crypto", "fn_math_decimal",
+            "fn_try_ansi",
+            "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
+            "join_spatial_grid",
+            "sample_negative_pairs", "sample_temperature_mix",
+            "scan_binaryfile", "scan_jdbc",
+            "sim_maxsim_multivector", "sim_topk_ivf",
+            "sim_topk_ivf_kmeans",
+            "sql_recursive_cte",
+            "stream_backfill_availablenow", "stream_dedup_incremental",
+            "stream_foreachbatch_merge", "stream_scd2_apply",
+            "stream_tws_topk_state", "stream_watermark_late",
+            "subquery_family",
+            "text_fingerprint",
+            "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
+            "win_anomaly_zscore", "win_drawdown", "win_ewma",
+            "win_match_recognize", "win_resample_interp",
+            "win_rfm_score",
+            "win_transition_matrix",
+        ],
+        19,
+    ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. All three r18 stale-marks (agg_approx_percentile's
-# null-safe contract join, and the cdc_gdpr_erasure /
-# sink_compression_codecs pid-scratch conversions) re-graded green in
-# CORRECTNESS_r18 and are folded above. ONE key is stale-marked for r19:
-# - scan_jdbc (r17 vintage): the Derby database moved from shared
-#   scratch to per-process scratch (r19 live two-session race find —
-#   embedded Derby is single-JVM, so a shared database path bricked a
-#   concurrent peer's read; see sources/jdbc.py::_derby_root). Output
-#   is path-independent and rehearsed green, but the graded dataflow's
-#   storage path changed, so re-certify rather than presume (the
-#   cdc_gdpr_erasure precedent from r18).
+# never-graded keys. The single r19 stale-mark (scan_jdbc's per-process
+# Derby move, the r19 live two-session race find) re-graded green in
+# CORRECTNESS_r19 and is folded above. ONE key is stale-marked for r20:
+# - scan_jdbc (r19 vintage): the Derby seed gained a one-time legacy
+#   shared-database sweep and a boot-probing committed() predicate
+#   (ADVICE r19 #1/#2, sources/jdbc.py). Output is path-independent and
+#   rehearsed green, but the graded dataflow's seed/trust path changed,
+#   so re-certify rather than presume (the r18/r19 precedent).
 _STALE_REGRADE = frozenset({"scan_jdbc"})
 
-# Round 19 has no budget overflow: 1 rank-(0,0) stale + the 46-key r15
-# cohort = 47 ≤ 50 (3 spare slots, filled by the oldest r16 keys in
+# Round 20 has no budget overflow: 1 rank-(0,0) stale + the 47-key r16
+# cohort = 48 ≤ 50 (2 spare slots, filled by the oldest r17 keys in
 # registration order). tests/test_registry_vintage.py pins that this
 # deferral set is exactly as large as the budget overflow.
 _DEFER_NEXT_ROUND = frozenset()

@@ -43,6 +43,49 @@ JDBC_TABLE = "customeractivity"
 N_READ_PARTITIONS = 4
 
 
+def _sweep_derby_scratch(base: str) -> None:
+    """One-time reclamation of pre-r19 debris plus dead peers' lock
+    files (ADVICE r19 #1). Before the per-process move the SHARED
+    database lived directly under `base` (`oltp_db/`, its `_SEED`
+    marker, and the landing lock's `<base>.lock` sibling);
+    `pid_scratch_dir`'s sweep only reclaims `pid<N>` entries, so that
+    layout was stranded forever on every machine that ran pre-r19. No
+    live process reads it — every current process boots its own
+    `pid<N>/` database and the seed is rebuildable by design — so the
+    sweep is unconditionally safe. Dead peers' landing locks
+    (`pid<N>.lock`, skipped by `pid_scratch_dir`'s sweep because
+    `int("<N>.lock")` raises) are reclaimed with the same kill-0 probe
+    that guards the pid dirs; a LIVE peer's lock file is never
+    unlinked — that would hand a later opener a fresh inode, i.e. two
+    holders of "the" lock."""
+    import re
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "oltp_db"), ignore_errors=True)
+    for stray in (os.path.join(base, "_SEED"), base.rstrip(os.sep) + ".lock"):
+        try:
+            os.unlink(stray)
+        except OSError:
+            pass
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for entry in entries:
+        m = re.fullmatch(r"pid(\d+)\.lock", entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # signal 0: existence probe
+        except ProcessLookupError:
+            try:
+                os.unlink(os.path.join(base, entry))
+            except OSError:
+                pass  # raced with a peer's sweep — already gone
+        except PermissionError:
+            pass  # alive under another uid — a live peer, leave it
+
+
 def _derby_root(sf_dir: str) -> str:
     """PER-PROCESS Derby root (r19 live-race find): embedded Derby is
     single-JVM by design — the booting JVM holds `db.lck` for its
@@ -55,7 +98,9 @@ def _derby_root(sf_dir: str) -> str:
     deterministic, so per-process copies are semantically identical,
     and `clear=False` keeps the marker-guarded seed reusable across
     reruns WITHIN the process while dead peers' copies are swept."""
-    return pid_scratch_dir(sf_dir, "derby", clear=False)
+    root = pid_scratch_dir(sf_dir, "derby", clear=False)
+    _sweep_derby_scratch(os.path.dirname(root))
+    return root
 
 
 def _derby_url(sf_dir: str) -> str:
@@ -77,6 +122,39 @@ def _datagen_fingerprint() -> str | None:
     be checked."""
     digest = module_fingerprint(_datagen_module)
     return None if digest is None else f"{N_ROWS}:{digest}"
+
+
+def _derby_committed(spark: SparkSession, db_dir: str) -> bool:
+    """Completion predicate for the Derby seed (ADVICE r19 #2).
+
+    Bare `os.path.isdir` trusted any directory with the right name —
+    but `clear=False` + PID reuse can hand a new process a dead peer's
+    database, and a JVM crash mid-seed can leave a directory that
+    exists yet cannot boot (torn service.properties, stale exclusive
+    lock state). Existence-trust surfaced those as a confusing
+    read-time "Failed to start database" instead of the reseed that
+    actually fixes them. So attempt a trivial embedded boot (open +
+    close one connection, no `create`): bootable means committed;
+    unbootable is cleared on the spot so the reseed's `create=true`
+    starts from nothing. The rows are generator-derived and
+    deterministic, so clearing can never lose anything a reseed won't
+    reproduce byte-for-byte. Classic deployments only (`spark._jvm`),
+    same as the rest of this embedded-Derby harness — a real cluster
+    points the same reader options at MySQL/Postgres and never takes
+    this path."""
+    if not os.path.isdir(db_dir):
+        return False
+    try:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        jvm.java.lang.Class.forName(DERBY_DRIVER)
+        conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db_dir}")
+        conn.close()
+        return True
+    except Exception:
+        import shutil
+
+        shutil.rmtree(db_dir, ignore_errors=True)
+        return False
 
 
 def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +202,7 @@ def _jdbc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         derby_root,
         _datagen_fingerprint(),
         _seed,
-        committed=lambda: os.path.isdir(db_dir),
+        committed=lambda: _derby_committed(spark, db_dir),
     )
     return (
         spark.read.format("jdbc")

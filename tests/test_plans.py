@@ -424,6 +424,79 @@ def test_jdbc_derby_database_is_per_process(sf_dir):
     assert _derby_url(sf_dir) == url  # stable across calls in-process
 
 
+def test_jdbc_legacy_shared_db_is_swept(sf_dir):
+    # ADVICE r19 #1: the pre-r19 SHARED Derby layout (oltp_db/ + _SEED
+    # directly under the scratch base, lock sibling <base>.lock) was
+    # stranded forever by the per-process move — pid_scratch_dir's sweep
+    # only reclaims pid<N> entries. _derby_root must reclaim it, plus
+    # dead peers' pid<N>.lock files (skipped by the pid sweep because
+    # int("<N>.lock") raises) — while never touching a LIVE process's
+    # lock file.
+    import os
+    import subprocess
+
+    from fintech_data_lake_as_code_spark.io import scratch_dir
+    from fintech_data_lake_as_code_spark.sources.jdbc import _derby_root
+
+    base = scratch_dir(sf_dir, "derby")
+    # plant the legacy shared layout
+    legacy_db = os.path.join(base, "oltp_db")
+    os.makedirs(legacy_db, exist_ok=True)
+    open(os.path.join(legacy_db, "service.properties"), "w").write("junk\n")
+    open(os.path.join(base, "_SEED"), "w").write("stale-fingerprint\n")
+    open(base.rstrip(os.sep) + ".lock", "a").close()
+    # a dead peer's landing lock (real, provably-dead pid) and a live
+    # process's lock (pid 1 is always alive)
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead_lock = os.path.join(base, f"pid{child.pid}.lock")
+    open(dead_lock, "a").close()
+    live_lock = os.path.join(base, "pid1.lock")
+    open(live_lock, "a").close()
+    try:
+        root = _derby_root(sf_dir)
+        assert not os.path.exists(legacy_db), "legacy shared db not swept"
+        assert not os.path.exists(os.path.join(base, "_SEED"))
+        assert not os.path.exists(base.rstrip(os.sep) + ".lock")
+        assert not os.path.exists(dead_lock), "dead peer's lock not swept"
+        assert os.path.exists(live_lock), "LIVE peer's lock was unlinked"
+        assert root.startswith(base)  # own pid root untouched by the sweep
+    finally:
+        if os.path.exists(live_lock):
+            os.unlink(live_lock)
+
+
+def test_jdbc_committed_probe_clears_unbootable_db(spark, sf_dir):
+    # ADVICE r19 #2: bare isdir trusted any directory with the right
+    # name — PID reuse under clear=False or a JVM crash mid-seed can
+    # leave an unbootable database that then fails at READ time instead
+    # of reseeding. The committed() predicate must boot-probe: garbage
+    # is cleared on the spot (False -> seeded_landing reseeds), a real
+    # seeded database passes.
+    import os
+
+    from fintech_data_lake_as_code_spark.io import pid_scratch_dir
+    from fintech_data_lake_as_code_spark.sources.jdbc import (
+        _derby_committed,
+        _derby_url,
+        _jdbc_snapshot,
+    )
+
+    bogus = os.path.join(
+        pid_scratch_dir(sf_dir, "derby_boot_probe_test"), "oltp_db"
+    )
+    os.makedirs(bogus, exist_ok=True)
+    open(os.path.join(bogus, "service.properties"), "w").write("not-a-db\n")
+    assert _derby_committed(spark, bogus) is False
+    assert not os.path.exists(bogus), "unbootable db must be cleared"
+    assert _derby_committed(spark, bogus) is False  # absent dir: plain False
+
+    # the real per-process database boots after the marker-guarded seed
+    assert _jdbc_snapshot(spark, sf_dir).count() > 0
+    real_db = _derby_url(sf_dir).split("jdbc:derby:")[1].split(";")[0]
+    assert _derby_committed(spark, real_db) is True
+
+
 def test_weighted_sample_compiles_to_take_ordered(spark, sf_dir):
     plan = formatted_plan(SPECS["sample_weighted_priority"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
