@@ -570,6 +570,14 @@ def _dvec(col: str) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _spread_vecs(df: DataFrame) -> DataFrame:
+    """CPU-budget repartition for vector corpora (see _emb_corpus note;
+    shared shape with similarity._spread)."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -592,7 +600,15 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(slice(embedding, 2, size(embedding) - 1), x -> cast(x as double))"),
         ).alias("v"),
     )
-    return base.unionByName(twins).withColumn(
+    # Repartition by CPU budget (r21, the _corpus rationale applied to
+    # vectors): the pairwise cosine verifies downstream are CPU-bound
+    # interpreted HOF work, and embeddings.parquet's byte-based splits
+    # give the whole corpus 1-2 scan tasks — stage attribution measured
+    # the SemDeDup verify stages as three ~4.5 core-second 2-task
+    # stages. Hash on vec_id is deterministic under retry; all
+    # downstream float use is per-row or integer-exact before any
+    # cross-row reduce, so partitioning cannot move a result.
+    return _spread_vecs(base.unionByName(twins)).withColumn(
         "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
 

@@ -97,9 +97,29 @@ _RANK_SQL = f"""
 """
 
 
+def _spread(df: DataFrame, key: str = "vec_id") -> DataFrame:
+    """Repartition a vector corpus by CPU budget (r21, guide §2.5 input
+    parallelism): embedding relations are bytes-tiny but their consumers
+    are CPU-bound (interpreted higher-order-function cosines over every
+    candidate pair), so parquet's byte-based splits catastrophically
+    underestimate parallelism — stage attribution measured the MaxSim
+    exact-scoring stage as ONE 9-second task because embeddings.parquet
+    is a single small file (the `_corpus` rationale in dedup.py, applied
+    to vectors). Hash-partitioning on the id is deterministic under task
+    retry (guide §2.5), and every downstream float is per-row or
+    integer-exact before any cross-row reduce, so partitioning cannot
+    move a result. On a real cluster defaultParallelism is the executor
+    core budget — the same scale-adaptive spread, never a constant."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, key
+    )
+
+
 def _fresh_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
+    return _spread(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _dvec("embedding").alias("v")
+        )
     )
 
 
@@ -673,8 +693,10 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair relation comes from a candidate generator (the ANN paths
     here) instead of all label pairs; the MaxSim verify stage is
     unchanged."""
-    vecs = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _dvec("embedding").alias("x")
+    vecs = _spread(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _dvec("embedding").alias("x")
+        )
     )
     norms = _with_norm(vecs)
     labels = sorted(
@@ -856,8 +878,10 @@ def sim_maxsim_ann_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass exists only to make the claim verifiable — at 100 TB you'd
     grade recall on a sampled query workload exactly this way while
     production queries run the ANN path alone."""
-    vecs = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _dvec("embedding").alias("x")
+    vecs = _spread(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _dvec("embedding").alias("x")
+        )
     )
     ann = maxsim_ann_scores(vecs, F.col("label") % 2 == 0)
     exact = sim_maxsim_multivector(spark, sf_dir)

@@ -1461,19 +1461,44 @@ def bpe_train(
 
     Scale shape: BPE trains on the WORD-FREQUENCY table, not the
     corpus — one corpus scan builds the weighted vocab ({BPE_VOCAB}
-    rows here; bounded in production by frequency truncation), and each
-    merge round is a pair-count aggregate over that table plus a
-    driver-side top-1 (bounded metadata, the IVF-seed pattern). Corpus
-    size only affects the initial scan; rounds cost O(vocab). Storage
-    is bounded: each round's segment table is cached and explicitly
-    released once the NEXT round's pair-count collect has materialized
-    its successor (at most two rounds cached transiently, no extra
-    materialization job), so running {BPE_MERGES} (or 10k) merges never
-    stacks cached copies; a production trainer at realistic merge
-    counts would additionally localCheckpoint every ~64 rounds to cap
-    logical-plan depth (execution already reads only the latest
-    cache)."""
+    rows here; bounded in production by frequency truncation) and the
+    merge induction runs over that bounded table. Corpus size only
+    affects the initial scan.
+
+    r21 optimization (guide §1.2 step 1 — don't schedule distributed
+    work for driver-sized data): the pre-r21 loop ran every merge round
+    as Spark jobs over the ≤vocab-row cached segment table — 8
+    pair-count TakeOrdered collects plus 9 cache/unpersist cycles, ~17
+    scheduled jobs to process a few kilobytes, measured ~1.5-2 s of
+    pure job overhead per invocation. Now ONE TakeOrdered job collects
+    the truncated word-frequency table (the same bounded designed
+    collect as the IVF centroid seeds) and the merge induction runs in
+    plain Python over it — exactly how production BPE trainers work
+    (the truncated frequency table is single-node data at any corpus
+    size). Semantics are replicated operation for operation: Spark's
+    split(word, '') is Python list(word) (probed: no trailing empties,
+    code-point chars), its all-occurrences left-to-right F.replace is
+    str.replace, its (w DESC, sa, sb) tie-break is Python tuple order
+    on (-w, sa, sb) (UTF-8 binary order == code-point order), and the
+    DuckDB oracle independently re-derives the whole merge table every
+    graded run, so any drift fails the hash."""
     spark = d.sparkSession
+    merges = _bpe_train_merges(d, n_merges, vocab)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, sa string, sb string, merged string,"
+        " pair_weight bigint",
+    )
+
+
+def _bpe_train_merges(
+    d: DataFrame, n_merges: int = BPE_MERGES, vocab: int = BPE_VOCAB
+) -> list[tuple]:
+    """(merge_round, sa, sb, merged, pair_weight) merge rules — one
+    corpus-scan TakeOrdered collect of the truncated word-frequency
+    table, then driver-side induction (see bpe_train). Shared by
+    bpe_train (rules as a DataFrame) and bpe_tokenize (rules inlined
+    as codegen literals — no DataFrame round-trip)."""
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
@@ -1481,72 +1506,31 @@ def bpe_train(
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "word")
         .limit(vocab)
+        .collect()
     )
-    seg = words.select(
-        "word",
-        "cnt",
-        F.concat(
-            F.lit(" "), F.array_join(F.split("word", ""), "  "), F.lit(" ")
-        ).alias("seg"),
-    ).cache()
-    merges = []
-    prev = None  # the round-before-last's cache handle, released lazily
+    # ' a  b ' segment representation: every symbol wrapped in its own
+    # space pair (see docstring — one replace pass applies a merge
+    # exactly like canonical left-to-right non-overlapping BPE)
+    segs = [
+        (" " + "  ".join(list(r.word)) + " ", int(r.cnt)) for r in words
+    ]
+    merges: list[tuple] = []
     for r in range(1, n_merges + 1):
-        pairs = (
-            seg.select(
-                "cnt", F.split(F.trim("seg"), "  ").alias("syms")
-            )
-            .select(
-                "cnt",
-                F.explode(
-                    F.arrays_zip(
-                        F.expr("slice(syms, 1, size(syms) - 1)"),
-                        F.expr("slice(syms, 2, size(syms) - 1)"),
-                    )
-                ).alias("pr"),
-            )
-            .select(
-                F.col("pr").getField("0").alias("sa"),
-                F.col("pr").getField("1").alias("sb"),
-                "cnt",
-            )
-            .groupBy("sa", "sb")
-            .agg(F.sum("cnt").alias("w"))
-        )
-        # this collect also MATERIALIZES seg's cache (pairs derives from
-        # it), so the round BEFORE last can release its cache now — one
-        # deferred unpersist instead of a dedicated count() job per
-        # round; storage stays bounded by two rounds transiently
-        tops = pairs.orderBy(F.desc("w"), "sa", "sb").limit(1).collect()
-        if prev is not None:
-            prev.unpersist()
-            prev = None
-        if not tops:  # vocabulary fully merged before n_merges rounds
+        weights: dict[tuple[str, str], int] = {}
+        for seg, cnt in segs:
+            # strip(" ") not strip(): F.trim removes SPACES only, and a
+            # word-edge tab/newline char must stay a symbol
+            syms = seg.strip(" ").split("  ")
+            for sa, sb in zip(syms, syms[1:]):
+                weights[(sa, sb)] = weights.get((sa, sb), 0) + cnt
+        if not weights:  # vocabulary fully merged before n_merges rounds
             break
-        top = tops[0]
-        merges.append((r, top.sa, top.sb, top.sa + top.sb, int(top.w)))
-        old = f" {top.sa}  {top.sb} "
-        new = f" {top.sa}{top.sb} "
-        # F.replace with literal columns, NOT an F.expr string: Spark SQL
-        # processes backslash escapes inside string literals, so a merged
-        # symbol containing a backslash would silently corrupt an expr-
-        # built pattern while the oracle (pure || concatenation) applies
-        # it verbatim — bpe_tokenize's application chain already uses
-        # this form for the same reason
-        nxt = seg.select(
-            "word",
-            "cnt",
-            F.replace(F.col("seg"), F.lit(old), F.lit(new)).alias("seg"),
-        ).cache()
-        prev, seg = seg, nxt
-    if prev is not None:
-        prev.unpersist()
-    seg.unpersist()  # merges are driver-side; nothing reads seg again
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, sa string, sb string, merged string,"
-        " pair_weight bigint",
-    )
+        top_w = max(weights.values())
+        sa, sb = min(k for k, w in weights.items() if w == top_w)
+        merges.append((r, sa, sb, sa + sb, top_w))
+        old, new = f" {sa}  {sb} ", f" {sa}{sb} "
+        segs = [(s.replace(old, new), cnt) for s, cnt in segs]
+    return merges
 
 
 @query("text_bpe_train", oracle=_BPE_ORACLE)
@@ -1718,12 +1702,12 @@ def bpe_tokenize(
     d: DataFrame, n_merges: int = BPE_MERGES, vocab: int = BPE_VOCAB
 ) -> DataFrame:
     """Train merges on `d`'s word table, then tokenize `d` map-side —
-    see text_bpe_tokenize for the full design rationale."""
+    see text_bpe_tokenize for the full design rationale. r21: reads the
+    merge list straight off the driver-side trainer (already in
+    training order) instead of round-tripping it through a DataFrame
+    and a second collect."""
     merges = [
-        (r.sa, r.sb)
-        for r in bpe_train(d, n_merges, vocab)
-        .orderBy("merge_round")
-        .collect()
+        (sa, sb) for _r, sa, sb, _m, _w in _bpe_train_merges(d, n_merges, vocab)
     ]
 
     def token_count(w):
