@@ -135,12 +135,27 @@ def udf_vectorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(gaps)
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
-            "gap_us"
-        ),
+    # r21 (guide §2.5): the events table is one small parquet file and
+    # its window exchange AQE-coalesces to ONE partition, so the lag
+    # window + BOTH pandas aggregates + the Arrow boundary ran as a
+    # single 2.2 s task (stage attribution). An explicit CPU-budget
+    # repartition on the window/group key satisfies the window's AND
+    # the grouped-agg's clustering requirement (no further exchange,
+    # plan diff plans/r21/udf_vectorized_agg_*), spreads the Python
+    # work across workers, and AQE never re-coalesces an explicit
+    # repartition. Per-group results are partitioning-independent.
+    ev = (
+        load(spark, sf_dir, "events")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "user_id"
+        )
+        .select(
+            "user_id",
+            "event_id",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+                "gap_us"
+            ),
+        )
     )
     return (
         ev.groupBy("user_id")

@@ -584,12 +584,17 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb_corpus(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """Twin-augmented embedding corpus shared by the embedding-dedup
     family: every 10th vector gets a planted near-duplicate (first
     component +0.01) under vec_id+100000. The per-vector norm is hoisted
     here — computed once per ROW, not once per pair, and with one
-    expression shape so both consumers are float-identical."""
+    expression shape so both consumers are float-identical.
+    `spread=False` skips the CPU-budget repartition (the k-means train
+    sample is total-sorted, so the spread's exchange is pure overhead
+    there — similarity._fresh_vecs's rationale)."""
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", "label", _dvec("embedding").alias("v"))
     twins = e.where(F.col("vec_id") % 10 == 0).select(
@@ -608,9 +613,10 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages. Hash on vec_id is deterministic under retry; all
     # downstream float use is per-row or integer-exact before any
     # cross-row reduce, so partitioning cannot move a result.
-    return _spread_vecs(base.unionByName(twins)).withColumn(
-        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    both = base.unionByName(twins)
+    if spread:
+        both = _spread_vecs(both)
+    return both.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
 @query(
@@ -1021,6 +1027,20 @@ def incremental_pairs(
     if cand is None:
         pref = _prefix_postings(shingled)
         cand = _candidate_ids(pref, pref).distinct()
+    # r21 (guide §2.5 — AQE coalescing optimizes for shuffle BYTES and
+    # under-parallelizes CPU-bound work): the candidate pair relation is
+    # ~1 MB at sf0.1, so AQE coalesces the post-distinct exchange to ONE
+    # partition — and the verification below (sorted-hash-array
+    # intersections, the query's dominant per-row cost) then ran as a
+    # single 1.9 s task (stage attribution). Re-spreading the tiny pair
+    # list by CPU budget costs one ~1 MB exchange and parallelizes the
+    # verify; pair rows are key-complete, so partitioning cannot move a
+    # result. AQE never re-coalesces an explicit numPartitions
+    # repartition, and at real scale the candidate relation is large
+    # enough that this spread is a no-op-sized safety, not a cost.
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     sa = shingled.select(
         F.col("doc_id").alias("id_a"),
         F.col("hashes").alias("h_a"),
@@ -1523,8 +1543,12 @@ def semantic_cluster_pairs(
 
     corpus = _emb_corpus(spark, sf_dir)
     sample_n = 64 * k
+    # train off the UNSPREAD corpus (r21): the total sort makes the
+    # sample identical regardless of partitioning, and the fit persists
+    # its input once — the spread's exchange is pure overhead here
     train = (
-        corpus.orderBy(F.xxhash64("vec_id"), "vec_id")
+        _emb_corpus(spark, sf_dir, spread=False)
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(sample_n)
         .select(array_to_vector("v").alias("features"))
     )

@@ -272,6 +272,13 @@ def _triangle_plan(spark: SparkSession, sf_dir: str):
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # r21: cache the oriented edges PRE-PARTITIONED on the wedge key —
+    # the wedge self-join below joins this relation to itself on `s`,
+    # and a cache partitioned on s lets both join legs reuse the cached
+    # partitioning instead of each paying its own exchange (guide §2.4:
+    # two operations keyed the same way share one exchange; the extra
+    # exchange here runs once, at cache build). Deterministic hash key,
+    # and triangle counts are partitioning-independent.
     oriented = (
         und.join(F.broadcast(du), "u")
         .join(F.broadcast(dv), "v")
@@ -279,6 +286,7 @@ def _triangle_plan(spark: SparkSession, sf_dir: str):
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"),
         )
+        .repartition(spark.sparkContext.defaultParallelism, "s")
     ).cache()
     # Wedges from a shared oriented source; (d1, d2) kept in one canonical
     # order per wedge via the same (deg, id) rank the orientation used —
@@ -291,10 +299,17 @@ def _triangle_plan(spark: SparkSession, sf_dir: str):
         F.col("s").alias("d1"), F.col("d").alias("d2")
     )
     tri = wedges.join(closing, ["d1", "d2"])
+    # r21 (guide §2.4 remove shuffles): the pre-r21 3-way unionByName
+    # of tri's corners planned THREE copies of the whole wedge+closing
+    # join tree under the Union (ReusedExchange dedups the shuffles,
+    # not the joins — the dominant stage ran 3x the join work; plan
+    # diff: plans/r21/graph_triangle_count_{before,after}.txt). An
+    # explode of the corner array emits the identical node multiset
+    # from ONE pass over the joined triangles, map-side.
     per_node = (
-        tri.select(F.col("s").alias("node"))
-        .unionByName(tri.select(F.col("d1").alias("node")))
-        .unionByName(tri.select(F.col("d2").alias("node")))
+        tri.select(
+            F.explode(F.array("s", "d1", "d2")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )

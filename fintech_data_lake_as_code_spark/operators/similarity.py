@@ -115,12 +115,18 @@ def _spread(df: DataFrame, key: str = "vec_id") -> DataFrame:
     )
 
 
-def _fresh_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(
-        load(spark, sf_dir, "embeddings").select(
-            "vec_id", _dvec("embedding").alias("v")
-        )
+def _fresh_vecs(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """`spread=False` skips the CPU-budget repartition: the brute-force
+    cosine baseline and the k-means TRAIN sample measured the spread's
+    exchange as pure overhead (their per-pair work is tiny / the fit
+    persists its input once), while the LSH/IVF candidate paths
+    measured 0.63-0.81x with it — interleaved A/B, three sessions."""
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
     )
+    return _spread(vecs) if spread else vecs
 
 
 @query(
@@ -147,7 +153,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms are per-VECTOR, so compute them once per row before the join —
     # not per (query, candidate) pair inside it (3x less higher-order-fn
     # work; float-identical because the expression shape is unchanged)
-    vecs = _fresh_vecs(spark, sf_dir).withColumn(
+    vecs = _fresh_vecs(spark, sf_dir, spread=False).withColumn(
         "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
     queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
@@ -407,8 +413,12 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # init wins, and its ~2 s of job overhead only shows in the
     # extras-only bench entry, not the graded headline.
     sample_n = 64 * K_CELLS
+    # train off the UNSPREAD scan (r21): the total sort makes the
+    # sample identical regardless of partitioning, and the fit persists
+    # its input once — the spread's exchange is pure overhead here
     train = (
-        vecs.orderBy(F.xxhash64("vec_id"), "vec_id")
+        _fresh_vecs(spark, sf_dir, spread=False)
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(sample_n)
         .select(array_to_vector("v").alias("features"))
     )

@@ -859,7 +859,15 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is a few MB against TBs of probes."""
     from .dedup import _shingles
 
-    d = load(spark, sf_dir, "documents")
+    # r21 (guide §2.5): shingling is the CPU-bound cost and
+    # documents.parquet is one unsplittable row group — the whole
+    # shingle+probe stage ran as a single 1.6 s task (stage
+    # attribution; files.minPartitionNum can't split one row group).
+    # CPU-budget repartition on doc_id is the _corpus rationale; the
+    # output is per-doc aggregates, partitioning-independent.
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
     shingle_rows = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
@@ -1308,7 +1316,20 @@ REP_BP = 3000  # flag docs whose duplicated-3-gram share exceeds 30%
 
 def repetition_stats(d: DataFrame) -> DataFrame:
     """Core of `text_repetition_gopher` over any (doc_id, text) frame;
-    see the registered query's docstring for semantics."""
+    see the registered query's docstring for semantics.
+
+    r21 (guide §2.4/§2.5): repartition the corpus by CPU budget ONCE up
+    front — gram explosion is CPU-bound string work that parquet's
+    byte-based splits under-parallelize (stage attribution: the whole
+    explode+count ran as ONE 2.7 s task), and hash-partitioning on
+    doc_id satisfies BOTH downstream groupings (doc_id is a prefix of
+    (doc_id, g)), so the two aggregation exchanges disappear: the plan
+    goes scan -> one exchange -> explode+count+reduce with no further
+    shuffle (plan diff: plans/r21/text_repetition_gopher_*). Counts are
+    partitioning-independent."""
+    d = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     words = F.split("text", " ")
     grams = d.select(
         "doc_id",

@@ -38,6 +38,17 @@ def apply_engine_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # r21 (guide §6): floor scan parallelism at the core budget. The
+        # lake's inputs are byte-small but several consumers are
+        # CPU-bound (stack/profile expressions, multi-way join probes),
+        # and 128 MB splits hand a whole table to 1-3 tasks locally —
+        # measured 0.84-0.92x on profile_columns / join_multiway /
+        # agg_groupby with this floor. Parameterized by the same core
+        # budget as shuffle.partitions (SPARK_GRAFT_CPUS locally,
+        # executor cores on a cluster); at 100 TB every real scan
+        # already exceeds the floor, so it is a local-small-file aid,
+        # not a tuned constant.
+        .config("spark.sql.files.minPartitionNum", str(default_parallelism()))
         .config("spark.sql.shuffle.partitions", str(default_parallelism()))
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
