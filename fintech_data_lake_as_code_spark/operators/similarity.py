@@ -627,16 +627,30 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     match requires the quantize/dequantize round-trip to actually hold
     on every dimension of every vector.
 
-    Scale shape: entirely map-side codegen higher-order functions
-    (transform / aggregate), no shuffle, no UDF; the quantized
-    representation this validates is what you'd persist."""
+    Scale shape: entirely map-side higher-order functions (transform /
+    aggregate), no shuffle, no UDF; the quantized representation this
+    validates is what you'd persist.
+
+    r21 (guide §1.2 step 2): `scale`/`absmax` are HOISTED into their own
+    projection before the per-element lambdas reference them. Inlined
+    (the pre-r21 form), every per-ELEMENT lambda evaluation re-ran the
+    whole O(dim) absmax aggregate — O(dim^2) interpreted work per row,
+    measured as this key's whole cost. As column attributes they
+    compute once per row; the arithmetic per element is unchanged, so
+    values are float-identical."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
-    absmax = F.aggregate(
+    absmax_expr = F.aggregate(
         F.col("v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
     )
-    scale = F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(1.0))
+    e = e.withColumn("absmax", absmax_expr).withColumn(
+        "scale",
+        F.when(F.col("absmax") > 0, F.col("absmax") / 127.0).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    scale = F.col("scale")
     q = F.transform(
         F.col("v"),
         lambda x: F.greatest(
@@ -656,7 +670,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("v").cast("bigint").alias("n_dims"),
-        (max_err * 10000 <= absmax * QUANT_ERR_BP).alias("within_bound"),
+        (max_err * 10000 <= F.col("absmax") * QUANT_ERR_BP).alias(
+            "within_bound"
+        ),
     )
 
 
