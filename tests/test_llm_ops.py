@@ -1017,3 +1017,84 @@ def test_session_memo_registry_covers_every_memo_dict(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     for name in memo_dicts:
         assert key in getattr(D, name), f"{name} not populated by warm"
+
+
+def test_bpe_driver_side_merges_match_spark_loop(spark):
+    # r21: merge induction moved driver-side (text._bpe_train_merges);
+    # this differential pins it against the pre-r21 per-round Spark-job
+    # loop on a corpus exercising the replicated semantics edges:
+    # unicode (code-point chars), an exact tie broken by (sa, sb), a
+    # word-edge tab (F.trim strips spaces ONLY -> Python strip(' ')),
+    # and adjacent-repeat merging in one pass.
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.operators.text import (
+        _bpe_train_merges,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "héhé héllo"),
+            (2, "xy xy ab ab"),  # (x,y) vs (a,b): tie -> (a,b) first
+            (3, "q\tq r"),  # tab stays inside the word as a symbol
+            (4, "zzzz"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    def spark_loop_merges(d, n_merges):
+        words = (
+            d.select(F.explode(F.split("text", " ")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "word")
+            .limit(200)
+        )
+        seg = words.select(
+            "word",
+            "cnt",
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split("word", ""), "  "),
+                F.lit(" "),
+            ).alias("seg"),
+        )
+        merges = []
+        for r in range(1, n_merges + 1):
+            pairs = (
+                seg.select("cnt", F.split(F.trim("seg"), "  ").alias("syms"))
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.arrays_zip(
+                            F.expr("slice(syms, 1, size(syms) - 1)"),
+                            F.expr("slice(syms, 2, size(syms) - 1)"),
+                        )
+                    ).alias("pr"),
+                )
+                .select(
+                    F.col("pr").getField("0").alias("sa"),
+                    F.col("pr").getField("1").alias("sb"),
+                    "cnt",
+                )
+                .groupBy("sa", "sb")
+                .agg(F.sum("cnt").alias("w"))
+            )
+            tops = pairs.orderBy(F.desc("w"), "sa", "sb").limit(1).collect()
+            if not tops:
+                break
+            top = tops[0]
+            merges.append((r, top.sa, top.sb, top.sa + top.sb, int(top.w)))
+            seg = seg.select(
+                "word",
+                "cnt",
+                F.replace(
+                    F.col("seg"),
+                    F.lit(f" {top.sa}  {top.sb} "),
+                    F.lit(f" {top.sa}{top.sb} "),
+                ).alias("seg"),
+            )
+        return merges
+
+    assert _bpe_train_merges(d, n_merges=6) == spark_loop_merges(d, 6)

@@ -1092,3 +1092,31 @@ def test_project_rename_cast_is_single_codegen_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan
     rs = read_schema(df)
     assert "l_shipdate" not in rs and "l_partkey" not in rs, rs
+
+
+def test_triangle_counts_corners_in_one_pass(spark, sf_dir):
+    """r21: per-node triangle counts come from ONE explode over the
+    joined triangle stream — the pre-r21 3-way union planned three full
+    copies of the wedge+closing join tree (ReusedExchange dedups
+    shuffles, not joins). No Union may reappear in the lazy plan, and
+    the wedge/closing joins must appear exactly once each."""
+    from fintech_data_lake_as_code_spark.operators.graph import (
+        _triangle_plan,
+    )
+
+    import re
+
+    out, caches = _triangle_plan(spark, sf_dir)
+    try:
+        plan = formatted_plan(out)
+    finally:
+        for c in caches:
+            c.unpersist()
+    # exactly ONE Generate (the corner explode) and at most one wedge +
+    # one closing sort-merge join (each named twice in formatted output:
+    # tree + detail). The pre-r21 union form read 3x that.
+    assert len(re.findall(r"Generate ", plan)) == 1, plan[:2000]
+    assert plan.count("SortMergeJoin") <= 4, (
+        "triangle join tree duplicated again: "
+        f"{plan.count('SortMergeJoin')} SortMergeJoin mentions"
+    )
