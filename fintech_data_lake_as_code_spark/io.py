@@ -69,6 +69,83 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def cpu_spread(
+    df: DataFrame, *keys: str, keep_exchange: bool = False
+) -> DataFrame:
+    """CPU-budget repartition of a scan-rooted frame, GATED on the
+    observed input layout (r22; guide §2.5 input parallelism + §5).
+
+    The r21 spreads fixed a real local pathology — these corpora are
+    bytes-tiny single-row-group files, so byte-based splits hand the
+    whole table to 1-2 tasks while the consumers are CPU-bound (HOF
+    cosines, shingling, gram explosion) — but they were UNCONDITIONAL:
+    at 100 TB the same `repartition(defaultParallelism, key)` would
+    COALESCE a many-thousand-partition scan down to the core count
+    (giant partitions, spill risk) and pay a full shuffle of the corpus
+    that byte splitting already made unnecessary. Gate: spread only
+    when the scan layout cannot already produce >= cores real splits —
+    i.e. the source has fewer files than cores AND its estimated bytes
+    are under cores x maxPartitionBytes. Both probes are metadata-only
+    (the cached file index / the optimizer's size estimate); no job
+    runs. When the gate says the input is already wide, pass through
+    unchanged — never scale parallelism down.
+
+    `keep_exchange=True` is for callers whose repartition ALSO replaces
+    heavier downstream shuffles (gopher's gram-count exchanges carry
+    exploded 3-grams — more bytes than the raw docs): on the wide path
+    the exchange is kept but width comes from shuffle.partitions + AQE
+    coalescing (`repartition(*keys)` with no count), which scales with
+    the data instead of clamping to the core count.
+
+    The spread itself hash-partitions on the given id — deterministic
+    under task retry (guide §2.5) — and every caller's downstream float
+    use is per-row or integer-exact before any cross-row reduce, so
+    partitioning cannot move a result. If the layout probe fails (non-
+    file source, internals drift), fall back to spreading: that is the
+    r21 behavior, correct for every local path."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+        # py4j converts the scala BigInt to a Python int; str() round-trip
+        # keeps this working if a future build hands back a JavaObject
+        est_bytes = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        max_split = spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        already_wide = n_files >= cores or est_bytes >= cores * max_split
+    except Exception:  # pragma: no cover — non-file plans, internals drift
+        already_wide = False
+    if not already_wide:
+        return df.repartition(cores, *keys)
+    if keep_exchange:
+        return df.repartition(*keys)
+    return df
+
+
+def width_preserving_spread(df: DataFrame, *keys: str) -> DataFrame:
+    """CPU-budget repartition of a MID-PLAN relation (r22 gating of the
+    r21 PPJoin candidate spread): the input sits above an AQE-coalesced
+    exchange, so a layout probe would have to execute the plan — gate on
+    configuration instead. Locally shuffle.partitions == the core
+    budget, so this is exactly the r21 `repartition(cores, keys)` (AQE
+    never re-coalesces an explicit numPartitions repartition — that is
+    the point: AQE optimizes for shuffle BYTES and under-parallelizes
+    CPU-bound verify work on a ~1 MB pair relation). On a cluster where
+    shuffle.partitions is configured above the core count, use THAT
+    width: never repartition a big relation DOWN below the width its
+    producing shuffle was configured for."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        width = max(cores, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):  # pragma: no cover — exotic conf value
+        width = cores
+    return df.repartition(width, *keys)
+
+
 def sf_tag(sf_dir: str) -> str:
     """Collision-safe scratch tag for a dataset root: its basename (human-
     readable) plus a short hash of the ABSOLUTE path. Basename alone

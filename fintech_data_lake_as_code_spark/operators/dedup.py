@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load, release_local_checkpoint
+from ..io import cpu_spread, load, release_local_checkpoint, width_preserving_spread
 from ..registry import query
 
 # --- corpus construction (shared): plant a near-dup twin for every 10th doc
@@ -572,10 +572,9 @@ def _dvec(col: str) -> Column:
 
 def _spread_vecs(df: DataFrame) -> DataFrame:
     """CPU-budget repartition for vector corpora (see _emb_corpus note;
-    shared shape with similarity._spread)."""
-    return df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    )
+    shared shape with similarity._spread). r22: gated on the observed
+    scan layout (io.cpu_spread) — pass through when already wide."""
+    return cpu_spread(df, "vec_id")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1036,11 +1035,12 @@ def incremental_pairs(
     # list by CPU budget costs one ~1 MB exchange and parallelizes the
     # verify; pair rows are key-complete, so partitioning cannot move a
     # result. AQE never re-coalesces an explicit numPartitions
-    # repartition, and at real scale the candidate relation is large
-    # enough that this spread is a no-op-sized safety, not a cost.
-    cand = cand.repartition(
-        cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-    )
+    # repartition. r22: width = max(cores, shuffle.partitions) via
+    # width_preserving_spread — the relation is mid-plan (a layout probe
+    # would execute it under AQE), so the gate is configuration-based:
+    # locally identical to the r21 spread, on a cluster never below the
+    # width the producing shuffle was configured for.
+    cand = width_preserving_spread(cand, "id_a", "id_b")
     sa = shingled.select(
         F.col("doc_id").alias("id_a"),
         F.col("hashes").alias("h_a"),

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import load
+from ..io import cpu_spread, load
 from ..registry import query
 
 N_QUERIES = 10
@@ -105,14 +105,11 @@ def _spread(df: DataFrame, key: str = "vec_id") -> DataFrame:
     underestimate parallelism — stage attribution measured the MaxSim
     exact-scoring stage as ONE 9-second task because embeddings.parquet
     is a single small file (the `_corpus` rationale in dedup.py, applied
-    to vectors). Hash-partitioning on the id is deterministic under task
-    retry (guide §2.5), and every downstream float is per-row or
-    integer-exact before any cross-row reduce, so partitioning cannot
-    move a result. On a real cluster defaultParallelism is the executor
-    core budget — the same scale-adaptive spread, never a constant."""
-    return df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, key
-    )
+    to vectors). r22: gated on the observed scan layout (io.cpu_spread)
+    so a corpus already wide enough passes through unchanged — the
+    unconditional form would coalesce a 100 TB scan DOWN to the core
+    count."""
+    return cpu_spread(df, key)
 
 
 def _fresh_vecs(

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..io import load
+from ..io import cpu_spread, load
 from ..registry import query
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -864,10 +864,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle+probe stage ran as a single 1.6 s task (stage
     # attribution; files.minPartitionNum can't split one row group).
     # CPU-budget repartition on doc_id is the _corpus rationale; the
-    # output is per-doc aggregates, partitioning-independent.
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # output is per-doc aggregates, partitioning-independent. r22:
+    # gated on the scan layout (io.cpu_spread) — at 100 TB the docs
+    # scan is already wide and the downstream groupBy(doc_id) exchange
+    # carries only partial aggregates (far fewer bytes than the raw
+    # docs), so the wide path passes through with NO exchange here.
+    d = cpu_spread(load(spark, sf_dir, "documents"), "doc_id")
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
     shingle_rows = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
@@ -1326,10 +1328,12 @@ def repetition_stats(d: DataFrame) -> DataFrame:
     (doc_id, g)), so the two aggregation exchanges disappear: the plan
     goes scan -> one exchange -> explode+count+reduce with no further
     shuffle (plan diff: plans/r21/text_repetition_gopher_*). Counts are
-    partitioning-independent."""
-    d = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    partitioning-independent. r22: gated via io.cpu_spread with
+    keep_exchange=True — this exchange replaces the (doc_id, g) gram
+    exchange, which carries exploded 3-grams (MORE bytes than the raw
+    docs), so it stays at any scale; on the wide path its width comes
+    from shuffle.partitions + AQE instead of clamping to core count."""
+    d = cpu_spread(d, "doc_id", keep_exchange=True)
     words = F.split("text", " ")
     grams = d.select(
         "doc_id",

@@ -80,164 +80,163 @@ def _load_all_modules() -> None:
 
 
 # Round of each key's latest green driver verdict (rows+schema+hash),
-# from CORRECTNESS_r01–r19.json. The driver grades a bounded prefix (50)
+# from CORRECTNESS_r01-r21.json. The driver grades a bounded prefix (50)
 # of the registry per round, so ranking by verdict AGE keeps every
 # verdict fresh on a rolling basis: never-graded keys and keys whose
 # defining code changed since their last green round grade first, then
-# the oldest-verdict keys, newest last. After the r19 fold the vintage
-# census is 47@r16 / 47@r17 / 50@r18 / 50@r19 (CORRECTNESS_r19 was
-# 50/50 green: the 46-key r15 cohort + the stale regrade scan_jdbc
-# + the 3 spare slots datagen_customeractivity / text_fingerprint /
-# win_rfm_score).
-# Round 20 registers no new keys (no table-format jar on disk —
-# re-probed a TENTH time, that axis stays closed, r11–r19 precedent).
-# Rank-(0,0) demand = len(_STALE_REGRADE) + the 47-key r16 cohort ≤ 50 —
-# no overflow, `_DEFER_NEXT_ROUND` is empty, and the floor lifts to r17
-# after the r20 grade (pinned by tests/test_registry_vintage.py).
+# the oldest-verdict keys, newest last.
+# r22 fold: rounds 20 AND 21 graded the IDENTICAL 50-key prefix (the
+# optimization round r21 deliberately made no registry edits, so the
+# ranking never rotated) — those 50 keys fold straight to 21, their
+# latest green. Census: 45@r17 / 50@r18 / 49@r19 / 50@r21. The r17
+# floor is 4 rounds old, so ALL r17 keys must grade or defer this
+# round: 21 stale-marked keys (below) + 39 non-stale floor keys = 60
+# demand against the 50 budget -> 10 floor keys defer one round
+# (_DEFER_NEXT_ROUND, pinned by tests/test_registry_vintage.py).
 _VERDICT_ROUND: dict[str, int] = {
-    # round 16 greens — the r20 grading cohort (stalest)
+    # round 17 greens — the floor; every key here is graded or
+    # explicitly deferred this round
     **dict.fromkeys(
         [
-            "agg_global", "agg_groupby", "agg_having", "agg_maxby_latest",
-            "agg_percentile", "agg_pivot", "agg_rollup_cube_gsets",
-            "agg_stats_corr", "agg_time_rollup", "cdc_dedupe_batch",
-            "cdc_envelope_roundtrip", "cdc_incremental_agg",
-            "cdc_latest_state", "cdc_merge_upsert", "cdc_scd2_intervals",
-            "cdc_snapshot_diff", "dedup_exact",
-            "filter_null_domain", "filter_pred",
-            "join_anti", "join_asof_backward",
-            "join_asof_interval", "join_broadcast", "join_cross_topk",
-            "join_inner_equi", "join_left_right_full", "join_multiway",
-            "join_range_banded", "join_scd2_pointintime", "join_semi",
-            "join_theta_range", "reshape_unpivot", "rule_b10_cross_sell",
-            "rule_b1_city_hop",
-            "rule_b2_session_overlap", "rule_b3_overdraft_freeze",
-            "rule_b4_first_forex", "rule_b5_limit_3days",
-            "rule_b6_enquiry_intent", "rule_b7_regular_forex",
-            "rule_b8_regular_investor", "rule_b9_large_investor",
-            "sink_write_audit_publish",
-            "stream_observe_metrics", "stream_python_datasource",
-            "stream_transform_with_state",
-            "text_bpe_train",
-        ],
-        16,
-    ),
-    # round 17 greens
-    **dict.fromkeys(
-        [
-            "agg_approx_distinct",
-            "agg_distinct",
-            "datagen_account_sample",
-            "fn_array", "fn_bitwise", "fn_hash", "fn_json",
-            "fn_map_struct", "fn_variant",
-            "graph_pagerank", "graph_triangle_count",
-            "limit_topk",
+            "agg_approx_distinct", "agg_distinct", "fn_bitwise",
+            "fn_hash", "fn_json", "fn_map_struct", "fn_variant",
+            "graph_pagerank", "graph_triangle_count", "limit_topk",
             "multimodal_cols", "multimodal_decode",
             "multimodal_framesample", "project_rename_cast",
-            "sample_stratified_split",
-            "scan_python_datasource",
+            "sample_stratified_split", "scan_python_datasource",
             "set_distinct_ops", "set_union_all", "sim_maxsim_ann",
             "sim_topk_cosine", "sim_topk_lsh", "sort_multi",
-            "text_bpe_tokenize", "text_chunk",
-            "text_idf_rarity", "text_langid", "text_pack_sequences",
-            "text_quality", "text_redact_pii", "text_stats",
-            "token_count_bpe", "topk_per_group", "udf_cogrouped",
-            "udf_scalar_python", "udf_vectorized_agg", "udtf_expand",
-            "win_asof_gap_fill", "win_distribution",
-            "win_funnel_conversion", "win_islands_consecutive",
-            "win_lag_lead", "win_range_interval", "win_ranking",
-            "win_running_frame", "win_sessionize",
+            "text_bpe_tokenize", "text_chunk", "text_idf_rarity",
+            "text_langid", "text_pack_sequences", "text_quality",
+            "text_redact_pii", "text_stats", "token_count_bpe",
+            "topk_per_group", "udf_cogrouped", "udf_scalar_python",
+            "udf_vectorized_agg", "udtf_expand", "win_asof_gap_fill",
+            "win_distribution", "win_funnel_conversion",
+            "win_islands_consecutive", "win_lag_lead",
+            "win_range_interval", "win_ranking", "win_running_frame",
+            "win_sessionize",
         ],
         17,
     ),
-    # round 18 greens (CORRECTNESS_r18: 50/50 = the 45-key r14 cohort +
-    # the 3 stale regrades agg_approx_percentile / cdc_gdpr_erasure /
-    # sink_compression_codecs + the 2 spare slots fn_datetime / fn_string)
+    # round 18 greens
     **dict.fromkeys(
         [
             "agg_approx_percentile", "agg_histogram_bins",
             "agg_retention_cohort", "agg_rolling_distinct",
-            "agg_sketch_cms", "agg_sketch_hll",
-            "cdc_gdpr_erasure",
+            "agg_sketch_cms", "agg_sketch_hll", "cdc_gdpr_erasure",
             "dedup_containment", "dedup_incremental",
             "dedup_near_minhash", "dedup_ngram_jaccard",
-            "dedup_simhash",
-            "fn_datetime", "fn_string", "fn_url",
-            "join_asof_nearest",
-            "join_bucketed_colocated", "join_skew_salted",
-            "profile_columns", "sample_bootstrap_means",
-            "sample_split_leakage_safe", "sample_weighted_priority",
-            "scan_avro", "scan_csv", "scan_json_corrupt",
-            "scan_json_lines", "scan_orc", "scan_parquet",
-            "scan_partition_pruned", "scan_schema_evolution",
-            "scan_text", "scan_xml", "set_bag_ops",
-            "sink_compacted", "sink_compression_codecs",
-            "sink_partitioned",
-            "sink_sorted_lake", "sink_zorder_lake",
-            "sql_pricing_summary",
-            "stream_bronze_ingest",
-            "stream_dedupe", "stream_join_static",
-            "stream_rate_sim", "stream_session", "stream_sliding",
+            "dedup_simhash", "fn_datetime", "fn_string", "fn_url",
+            "join_asof_nearest", "join_bucketed_colocated",
+            "join_skew_salted", "profile_columns",
+            "sample_bootstrap_means", "sample_split_leakage_safe",
+            "sample_weighted_priority", "scan_avro", "scan_csv",
+            "scan_json_corrupt", "scan_json_lines", "scan_orc",
+            "scan_parquet", "scan_partition_pruned",
+            "scan_schema_evolution", "scan_text", "scan_xml",
+            "set_bag_ops", "sink_compacted", "sink_compression_codecs",
+            "sink_partitioned", "sink_sorted_lake", "sink_zorder_lake",
+            "sql_pricing_summary", "stream_bronze_ingest",
+            "stream_dedupe", "stream_join_static", "stream_rate_sim",
+            "stream_session", "stream_sliding",
             "stream_stateful_freeze", "stream_stream_join",
-            "stream_tumbling",
-            "text_decontaminate",
-            "text_ngram_freq",
+            "stream_tumbling", "text_decontaminate", "text_ngram_freq",
         ],
         18,
     ),
-    # round 19 greens — freshest, grade last (CORRECTNESS_r19: 50/50 =
-    # the 46-key r15 cohort + the stale regrade scan_jdbc + the 3 spare
-    # slots datagen_customeractivity / text_fingerprint / win_rfm_score)
+    # round 19 greens
     **dict.fromkeys(
         [
             "agg_benford_digits", "agg_bitmap_distinct", "agg_gini",
             "agg_kanonymity", "agg_mode_exact", "agg_pareto_8020",
-            "agg_regression_ols",
-            "datagen_customeractivity", "dedup_cluster_cc",
-            "dedup_embedding_cosine", "dedup_keep_best", "dedup_paragraph",
+            "agg_regression_ols", "datagen_customeractivity",
+            "dedup_cluster_cc", "dedup_embedding_cosine",
+            "dedup_keep_best", "dedup_paragraph",
             "dedup_semantic_cluster", "dq_expectations",
             "embedding_quantize_int8", "fn_collation", "fn_conditional",
-            "fn_crypto", "fn_math_decimal",
-            "fn_try_ansi",
-            "join_asof_forward", "join_fuzzy_edit_distance", "join_lateral",
-            "join_spatial_grid",
+            "fn_crypto", "fn_math_decimal", "fn_try_ansi",
+            "join_asof_forward", "join_fuzzy_edit_distance",
+            "join_lateral", "join_spatial_grid",
             "sample_negative_pairs", "sample_temperature_mix",
-            "scan_binaryfile", "scan_jdbc",
-            "sim_maxsim_multivector", "sim_topk_ivf",
-            "sim_topk_ivf_kmeans",
-            "sql_recursive_cte",
+            "scan_binaryfile", "sim_maxsim_multivector", "sim_topk_ivf",
+            "sim_topk_ivf_kmeans", "sql_recursive_cte",
             "stream_backfill_availablenow", "stream_dedup_incremental",
             "stream_foreachbatch_merge", "stream_scd2_apply",
             "stream_tws_topk_state", "stream_watermark_late",
-            "subquery_family",
-            "text_fingerprint",
-            "text_repetition_gopher", "text_zipf_fit", "udf_map_in_arrow",
-            "win_anomaly_zscore", "win_drawdown", "win_ewma",
-            "win_match_recognize", "win_resample_interp",
-            "win_rfm_score",
-            "win_transition_matrix",
+            "subquery_family", "text_fingerprint",
+            "text_repetition_gopher", "text_zipf_fit",
+            "udf_map_in_arrow", "win_anomaly_zscore", "win_drawdown",
+            "win_ewma", "win_match_recognize", "win_resample_interp",
+            "win_rfm_score", "win_transition_matrix",
         ],
         19,
+    ),
+    # round 21 greens — freshest, grade last (CORRECTNESS_r20 and _r21
+    # graded this same 50-key prefix; 21 is each key's latest green)
+    **dict.fromkeys(
+        [
+            "agg_global", "agg_groupby", "agg_having",
+            "agg_maxby_latest", "agg_percentile", "agg_pivot",
+            "agg_rollup_cube_gsets", "agg_stats_corr",
+            "agg_time_rollup", "cdc_dedupe_batch",
+            "cdc_envelope_roundtrip", "cdc_incremental_agg",
+            "cdc_latest_state", "cdc_merge_upsert",
+            "cdc_scd2_intervals", "cdc_snapshot_diff",
+            "datagen_account_sample", "dedup_exact",
+            "filter_null_domain", "filter_pred", "fn_array",
+            "join_anti", "join_asof_backward", "join_asof_interval",
+            "join_broadcast", "join_cross_topk", "join_inner_equi",
+            "join_left_right_full", "join_multiway",
+            "join_range_banded", "join_scd2_pointintime", "join_semi",
+            "join_theta_range", "reshape_unpivot",
+            "rule_b10_cross_sell", "rule_b1_city_hop",
+            "rule_b2_session_overlap", "rule_b3_overdraft_freeze",
+            "rule_b4_first_forex", "rule_b5_limit_3days",
+            "rule_b6_enquiry_intent", "rule_b7_regular_forex",
+            "rule_b8_regular_investor", "rule_b9_large_investor",
+            "scan_jdbc", "sink_write_audit_publish",
+            "stream_observe_metrics", "stream_python_datasource",
+            "stream_transform_with_state", "text_bpe_train",
+        ],
+        21,
     ),
 }
 
 # Keys whose latest green verdict predates code they depend on — the old
 # verdict no longer covers the code that ships, so they grade with the
-# never-graded keys. The single r19 stale-mark (scan_jdbc's per-process
-# Derby move, the r19 live two-session race find) re-graded green in
-# CORRECTNESS_r19 and is folded above. ONE key is stale-marked for r20:
-# - scan_jdbc (r19 vintage): the Derby seed gained a one-time legacy
-#   shared-database sweep and a boot-probing committed() predicate
-#   (ADVICE r19 #1/#2, sources/jdbc.py). Output is path-independent and
-#   rehearsed green, but the graded dataflow's seed/trust path changed,
-#   so re-certify rather than presume (the r18/r19 precedent).
-_STALE_REGRADE = frozenset({"scan_jdbc"})
+# never-graded keys. This is the r21/r22 optimization-touched cohort
+# (VERDICT r21 "Next round" #8): the r21 spreads / BPE induction /
+# triangle explode / int8 hoist changes, plus the r22 gating of those
+# spreads (io.cpu_spread / width_preserving_spread), all landed AFTER
+# these keys' last green grades — their oracle status so far rests on
+# pytest + builder rehearsals only. text_bpe_train is NOT here: it was
+# in the r20/r21 graded cohort, so its green already covers the r21
+# driver-side induction. scan_jdbc's r19 stale-mark re-graded green in
+# r20 AND r21 — dropped.
+_STALE_REGRADE = frozenset({
+    "dedup_cluster_cc", "dedup_containment",
+    "dedup_embedding_cosine", "dedup_incremental",
+    "dedup_keep_best", "dedup_ngram_jaccard",
+    "dedup_semantic_cluster", "embedding_quantize_int8",
+    "graph_triangle_count", "sample_split_leakage_safe",
+    "sim_maxsim_ann", "sim_maxsim_multivector", "sim_topk_cosine",
+    "sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_lsh",
+    "stream_dedup_incremental", "text_bpe_tokenize",
+    "text_decontaminate", "text_repetition_gopher",
+    "udf_vectorized_agg",
+})
 
-# Round 20 has no budget overflow: 1 rank-(0,0) stale + the 47-key r16
-# cohort = 48 ≤ 50 (2 spare slots, filled by the oldest r17 keys in
-# registration order). tests/test_registry_vintage.py pins that this
-# deferral set is exactly as large as the budget overflow.
-_DEFER_NEXT_ROUND = frozenset()
+# Budget overflow this round: 21 rank-(0,0) stales + 39 non-stale r17
+# floor keys = 60 demand against the 50-key budget -> exactly 10 floor
+# keys defer one round (the registration-order tail, so the prefix
+# keeps the earliest-registered floor keys). They grade first next
+# round with the floor at r17 still intact for them.
+_DEFER_NEXT_ROUND = frozenset({
+    "agg_approx_distinct", "agg_distinct", "graph_pagerank",
+    "multimodal_framesample", "project_rename_cast",
+    "sample_stratified_split", "scan_python_datasource",
+    "text_chunk", "text_idf_rarity", "text_pack_sequences",
+})
 
 
 def _rank(name: str) -> tuple[int, int]:

@@ -120,10 +120,14 @@ def test_prefix_covers_floor_and_rank0():
     floor = min(R._VERDICT_ROUND.values())
     floor_keys = {k for k, v in R._VERDICT_ROUND.items() if v == floor}
     rank0 = {k for k in keys if R._rank(k) == (0, 0)}
-    overflow = max(0, len(rank0) + len(floor_keys) - PREFIX_BUDGET)
+    # demand is the UNION: a floor-vintage key that is ALSO stale-marked
+    # occupies one slot, not two (first round with overlap: r22, where
+    # six r17 keys are in the optimization-touched stale cohort)
+    overflow = max(0, len(rank0 | floor_keys) - PREFIX_BUDGET)
     assert len(R._DEFER_NEXT_ROUND) == overflow, (
         f"deferral set must absorb the budget overflow exactly: "
-        f"{len(rank0)} rank-0 + {len(floor_keys)} floor keys vs budget "
+        f"{len(rank0)} rank-0 | {len(floor_keys)} floor keys = "
+        f"{len(rank0 | floor_keys)} demanded vs budget "
         f"{PREFIX_BUDGET} -> overflow {overflow}, but _DEFER_NEXT_ROUND "
         f"has {len(R._DEFER_NEXT_ROUND)}"
     )
