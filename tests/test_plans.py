@@ -1120,3 +1120,75 @@ def test_triangle_counts_corners_in_one_pass(spark, sf_dir):
         "triangle join tree duplicated again: "
         f"{plan.count('SortMergeJoin')} SortMergeJoin mentions"
     )
+
+
+def test_cpu_spread_gates_on_scan_layout(spark, sf_dir, tmp_path):
+    """r22: the CPU-budget corpus spreads are GATED on the observed scan
+    layout (io.cpu_spread). Small single-file inputs still get the r21
+    repartition(cores, key); an input pre-split into >= cores files (or
+    estimated >= cores x maxPartitionBytes) passes through UNCHANGED —
+    the unconditional form would coalesce a wide production scan DOWN
+    to the core count. keep_exchange callers (gopher) keep the exchange
+    on the wide path but with AQE-coalescible width (REPARTITION_BY_COL,
+    no pinned numPartitions)."""
+    import re
+
+    from fintech_data_lake_as_code_spark.io import cpu_spread, load
+
+    cores = spark.sparkContext.defaultParallelism
+    small = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan_small = formatted_plan(cpu_spread(small, "vec_id"))
+    assert re.search(r"hashpartitioning\(vec_id", plan_small), plan_small
+    assert "REPARTITION_BY_NUM" in plan_small, plan_small
+
+    wide_path = str(tmp_path / "wide_embeddings")
+    small.repartition(cores).write.parquet(wide_path)
+    wide = spark.read.parquet(wide_path)
+    assert len(wide.inputFiles()) >= cores  # the gate's premise
+    plan_wide = formatted_plan(cpu_spread(wide, "vec_id"))
+    assert "Exchange" not in plan_wide, plan_wide
+
+    plan_keep = formatted_plan(cpu_spread(wide, "vec_id", keep_exchange=True))
+    assert re.search(r"hashpartitioning\(vec_id", plan_keep), plan_keep
+    assert "REPARTITION_BY_NUM" not in plan_keep, plan_keep
+
+
+def test_width_preserving_spread_never_narrows_configured_width(spark, sf_dir):
+    """r22: the mid-plan PPJoin candidate spread repartitions to
+    max(cores, shuffle.partitions) — locally the two are equal (the r21
+    plan is unchanged), and on a cluster configured with
+    shuffle.partitions > cores the spread can only widen, never narrow,
+    the relation it re-spreads."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fintech_data_lake_as_code_spark.io import (
+        load,
+        width_preserving_spread,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    cand = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1).alias("id_b"))
+        .distinct()
+    )
+    plan = formatted_plan(width_preserving_spread(cand, "id_a", "id_b"))
+    conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = max(cores, conf_width)
+    assert re.search(
+        rf"hashpartitioning\(id_a#\d+L?, id_b#\d+L?, {want}\)", plan
+    ), plan
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(want * 4))
+        plan_up = formatted_plan(
+            width_preserving_spread(cand, "id_a", "id_b")
+        )
+        assert re.search(
+            rf"hashpartitioning\(id_a#\d+L?, id_b#\d+L?, {want * 4}\)",
+            plan_up,
+        ), plan_up
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
