@@ -1030,17 +1030,26 @@ def incremental_pairs(
     # under-parallelizes CPU-bound work): the candidate pair relation is
     # ~1 MB at sf0.1, so AQE coalesces the post-distinct exchange to ONE
     # partition — and the verification below (sorted-hash-array
-    # intersections, the query's dominant per-row cost) then ran as a
-    # single 1.9 s task (stage attribution). Re-spreading the tiny pair
-    # list by CPU budget costs one ~1 MB exchange and parallelizes the
-    # verify; pair rows are key-complete, so partitioning cannot move a
-    # result. AQE never re-coalesces an explicit numPartitions
-    # repartition. r22: width = max(cores, shuffle.partitions) via
-    # width_preserving_spread — the relation is mid-plan (a layout probe
-    # would execute it under AQE), so the gate is configuration-based:
-    # locally identical to the r21 spread, on a cluster never below the
-    # width the producing shuffle was configured for.
-    cand = width_preserving_spread(cand, "id_a", "id_b")
+    # intersections, the query's dominant per-row cost) then runs as a
+    # single 1.3 s task. r22 stage attribution found the r21 spread
+    # NEVER TOOK EFFECT: repartition(N, id_a, id_b) directly above the
+    # distinct's identically-keyed exchange is elided by
+    # EnsureRequirements (the child already provides that exact
+    # partitioning), leaving only the AQE-coalescible
+    # ENSURE_REQUIREMENTS exchange — the verify was still one task
+    # (plans/r22/dedup_incremental_before.txt node (26); the r21 A/B's
+    # 0.93-1.08x noise reading is explained). Partition on id_a ALONE
+    # instead: a different partitioning survives EnsureRequirements,
+    # REPARTITION_BY_NUM is never AQE-coalesced, and it satisfies the
+    # first verify join's clustering requirement — locally the verify
+    # spreads to the core budget under the broadcast joins; at scale,
+    # where the corpus sides are too big to broadcast, the sort-merge
+    # join would demand an id_a exchange anyway, so this REPLACES that
+    # exchange instead of adding one. Width = max(cores,
+    # shuffle.partitions) (width_preserving_spread): never below the
+    # width the producing shuffle was configured for. Pair rows are
+    # key-complete, so partitioning cannot move a result.
+    cand = width_preserving_spread(cand, "id_a")
     sa = shingled.select(
         F.col("doc_id").alias("id_a"),
         F.col("hashes").alias("h_a"),
