@@ -119,7 +119,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"),
         F.lit(PR_SCALE).cast("bigint").alias("rank"),
     ).localCheckpoint(eager=True)
-    for _ in range(PR_ITERS):
+    # r22 (guide §1.2 step 1 — per-round cost here is job scheduling
+    # over sub-MB relations, not data movement): checkpoint every SECOND
+    # iteration instead of every one. The iteration count and arithmetic
+    # are unchanged (integer fixed-point, bit-identical output); only
+    # the lineage-pinning cadence moves, so each eager checkpoint job
+    # now materializes two join+agg rounds and the loop runs 5 jobs
+    # instead of 10. Two rounds of lineage is a bounded, constant-size
+    # plan — the growth localCheckpoint exists to stop is unbounded
+    # accumulation across ALL rounds.
+    CKPT_EVERY = 2
+    last_ckpt = ranks
+    for i in range(PR_ITERS):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
@@ -129,18 +140,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        prev = ranks
         ranks = contrib.select(
             F.col("dst").alias("node"),
             (F.lit(150000).cast("bigint") + F.expr("(850 * s) div 1000")).alias(
                 "rank"
             ),
-        ).localCheckpoint(eager=True)
-        # eager=True means the new round is fully materialized here, so
-        # the superseded round's checkpoint blocks can be freed NOW
-        # instead of accumulating ten rounds deep until GC (see
-        # io.release_local_checkpoint)
-        release_local_checkpoint(prev)
+        )
+        if (i + 1) % CKPT_EVERY == 0 or i + 1 == PR_ITERS:
+            ranks = ranks.localCheckpoint(eager=True)
+            # eager=True means the new rounds are fully materialized
+            # here, so the superseded checkpoint's blocks can be freed
+            # NOW instead of accumulating until GC (see
+            # io.release_local_checkpoint); intermediate rounds were
+            # never pinned, so the last checkpoint is the only thing
+            # to release.
+            release_local_checkpoint(last_ckpt)
+            last_ckpt = ranks
     edges_deg.unpersist()
     return (
         ranks.orderBy(F.desc("rank"), "node")
