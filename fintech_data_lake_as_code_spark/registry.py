@@ -206,19 +206,23 @@ _VERDICT_ROUND: dict[str, int] = {
 # verdict no longer covers the code that ships, so they grade with the
 # never-graded keys. This is the r21/r22 optimization-touched cohort
 # (VERDICT r21 "Next round" #8): the r21 spreads / BPE induction /
-# triangle explode / int8 hoist changes, plus the r22 gating of those
-# spreads (io.cpu_spread / width_preserving_spread), all landed AFTER
-# these keys' last green grades — their oracle status so far rests on
-# pytest + builder rehearsals only. text_bpe_train is NOT here: it was
-# in the r20/r21 graded cohort, so its green already covers the r21
-# driver-side induction. scan_jdbc's r19 stale-mark re-graded green in
-# r20 AND r21 — dropped.
+# triangle explode / int8 hoist changes, plus the r22 changes (gated
+# spreads via io.cpu_spread / width_preserving_spread, the id_a PPJoin
+# verify spread, the cdc/profile spreads, kmeans initSteps=1, the
+# pyavro Arrow marshalling, PageRank checkpoint thinning), all landed
+# AFTER these keys' last green grades — their oracle status so far
+# rests on pytest + builder rehearsals only. text_bpe_train is NOT
+# here: it was in the r20/r21 graded cohort, so its green already
+# covers the r21 driver-side induction. scan_jdbc's r19 stale-mark
+# re-graded green in r20 AND r21 — dropped.
 _STALE_REGRADE = frozenset({
+    "cdc_incremental_agg",
     "dedup_cluster_cc", "dedup_containment",
     "dedup_embedding_cosine", "dedup_incremental",
     "dedup_keep_best", "dedup_ngram_jaccard",
     "dedup_semantic_cluster", "embedding_quantize_int8",
-    "graph_triangle_count", "sample_split_leakage_safe",
+    "graph_pagerank", "graph_triangle_count", "profile_columns",
+    "sample_split_leakage_safe", "scan_avro",
     "sim_maxsim_ann", "sim_maxsim_multivector", "sim_topk_cosine",
     "sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_lsh",
     "stream_dedup_incremental", "text_bpe_tokenize",
@@ -226,16 +230,17 @@ _STALE_REGRADE = frozenset({
     "udf_vectorized_agg",
 })
 
-# Budget overflow this round: 21 rank-(0,0) stales + 39 non-stale r17
-# floor keys = 60 demand against the 50-key budget -> exactly 10 floor
-# keys defer one round (the registration-order tail, so the prefix
-# keeps the earliest-registered floor keys). They grade first next
-# round with the floor at r17 still intact for them.
+# Budget overflow this round: 25 rank-(0,0) stales + 38 non-stale r17
+# floor keys = 63 demanded against the 50-key budget -> exactly 13
+# floor keys defer one round (the registration-order tail, so the
+# prefix keeps the earliest-registered floor keys). They grade first
+# next round with the floor at r17 still intact for them.
 _DEFER_NEXT_ROUND = frozenset({
-    "agg_approx_distinct", "agg_distinct", "graph_pagerank",
-    "multimodal_framesample", "project_rename_cast",
-    "sample_stratified_split", "scan_python_datasource",
-    "text_chunk", "text_idf_rarity", "text_pack_sequences",
+    "agg_approx_distinct", "agg_distinct", "multimodal_cols",
+    "multimodal_decode", "multimodal_framesample",
+    "project_rename_cast", "sample_stratified_split",
+    "scan_python_datasource", "text_chunk", "text_idf_rarity",
+    "text_pack_sequences", "text_redact_pii", "token_count_bpe",
 })
 
 
