@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import load
+from ..io import load, width_preserving_spread
 from ..registry import query
 
 # Synonym map mirroring the reference's two feature vocabularies
@@ -144,11 +144,12 @@ def udf_vectorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan diff plans/r21/udf_vectorized_agg_*), spreads the Python
     # work across workers, and AQE never re-coalesces an explicit
     # repartition. Per-group results are partitioning-independent.
+    # r22: width-preserving (max(cores, shuffle.partitions)) — the lag
+    # window needs a user_id exchange at ANY scale (windows have no
+    # partial aggregation), so this exchange REPLACES the window's own;
+    # it must never narrow below the configured shuffle width.
     ev = (
-        load(spark, sf_dir, "events")
-        .repartition(
-            spark.sparkContext.defaultParallelism, "user_id"
-        )
+        width_preserving_spread(load(spark, sf_dir, "events"), "user_id")
         .select(
             "user_id",
             "event_id",

@@ -58,9 +58,10 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # underestimate parallelism for compute-heavy text work. Partitioning
     # BY doc_id also pre-locates the per-doc signature/fingerprint groupBys
     # (explode is narrow, so hashpartitioning(doc_id) survives to the agg).
-    return d.unionByName(twins).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # r22: gated on the scan layout (io.cpu_spread) — a 100 TB docs scan
+    # is already wide, and the per-doc signature aggregations partial-
+    # aggregate map-side, so the wide path passes through unchanged.
+    return cpu_spread(d.unionByName(twins), "doc_id")
 
 
 def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,9 +1266,8 @@ def _containment_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 200000).alias("doc_id"),
             F.array_join(F.slice(words, F.lit(1), k), " ").alias("text"),
         )
-        corpus = d.unionByName(excerpts).repartition(
-            spark.sparkContext.defaultParallelism, "doc_id"
-        )
+        # r22: gated like _corpus — see the spread note there
+        corpus = cpu_spread(d.unionByName(excerpts), "doc_id")
         df = _shingle_artifact(corpus, keep_shingles=False).cache()
         _CONTAIN_CACHE[key] = df
     return df

@@ -78,6 +78,20 @@ def _pr_oracle() -> str:
     )
 
 
+def _wedge_width(spark: SparkSession) -> int:
+    """Width of the cached oriented-edge layout (r22): the wedge
+    self-join requires clustering on `s` at ANY scale, so the exchange
+    stays — but pinning it to the core count would NARROW the cached
+    relation below the configured shuffle width on a real cluster.
+    max(cores, shuffle.partitions) is the io.width_preserving_spread
+    rule; locally the two are equal (plan unchanged)."""
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        return max(cores, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):  # pragma: no cover
+        return cores
+
+
 @query("graph_pagerank", oracle=_pr_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer–supplier trading graph
@@ -301,7 +315,7 @@ def _triangle_plan(spark: SparkSession, sf_dir: str):
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"),
         )
-        .repartition(spark.sparkContext.defaultParallelism, "s")
+        .repartition(_wedge_width(spark), "s")
     ).cache()
     # Wedges from a shared oriented source; (d1, d2) kept in one canonical
     # order per wedge via the same (deg, id) rank the orientation used —

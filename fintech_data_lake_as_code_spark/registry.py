@@ -219,8 +219,10 @@ _STALE_REGRADE = frozenset({
     "cdc_incremental_agg",
     "dedup_cluster_cc", "dedup_containment",
     "dedup_embedding_cosine", "dedup_incremental",
-    "dedup_keep_best", "dedup_ngram_jaccard",
-    "dedup_semantic_cluster", "embedding_quantize_int8",
+    "dedup_keep_best", "dedup_near_minhash",
+    "dedup_ngram_jaccard", "dedup_paragraph",
+    "dedup_semantic_cluster", "dedup_simhash",
+    "embedding_quantize_int8",
     "graph_pagerank", "graph_triangle_count", "profile_columns",
     "sample_split_leakage_safe", "scan_avro",
     "sim_maxsim_ann", "sim_maxsim_multivector", "sim_topk_cosine",
@@ -230,8 +232,8 @@ _STALE_REGRADE = frozenset({
     "udf_vectorized_agg",
 })
 
-# Budget overflow this round: 25 rank-(0,0) stales + 38 non-stale r17
-# floor keys = 63 demanded against the 50-key budget -> exactly 13
+# Budget overflow this round: 28 rank-(0,0) stales + 38 non-stale r17
+# floor keys = 66 demanded against the 50-key budget -> exactly 16
 # floor keys defer one round (the registration-order tail, so the
 # prefix keeps the earliest-registered floor keys). They grade first
 # next round with the floor at r17 still intact for them.
@@ -240,7 +242,8 @@ _DEFER_NEXT_ROUND = frozenset({
     "multimodal_decode", "multimodal_framesample",
     "project_rename_cast", "sample_stratified_split",
     "scan_python_datasource", "text_chunk", "text_idf_rarity",
-    "text_pack_sequences", "text_redact_pii", "token_count_bpe",
+    "text_langid", "text_pack_sequences", "text_quality",
+    "text_redact_pii", "text_stats", "token_count_bpe",
 })
 
 

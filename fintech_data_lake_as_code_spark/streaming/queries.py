@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.exact import cents as _cents
-from ..io import load, pid_scratch_dir, scratch_dir
+from ..io import load, pid_scratch_dir, scratch_dir, width_preserving_spread
 from ..registry import query
 
 _RUN_COUNTER = itertools.count()
@@ -1750,10 +1750,11 @@ class IncrementalDedupIndex:
         # source file -> one partition, and shingling is CPU-bound string
         # work (_corpus's rationale) — without the spread it runs on a
         # single core.
+        # r22: width-preserving (max(cores, shuffle.partitions)) — a
+        # micro-batch is bounded by the trigger, so the spread is always
+        # right, but it must never narrow below the configured width
         (
-            batch_df.repartition(
-                spark.sparkContext.defaultParallelism, "doc_id"
-            )
+            width_preserving_spread(batch_df, "doc_id")
             .select(
                 "doc_id", _shingles(F.col("text")).alias("shingles")
             )
