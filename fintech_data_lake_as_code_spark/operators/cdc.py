@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import cpu_spread, load
+from ..io import load
 from ..registry import query
 
 # DMS->Kinesis JSON envelope schema (public AWS DMS format; FIXTURES.md §3).
@@ -399,19 +399,17 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the batch and the MV state move). The oracle recomputes the
     aggregate from the fully-merged state, so the comparison proves the
     incremental path exact."""
-    # r22 (guide §2.5): stage attribution showed both _latest_state
-    # aggregations and the base aggregate running as SINGLE tasks
-    # (~0.6 s serial of the key's ~0.85 s wall) — events.parquet is one
-    # row group, so the scan is effectively 1 partition and AQE
-    # coalesces the tiny user_id exchanges to 1. One gated CPU-budget
-    # repartition on user_id satisfies BOTH _latest_state groupBys AND
-    # pre-locates the snapshot⋈batch join (all keyed user_id). Gated on
-    # the scan layout (io.cpu_spread): at scale the scan is already
-    # wide and the partial-aggregated groupBy exchanges carry fewer
-    # bytes than raw events, so the wide path passes through unchanged.
-    return incremental_agg(
-        cpu_spread(load(spark, sf_dir, "events"), "user_id")
-    )
+    # r22 measured-and-REVERTED (guide §1.2 discipline): a gated
+    # CPU-budget repartition of events on user_id (to satisfy both
+    # _latest_state groupBys and the snapshot⋈batch join) was a
+    # consistent 1.25–3.0x interleaved-A/B REGRESSION (6/6 pairs slower,
+    # median ratio 1.87; scripts/ab_cdc_spread.py) and read 1.1–1.4 s vs
+    # the 0.74 s baseline in the full bench. The spread shuffles RAW
+    # events — including the JSON props column — to replace what are
+    # tiny partial-aggregated exchanges; the map side already reduces
+    # per-user before any exchange, so the extra full-width exchange of
+    # raw rows costs more than the single-task reduce it parallelizes.
+    return incremental_agg(load(spark, sf_dir, "events"))
 
 
 def incremental_agg(ev: DataFrame) -> DataFrame:

@@ -208,8 +208,10 @@ _VERDICT_ROUND: dict[str, int] = {
 # (VERDICT r21 "Next round" #8): the r21 spreads / BPE induction /
 # triangle explode / int8 hoist changes, plus the r22 changes (gated
 # spreads via io.cpu_spread / width_preserving_spread, the id_a PPJoin
-# verify spread, the cdc/profile spreads, kmeans initSteps=1, the
-# pyavro Arrow marshalling, PageRank checkpoint thinning), all landed
+# verify spread, the profile_columns spread, kmeans initSteps=1, the
+# pyavro Arrow marshalling, PageRank checkpoint thinning;
+# cdc_incremental_agg was touched then REVERTED to its graded shape —
+# kept here so the round's grade re-certifies the revert), all landed
 # AFTER these keys' last green grades — their oracle status so far
 # rests on pytest + builder rehearsals only. text_bpe_train is NOT
 # here: it was in the r20/r21 graded cohort, so its green already
